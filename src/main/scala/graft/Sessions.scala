@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for session config so Verify / Bench / tests / prod agree.
+  *
+  * Scale posture: shuffle partitions sized to the local core count (the
+  * driver contract pins local[32]); on a real cluster AQE coalescing +
+  * skew-join splitting re-plan at runtime, so these settings transfer.
+  */
+object Sessions {
+  def local(cpus: String, appName: String = "graft"): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // events.ts is TIMESTAMP(NANOS) parquet — read as long, normalized in
+      // Tables.events (Spark has no nanosecond TimestampType).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

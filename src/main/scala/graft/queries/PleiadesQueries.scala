@@ -1,0 +1,161 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.CounterDerivation
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.4 PQ1-PQ12 — the reference's own query semantics (counter
+  * derivation, day bucketing, top-k, enrichment, formatting) re-expressed on
+  * the synthetic `events` table so every one is DuckDB-oracle-checkable.
+  * Reference traceability is on each member.
+  */
+object PleiadesQueries {
+  import CounterDerivation.epochDay
+
+  private val qDay = "CAST(floor(epoch(ts)/86400) AS BIGINT)"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // PQ1 (T5+T6): event-time daily counts per type — the tumbling-day
+    // grouped count at the heart of `kafka/aggregator.go:174-189`.
+    QueryDef("pq01_daily_type_counts",
+      (s, d) => Tables.events(s, d)
+        .groupBy(epochDay(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("day", "event_type"),
+      Some(s"""SELECT $qDay AS day, event_type, CAST(COUNT(*) AS BIGINT) AS n
+              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // PQ2 (T2): the conditional counter fan-out (aggregator.go:32-66
+    // semantics) — one explode in Spark, UNION ALL of branches in the oracle.
+    QueryDef("pq02_counter_fanout",
+      (s, d) => CounterDerivation.dailyCounters(Tables.events(s, d))
+        .orderBy("day", "counter"),
+      Some(s"""WITH e AS (SELECT $qDay AS day, event_type, user_id, value FROM events)
+              |SELECT day, counter, n FROM (
+              |  SELECT day, 'total' AS counter, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY day
+              |  UNION ALL
+              |  SELECT day, 'type_' || event_type, CAST(COUNT(*) AS BIGINT) FROM e
+              |    WHERE event_type IS NOT NULL AND event_type <> '' GROUP BY day, event_type
+              |  UNION ALL
+              |  SELECT day, 'bot', CAST(COUNT(*) AS BIGINT) FROM e WHERE user_id % 7 = 0 GROUP BY day
+              |  UNION ALL
+              |  SELECT day, 'minor', CAST(COUNT(*) AS BIGINT) FROM e WHERE value < 10 GROUP BY day
+              |  UNION ALL
+              |  SELECT day, CASE WHEN value >= 50 THEN 'value_inc' ELSE 'value_dec' END,
+              |         CAST(COUNT(*) AS BIGINT) FROM e WHERE value IS NOT NULL GROUP BY 1, 2
+              |) ORDER BY day, counter""".stripMargin)),
+
+    // PQ3 (T7): the INCRBY pleiades_growth running sum as a per-day SUM.
+    QueryDef("pq03_daily_growth",
+      (s, d) => Tables.events(s, d)
+        .groupBy(epochDay(col("ts")).as("day"))
+        .agg(QueryDef.dsum(col("value")).as("growth"))
+        .orderBy("day"),
+      Some(s"""SELECT $qDay AS day, ${QueryDef.oSum("value")} AS growth
+              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // PQ4 (T4): regex field extraction from the JSON payload
+    // (aggregator.go:79-89's `"timestamp":(\d+)` pattern, on `props`).
+    QueryDef("pq04_regex_extract",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_id"),
+          regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long").as("k"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // PQ5 (T9/T13): day point query — counters of one day (broadcast scalar
+    // join, not a collect, so it stays distributed at scale).
+    QueryDef("pq05_day_point",
+      (s, d) => {
+        val e = Tables.events(s, d).withColumn("day", epochDay(col("ts")))
+        val minDay = e.agg(min(col("day")).as("day"))
+        e.join(broadcast(minDay), "day")
+          .groupBy("event_type").agg(count(lit(1)).as("n"))
+          .orderBy("event_type")
+      },
+      Some(s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events
+              |WHERE $qDay = (SELECT MIN($qDay) FROM events)
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // PQ6 (T12): distinct-day listing with the quality floor (the reference's
+    // `day > 18488` guard, web/handler.go:190, transposed to this dataset).
+    QueryDef("pq06_distinct_days",
+      (s, d) => Tables.events(s, d)
+        .select(epochDay(col("ts")).as("day"))
+        .where(col("day") > 19725).distinct().orderBy("day"),
+      Some(s"""SELECT DISTINCT $qDay AS day FROM events
+              |WHERE $qDay > 19725 ORDER BY day""".stripMargin)),
+
+    // PQ7 (T15): top-k (k=14, store.js:23-27) — TakeOrderedAndProject.
+    QueryDef("pq07_topk",
+      (s, d) => Tables.events(s, d)
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("event_type")).limit(14),
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events
+             |GROUP BY 1 ORDER BY n DESC, event_type LIMIT 14""".stripMargin)),
+
+    // PQ8 (T14): prefix/suffix/inequality predicates (store.js:21-23).
+    QueryDef("pq08_prefix_filter",
+      (s, d) => Tables.events(s, d)
+        .where(col("event_type").like("%e%") &&
+          !col("event_type").like("%w") && col("event_type") =!= "error")
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events
+             |WHERE event_type LIKE '%e%' AND event_type NOT LIKE '%w'
+             |  AND event_type <> 'error'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // PQ9 (T17): broadcast lookup enrichment (the ISO-639 join,
+    // store.js:29-54) — nation as the small dim.
+    QueryDef("pq09_enrich_join",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val n = Tables.nation(s, d)
+        e.join(broadcast(n), e("user_id") % 25 === n("n_nationkey"))
+          .groupBy("event_type", "n_name").agg(count(lit(1)).as("n"))
+          .orderBy("event_type", "n_name")
+      },
+      Some("""SELECT e.event_type, n.n_name, CAST(COUNT(*) AS BIGINT) AS n
+             |FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // PQ10 (T18): case/when description mapping + MiB unit conversion
+    // (store.js:101-126; ÷1048576 at :111 — 2^20 is exact in double).
+    QueryDef("pq10_describe_convert",
+      (s, d) => Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(QueryDef.dsum(col("value")).as("total"))
+        .select(
+          col("event_type"),
+          when(col("event_type") === "purchase", "Purchase event")
+            .when(col("event_type") === "error", "Error event")
+            .otherwise(col("event_type")).as("description"),
+          (col("total") / 1048576.0d).as("mib"))
+        .orderBy("event_type"),
+      Some(s"""SELECT event_type,
+              |  CASE event_type WHEN 'purchase' THEN 'Purchase event'
+              |                  WHEN 'error' THEN 'Error event'
+              |                  ELSE event_type END AS description,
+              |  ${QueryDef.oSum("value")} / 1048576.0 AS mib
+              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // PQ11 (T21): epoch-day → ISO date string (store.js:187-192).
+    QueryDef("pq11_day_format",
+      (s, d) => Tables.events(s, d)
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("d"))
+        .distinct().orderBy("d"),
+      Some("""SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS d FROM events ORDER BY d""")),
+
+    // PQ12 (T3): derived delta column with null coalescing
+    // (lendiff, aggregator.go:57-64).
+    QueryDef("pq12_delta",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_id"), coalesce(col("value"), lit(0.0d)).as("delta"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, CAST(COALESCE(value, 0) AS DOUBLE) AS delta
+             |FROM events ORDER BY event_id""".stripMargin))
+  )
+}
