@@ -1,6 +1,338 @@
 package graft.queries
 
-/** SURVEY §2.4 RQ1-RQ22 — relational breadth on the TPC-H-ish tables. */
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** SURVEY §2.4 RQ1-RQ22 — relational breadth on the TPC-H-ish tables, all as
+  * declarative DataFrame programs (Catalyst handles pushdown, join strategy,
+  * partial aggregation). Every floating aggregate routes through exact
+  * decimals (QueryDef.dsum) so results hash-match the DuckDB oracle.
+  */
 object RelationalQueries {
-  val defs: Seq[QueryDef] = Seq()
+  import QueryDef.{dsum, oSum}
+
+  private def d2(name: String) = col(name).cast(DecimalType(18, 2))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // RQ1: scan + filter + project — predicate and column pruning reach the
+    // parquet scan (PushedFilters on l_shipdate, 4-column ReadSchema).
+    QueryDef("rq01_filter_project",
+      (s, d) => Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-04-01")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_shipdate").cast("date").as("ship_date"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity,
+             |       CAST(l_shipdate AS DATE) AS ship_date
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             |  AND l_shipdate < TIMESTAMP '1997-04-01'
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // RQ2: TPC-H Q1-style multi-aggregate (sum/avg/count by flag+status).
+    QueryDef("rq02_tpch_q1",
+      (s, d) => {
+        val disc1 = lit(1) - col("l_discount").cast(DecimalType(4, 2))
+        val tax1  = lit(1) + col("l_tax").cast(DecimalType(4, 2))
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            sum(d2("l_extendedprice") * disc1).cast("double").as("sum_disc_price"),
+            sum(d2("l_extendedprice") * disc1 * tax1).cast("double").as("sum_charge"),
+            QueryDef.davg(col("l_quantity")).as("avg_qty"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |  ${oSum("l_quantity")} AS sum_qty,
+              |  ${oSum("l_extendedprice")} AS sum_base_price,
+              |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+              |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+              |  ${QueryDef.oAvg("l_quantity")} AS avg_qty,
+              |  CAST(COUNT(*) AS BIGINT) AS count_order
+              |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // RQ3: inner equi-join orders ⋈ customer, grouped by market segment.
+    QueryDef("rq03_join_group",
+      (s, d) => Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("c_mktsegment"),
+      Some(s"""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+              |  ${oSum("o_totalprice")} AS total
+              |FROM orders JOIN customer ON o_custkey = c_custkey
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // RQ4: 3-way join + group — revenue per nation (TPC-H Q5 shape).
+    // nation/customer broadcast; the only big shuffle is lineitem⋈orders.
+    QueryDef("rq04_revenue_per_nation",
+      (s, d) => {
+        val rev = d2("l_extendedprice") * (lit(1) - col("l_discount").cast(DecimalType(4, 2)))
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(sum(rev).cast("double").as("revenue"))
+          .orderBy("n_name")
+      },
+      Some("""SELECT n_name,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN orders   ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation   ON c_nationkey = n_nationkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // RQ5: broadcast join against the small dim (part).
+    QueryDef("rq05_broadcast_part",
+      (s, d) => Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+        .orderBy("p_brand"),
+      Some(s"""SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+              |  ${oSum("l_quantity")} AS qty
+              |FROM lineitem JOIN part ON l_partkey = p_partkey
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // RQ6: left outer join with null counting (COUNT over nullable side).
+    QueryDef("rq06_left_outer",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+             |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // RQ7: semi join (EXISTS) — customers with at least one order.
+    QueryDef("rq07_semi_join",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey").orderBy("c_custkey"),
+      Some("""SELECT c_custkey FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // RQ8: anti join (NOT EXISTS) — customers with no orders.
+    QueryDef("rq08_anti_join",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey").orderBy("c_custkey"),
+      Some("""SELECT c_custkey FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // RQ9: exact distinct count per group.
+    QueryDef("rq09_distinct_count",
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // RQ10: HAVING — post-aggregation filter.
+    QueryDef("rq10_having",
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"))
+        .where(col("n") >= 12)
+        .orderBy("o_custkey"),
+      Some("""SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n
+             |FROM orders GROUP BY 1 HAVING COUNT(*) >= 12
+             |ORDER BY o_custkey""".stripMargin)),
+
+    // RQ11: top-k with deterministic tie-break by key.
+    QueryDef("rq11_topk_ties",
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("total").desc, col("o_custkey")).limit(10),
+      Some(s"""SELECT o_custkey, ${oSum("o_totalprice")} AS total
+              |FROM orders GROUP BY 1
+              |ORDER BY total DESC, o_custkey LIMIT 10""".stripMargin)),
+
+    // RQ12: UNION ALL (bag semantics kept, order fully determined by key
+    // since duplicate rows are identical).
+    QueryDef("rq12_union_all",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        o.where(col("o_orderstatus") === "O").select("o_custkey")
+          .unionAll(o.where(col("o_orderstatus") === "F").select("o_custkey"))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey FROM (
+             |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+             |  UNION ALL
+             |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+             |) ORDER BY o_custkey""".stripMargin)),
+
+    // RQ13: INTERSECT (set semantics in both engines).
+    QueryDef("rq13_intersect",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        o.where(col("o_orderstatus") === "O").select("o_custkey")
+          .intersect(o.where(col("o_orderstatus") === "F").select("o_custkey"))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+             |INTERSECT
+             |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+             |ORDER BY o_custkey""".stripMargin)),
+
+    // RQ14: EXCEPT (distinct semantics in both engines).
+    QueryDef("rq14_except",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        o.where(col("o_orderstatus") === "O").select("o_custkey")
+          .except(o.where(col("o_orderstatus") === "P").select("o_custkey"))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+             |EXCEPT
+             |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+             |ORDER BY o_custkey""".stripMargin)),
+
+    // RQ15: ROW_NUMBER window, filtered to first 3 orders per customer.
+    QueryDef("rq15_row_number",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"),
+            row_number().over(w).cast("long").as("rn"))
+          .where(col("rn") <= 3)
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn FROM (
+             |  SELECT o_custkey, o_orderkey,
+             |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+             |                            ORDER BY o_orderdate, o_orderkey) AS rn
+             |  FROM orders) WHERE rn <= 3
+             |ORDER BY o_custkey, rn""".stripMargin)),
+
+    // RQ16: running sum window (exact decimal accumulation in both engines).
+    QueryDef("rq16_running_sum",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"),
+            sum(d2("o_totalprice")).over(w).cast("double").as("running"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // RQ17: scalar subquery — orders above the global average price
+    // (broadcast of a 1-row aggregate, stays distributed).
+    QueryDef("rq17_scalar_subquery",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val avgP = o.agg(
+          (sum(d2("o_totalprice")).cast("double") / count(lit(1))).as("avg_price"))
+        o.crossJoin(broadcast(avgP))
+          .where(col("o_totalprice") > col("avg_price"))
+          .select("o_orderkey", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      Some(s"""SELECT o_orderkey, o_totalprice FROM orders
+              |WHERE o_totalprice > (SELECT ${QueryDef.oAvg("o_totalprice")} FROM orders)
+              |ORDER BY o_orderkey""".stripMargin)),
+
+    // RQ18: CTE + self-join — line-number pairs per order.
+    QueryDef("rq18_cte_selfjoin",
+      (s, d) => {
+        val l = Tables.lineitem(s, d).select("l_orderkey", "l_linenumber")
+        val a = l.as("a")
+        val b = l.as("b")
+        a.join(b, col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_linenumber") < col("b.l_linenumber"))
+          .groupBy(col("a.l_orderkey").as("l_orderkey"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("l_orderkey")
+      },
+      Some("""WITH l AS (SELECT l_orderkey, l_linenumber FROM lineitem)
+             |SELECT a.l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_pairs
+             |FROM l a JOIN l b
+             |  ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // RQ19: string functions (substr/upper/concat/length).
+    QueryDef("rq19_string_funcs",
+      (s, d) => Tables.part(s, d)
+        .select(col("p_partkey"),
+          upper(substring(col("p_name"), 1, 8)).as("head"),
+          concat(col("p_brand"), lit("#"), col("p_type")).as("tag"),
+          length(col("p_name")).cast("long").as("len"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, UPPER(SUBSTR(p_name, 1, 8)) AS head,
+             |       CONCAT(p_brand, '#', p_type) AS tag,
+             |       CAST(LENGTH(p_name) AS BIGINT) AS len
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // RQ20: date functions (year/month grouping).
+    QueryDef("rq20_date_funcs",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("y", "m"),
+      Some("""SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS y,
+             |       CAST(MONTH(o_orderdate) AS BIGINT) AS m,
+             |       CAST(COUNT(*) AS BIGINT) AS n
+             |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // RQ21: math/rounding. Engines' ROUND(double) disagree on half-way cases
+    // (Spark rounds the shortest decimal repr HALF_UP, DuckDB the binary
+    // value), so round-to-cents is spelled as floor(x*100 + 0.5) — pure IEEE
+    // ops, bit-identical in both — then summed exactly as integer cents.
+    QueryDef("rq21_math_round",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          (sum(floor(col("l_extendedprice") * (lit(1.0d) - col("l_discount")) * 100d + 0.5d))
+            .cast("double") / 100.0d).as("rev"),
+          sum(floor(col("l_extendedprice"))).cast("long").as("fl"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS rev,
+             |  CAST(SUM(CAST(FLOOR(l_extendedprice) AS BIGINT)) AS BIGINT) AS fl
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // RQ22: ROLLUP with grouping-null normalization via COALESCE.
+    QueryDef("rq22_rollup",
+      (s, d) => Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("qty"))
+        .orderBy("rf", "ls"),
+      Some(s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+              |       COALESCE(l_linestatus, 'ALL') AS ls,
+              |       CAST(COUNT(*) AS BIGINT) AS n,
+              |       ${oSum("l_quantity")} AS qty
+              |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+              |ORDER BY rf, ls""".stripMargin))
+  )
 }
