@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Two paths behind one API (SURVEY §7 risk (e)):
+  *  - `bruteForceTopK`: exact cosine top-k — a broadcast of the query vector
+  *    against a full scan; correct at any scale, O(N) per query.
+  *  - `ivfTopK`: IVF-style approximate search — vectors are assigned to the
+  *    nearest of a small deterministic centroid set (broadcast), and a query
+  *    probes only its own cluster, cutting the scan by ~1/nCentroids. At
+  *    100 TB the assignment is a narrow map stage (no shuffle: centroid set
+  *    broadcast) and cluster ids become a partition column for pruning.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors of the vector with id `queryId`. */
+  def bruteForceTopK(emb: DataFrame, vecCol: String, idCol: String,
+      queryId: Long, k: Int): DataFrame = {
+    val q = emb.where(col(idCol) === queryId)
+      .select(col(vecCol).as("q_vec"))
+    emb.where(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        VectorFunctions.cosine(col(vecCol), col("q_vec")).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic "trained" centroids: the first `nCentroids` vectors by id.
+    * (Stand-in for a k-means fit; the plumbing — broadcast assign + pruned
+    * probe — is the part that matters at scale.)
+    */
+  def centroids(emb: DataFrame, vecCol: String, idCol: String,
+      nCentroids: Int): DataFrame =
+    emb.where(col(idCol) < nCentroids)
+      .select(col(idCol).as("cid"), col(vecCol).as("c_vec"))
+
+  /** Cluster assignment: argmax-cosine centroid per vector (broadcast join +
+    * max_by, no wide shuffle).
+    */
+  def assign(emb: DataFrame, vecCol: String, idCol: String,
+      nCentroids: Int): DataFrame = {
+    val c = centroids(emb, vecCol, idCol, nCentroids)
+    emb.crossJoin(broadcast(c))
+      .select(col(idCol), col(vecCol),
+        col("cid"), VectorFunctions.cosine(col(vecCol), col("c_vec")).as("csim"))
+      .groupBy(col(idCol), col(vecCol))
+      .agg(max_by(col("cid"), col("csim")).as("cluster"))
+  }
+
+  /** IVF top-k: probe only the query's cluster. Approximate — recall depends
+    * on nCentroids/probes; exact within the probed cluster.
+    */
+  def ivfTopK(emb: DataFrame, vecCol: String, idCol: String,
+      queryId: Long, k: Int, nCentroids: Int): DataFrame = {
+    val assigned = assign(emb, vecCol, idCol, nCentroids)
+    val qRow = assigned.where(col(idCol) === queryId)
+      .select(col(vecCol).as("q_vec"), col("cluster"))
+    assigned.where(col(idCol) =!= queryId)
+      .join(broadcast(qRow), "cluster")
+      .select(col(idCol),
+        VectorFunctions.cosine(col(vecCol), col("q_vec")).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+}

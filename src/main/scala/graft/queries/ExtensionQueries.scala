@@ -1,6 +1,240 @@
 package graft.queries
 
-/** SURVEY §2.4 XQ* — LLM-data-pipeline extension operators. */
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.4 XQ* — the LLM-data-pipeline operator surface (north star):
+  * dedup (exact / MinHash+LSH / SimHash / n-gram Jaccard / embedding),
+  * similarity search (brute force + IVF), text analysis (lang-ID, quality,
+  * token counting, fingerprinting), sketches, and multimodal plumbing.
+  * Everything except the sketch (xq04) and the mapPartitions featurizer
+  * (xq16) is DuckDB-oracle-checkable.
+  */
 object ExtensionQueries {
-  val defs: Seq[QueryDef] = Seq()
+
+  /** DuckDB shingle CTE shared by the minhash/jaccard oracles (3-gram
+    * shingles over whitespace tokens, 1-based positions — mirrors
+    * TextFunctions.shingles).
+    */
+  private val shingleCte =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh_all AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |           FROM t, UNNEST(generate_series(1, len(w)-2)) AS u(i))""".stripMargin
+
+  private val minhashSigCte =
+    s"""$shingleCte,
+       |sig AS (SELECT doc_id,
+       |  MIN(md5('1'||shingle)) AS mh1, MIN(md5('2'||shingle)) AS mh2,
+       |  MIN(md5('3'||shingle)) AS mh3, MIN(md5('4'||shingle)) AS mh4,
+       |  MIN(md5('5'||shingle)) AS mh5, MIN(md5('6'||shingle)) AS mh6,
+       |  MIN(md5('7'||shingle)) AS mh7, MIN(md5('8'||shingle)) AS mh8
+       |  FROM sh_all GROUP BY doc_id)""".stripMargin
+
+  /** DuckDB cosine between two DOUBLE[] expressions — same IEEE op sequence
+    * as VectorFunctions.cosine (sequential dot, sqrt norms, one divide).
+    */
+  private def oCos(a: String, b: String): String =
+    s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // XQ1: exact dedup — deterministic survivor (min id) per distinct text.
+    QueryDef("xq01_exact_dedup",
+      (s, d) => Dedup.exact(Tables.documents(s, d), "text", "doc_id")
+        .orderBy("doc_id"),
+      Some("""SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+             |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin)),
+
+    // XQ2: brute-force cosine top-k neighbors of vec_id=0.
+    QueryDef("xq02_cosine_topk",
+      (s, d) => Similarity.bruteForceTopK(
+        Tables.embeddings(s, d), "embedding", "vec_id", queryId = 0L, k = 10),
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+              |SELECT e.vec_id, ${oCos("e.v", "q.qv")} AS sim
+              |FROM e, q WHERE e.vec_id <> 0
+              |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // XQ3: per-language corpus stats.
+    QueryDef("xq03_doc_stats",
+      (s, d) => Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+        .orderBy("lang"),
+      Some("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // XQ4: HLL sketch — engine-specific estimate, rows-only check (SURVEY
+    // §2.4 excludes it from the hash-match set; spec asserts tolerance vs
+    // exact COUNT DISTINCT).
+    QueryDef("xq04_approx_distinct",
+      (s, d) => Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy("event_type"),
+      None),
+
+    // XQ5: MinHash signatures (md5 as the permutation family; lexicographic
+    // min over shingles — engine-portable).
+    QueryDef("xq05_minhash_signatures",
+      (s, d) => Dedup.minhashSignatures(Tables.documents(s, d), "text", "doc_id")
+        .orderBy("doc_id"),
+      Some(s"""$minhashSigCte
+              |SELECT doc_id, mh1, mh2, mh3, mh4, mh5, mh6, mh7, mh8
+              |FROM sig ORDER BY doc_id""".stripMargin)),
+
+    // XQ6: LSH candidate pairs — 4 bands × 2 hashes; same-bucket join.
+    QueryDef("xq06_minhash_pairs",
+      (s, d) => Dedup.minhashCandidatePairs(Tables.documents(s, d), "text", "doc_id")
+        .orderBy("doc_a", "doc_b"),
+      Some(s"""$minhashSigCte,
+              |bands AS (
+              |  SELECT doc_id, 0 AS band_id, mh1 || '|' || mh2 AS band_key FROM sig
+              |  UNION ALL SELECT doc_id, 1, mh3 || '|' || mh4 FROM sig
+              |  UNION ALL SELECT doc_id, 2, mh5 || '|' || mh6 FROM sig
+              |  UNION ALL SELECT doc_id, 3, mh7 || '|' || mh8 FROM sig)
+              |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |FROM bands a JOIN bands b
+              |  ON a.band_id = b.band_id AND a.band_key = b.band_key
+              | AND a.doc_id < b.doc_id
+              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // XQ7: 60-bit SimHash signatures (md5-derived token hashes, bit-majority
+    // vote — the explode/regroup plan is two narrow shuffles keyed by doc).
+    QueryDef("xq07_simhash",
+      (s, d) => Dedup.simhash(Tables.documents(s, d), "text", "doc_id")
+        .orderBy("doc_id"),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+             |h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok),1,15)) AS BIGINT) AS h FROM tok),
+             |bitsum AS (SELECT doc_id, b,
+             |    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+             |  FROM h, UNNEST(generate_series(0, 59)) AS u(b) GROUP BY doc_id, b)
+             |SELECT doc_id,
+             |  CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+             |FROM bitsum GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // XQ8: n-gram Jaccard near-dup pairs, top-100 by similarity.
+    QueryDef("xq08_ngram_jaccard",
+      (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id")
+        .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b")).limit(100),
+      Some(s"""$shingleCte,
+              |sh AS (SELECT DISTINCT doc_id, shingle FROM sh_all),
+              |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+              |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+              |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |          GROUP BY 1, 2)
+              |SELECT doc_a, doc_b, CAST(c AS DOUBLE)/(na.n_sh + nb.n_sh - c) AS jaccard
+              |FROM inter JOIN cnt na ON doc_a = na.doc_id JOIN cnt nb ON doc_b = nb.doc_id
+              |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 100""".stripMargin)),
+
+    // XQ9: embedding-cosine near-dup pairs (threshold + top-50).
+    QueryDef("xq09_embedding_neardup",
+      (s, d) => Dedup.embeddingNearDups(
+        Tables.embeddings(s, d), "embedding", "vec_id", minCosine = 0.25d)
+        .orderBy(col("cosine").desc, col("vec_a"), col("vec_b")).limit(50),
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+              |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${oCos("a.v", "b.v")} AS cosine
+              |FROM e a, e b WHERE a.vec_id < b.vec_id
+              |  AND ${oCos("a.v", "b.v")} >= 0.25
+              |ORDER BY cosine DESC, vec_a, vec_b LIMIT 50""".stripMargin)),
+
+    // XQ10: heuristic language ID (stopword-ratio scoring).
+    QueryDef("xq10_lang_id",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextFunctions.langId(col("text")).as("pred_lang"),
+          TextFunctions.englishScore(col("text")).as("score"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CASE WHEN score >= 0.05 THEN 'en' ELSE 'unk' END AS pred_lang, score
+             |FROM (SELECT doc_id,
+             |  CAST(len(list_filter(string_split(text,' '),
+             |       t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE)
+             |    / CAST(len(string_split(text,' ')) AS DOUBLE) AS score
+             |  FROM documents) ORDER BY doc_id""".stripMargin)),
+
+    // XQ11: quality scoring (length / token-length / stopword blend).
+    QueryDef("xq11_quality_score",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  (LEAST(nt / 100.0, 1.0)
+             |   + LEAST(((CAST(LENGTH(text) AS DOUBLE) - (nt - 1)) / nt) / 8.0, 1.0)
+             |   + LEAST((ns / nt) * 5.0, 1.0)) / 3.0 AS quality
+             |FROM (SELECT doc_id, text,
+             |  CAST(len(string_split(text,' ')) AS DOUBLE) AS nt,
+             |  CAST(len(list_filter(string_split(text,' '),
+             |       t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE) AS ns
+             |  FROM documents) ORDER BY doc_id""".stripMargin)),
+
+    // XQ12: token counting — whitespace + BPE-ish ceil(len/4) subwords.
+    QueryDef("xq12_token_count",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          TextFunctions.subwordCount(col("text")).as("n_subwords"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+             |  CAST(list_sum(list_transform(string_split(text,' '),
+             |       t -> CAST(floor((length(t)+3)/4.0) AS BIGINT))) AS BIGINT) AS n_subwords
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // XQ13: rolling polynomial document fingerprint (left fold, mod 1e9+7).
+    QueryDef("xq13_fingerprint",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  list_reduce(
+             |    list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(string_split(text,' '),
+             |        t -> CAST(length(t)*131 + unicode(substr(t,1,1)) AS BIGINT))),
+             |    (acc, v) -> (acc * 31 + v) % 1000000007) AS fp
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // XQ14: IVF approximate nearest neighbors (assign to argmax-cosine
+    // centroid, probe only the query's cluster).
+    QueryDef("xq14_ann_ivf",
+      (s, d) => Similarity.ivfTopK(Tables.embeddings(s, d), "embedding",
+        "vec_id", queryId = 0L, k = 10, nCentroids = 8),
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+              |sims AS (SELECT e.vec_id, c.cid, ${oCos("e.v", "c.cv")} AS cs FROM e, c),
+              |asn AS (SELECT vec_id, arg_max(cid, cs) AS cluster FROM sims GROUP BY vec_id),
+              |q AS (SELECT a.cluster, e.v AS qv FROM asn a JOIN e ON a.vec_id = e.vec_id
+              |      WHERE e.vec_id = 0)
+              |SELECT e.vec_id, ${oCos("e.v", "q.qv")} AS sim
+              |FROM e JOIN asn ON e.vec_id = asn.vec_id JOIN q ON asn.cluster = q.cluster
+              |WHERE e.vec_id <> 0
+              |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin)),
+
+    // XQ15: multimodal metadata — binary payload column + typed metadata.
+    QueryDef("xq15_multimodal_meta",
+      (s, d) => Multimodal.assets(Tables.documents(s, d))
+        .select("doc_id", "mime", "n_bytes")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, 'text/plain' AS mime,
+             |  octet_length(encode(text)) AS n_bytes
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // XQ16: multimodal feature extraction — mapPartitions over binary
+    // payloads with a stubbed decoder; rows-only check (not SQL-expressible).
+    QueryDef("xq16_multimodal_features",
+      (s, d) => Multimodal.extractFeatures(s, Multimodal.assets(Tables.documents(s, d)))
+        .toDF()
+        .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
+          round(element_at(col("channel_means"), 1), 6).as("mean_r"))
+        .orderBy("doc_id"),
+      None)
+  )
 }

@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat again and again"), // near dup
+    (4L, "completely different content with no overlap whatsoever here now")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min-id survivor with copy count") {
+    val got = Dedup.exact(docs, "text", "doc_id")
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("minhash: identical docs share full signature; LSH pairs find dups") {
+    val sig = Dedup.minhashSignatures(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(sig(0).toSeq.drop(1) == sig(1).toSeq.drop(1)) // doc1 == doc2 signature
+    val pairs = Dedup.minhashCandidatePairs(docs, "text", "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))          // exact dups always collide
+    assert(!pairs.exists(p => p._2 == 4L))    // unrelated doc never pairs
+  }
+
+  test("simhash: identical docs equal, near-dups close in hamming distance") {
+    val sh = Dedup.simhash(docs, "text", "doc_id")
+      .orderBy("doc_id").as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(3L)) < hamming(sh(1L), sh(4L)))
+  }
+
+  test("ngram jaccard: dup pair = 1.0, near-dup in (0,1), ordered output") {
+    val j = Dedup.ngramJaccardPairs(docs, "text", "doc_id")
+      .as[(Long, Long, Double)].collect()
+      .map(r => ((r._1, r._2), r._3)).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 3L)) > 0.3 && j((1L, 3L)) < 1.0)
+    assert(!j.contains((1L, 4L))) // no shared shingles -> no pair row
+  }
+
+  test("embedding near-dup finds the planted duplicate") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(emb, "embedding", "vec_id", 0.9)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("ivf topk is a subset-quality approximation of brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val exact = Similarity.bruteForceTopK(emb, "embedding", "vec_id", 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val approx = Similarity.ivfTopK(emb, "embedding", "vec_id", 0L, 10, 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(approx.size == 10)
+    // IVF probes one cluster; recall must be nonzero on this data
+    assert((exact & approx).nonEmpty)
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(text: String, c: org.apache.spark.sql.Column): Any =
+    Seq(text).toDF("text").select(c).head().get(0)
+
+  test("shingles: 3-grams in order, short docs give empty array") {
+    assert(one("a b c d", TextFunctions.shingles(col("text"))) ==
+      Seq("a b c", "b c d"))
+    assert(one("a b", TextFunctions.shingles(col("text"))) == Seq())
+  }
+
+  test("token and subword counts") {
+    assert(one("the quick brownfox", TextFunctions.tokenCount(col("text"))) == 3L)
+    // ceil(3/4)+ceil(5/4)+ceil(8/4) = 1+2+2
+    assert(one("the quick brownfox", TextFunctions.subwordCount(col("text"))) == 5L)
+  }
+
+  test("fingerprint matches a reference fold") {
+    val toks = Seq("spark", "the", "fast")
+    val expected = toks.foldLeft(0L)((acc, t) =>
+      (acc * 31L + (t.length.toLong * 131L + t.head.toInt)) % 1000000007L)
+    assert(one(toks.mkString(" "), TextFunctions.fingerprint(col("text"))) == expected)
+  }
+
+  test("langId thresholds on marker ratio") {
+    assert(one("the cat sat on the mat", TextFunctions.langId(col("text"))) == "en")
+    assert(one("xyz qrs tuv wxy zab cde fgh ijk lmn opq rst uvw xyz abc def ghi jkl mno pqr stu",
+      TextFunctions.langId(col("text"))) == "unk")
+  }
+
+  test("quality score stays in [0,1]") {
+    val scores = Tables.documents(spark, sf)
+      .select(TextFunctions.qualityScore(col("text")).as("q"))
+      .agg(min("q"), max("q")).head()
+    assert(scores.getDouble(0) >= 0.0 && scores.getDouble(1) <= 1.0)
+  }
+}
