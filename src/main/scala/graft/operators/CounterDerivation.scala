@@ -25,11 +25,12 @@ object CounterDerivation {
   /** Epoch day from a timestamp column (reference: ts_ms / 86400000). */
   def epochDay(ts: Column): Column = floor(unix_timestamp(ts) / 86400L).cast("long")
 
-  /** Faithful reimplementation over the recentchange schema (FIXTURES.md §1).
+  /** Fan-out with `event_time` retained — the streaming-side primitive (the
+    * windowed aggregation groups on event_time, not a precomputed day).
     * Missing string == empty string, matching Go `omitempty` semantics
     * (`aggregator/aggregator.go:41,46`).
     */
-  def forRecentchange(df: DataFrame): DataFrame = {
+  def explodeRecentchange(df: DataFrame): DataFrame = {
     val wiki = coalesce(col("wiki"), lit(""))
     val typ  = coalesce(col("type"), lit(""))
     val hasLen = col("length").isNotNull &&
@@ -44,10 +45,17 @@ object CounterDerivation {
         when(col("length.old") < col("length.new"), lit("length_inc"))
           .otherwise(lit("length_dec")))))
     df.select(
-      epochDay(col("event_time")).as("day"),
+      col("event_time"),
       explode(counters).as("counter"),
       coalesce(col("length.new") - col("length.old"), lit(0L)).as("lendiff"))
   }
+
+  /** Batch view: fan-out keyed by epoch day (the reference's Redis key shape
+    * `day_<d>_<counter>`).
+    */
+  def forRecentchange(df: DataFrame): DataFrame =
+    explodeRecentchange(df).select(
+      epochDay(col("event_time")).as("day"), col("counter"), col("lendiff"))
 
   /** Same fan-out shape over the synthetic `events` table
     * (event_id, ts, user_id, event_type, value, props) so the semantics are

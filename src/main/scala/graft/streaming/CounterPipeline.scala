@@ -1,0 +1,110 @@
+package graft.streaming
+
+import graft.operators.CounterDerivation
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+
+/** The reference's whole streaming personality as ONE Structured Streaming
+  * query (SURVEY §3.2): Kafka/file source → permissive JSON parse →
+  * conditional counter fan-out → event-time daily windows → update-mode
+  * stateful aggregation → idempotent merge into a day-partitioned parquet
+  * aggregate store.
+  *
+  * What the reference hand-builds, Spark supplies: consumer-group offsets →
+  * checkpointing; Redis INCR running state → the streaming state store;
+  * restart loops → query restart from checkpoint; at-least-once double
+  * counting → exactly-once (replace-by-key merge is idempotent across batch
+  * retries).
+  *
+  * Scale posture: state is keyed by (day, counter) — cardinality is days ×
+  * distinct counters (the reference's whole Redis keyspace, ~10^3-10^5), so
+  * state stays tiny no matter the event volume; the only wide shuffle is the
+  * aggregation exchange on that same small key space. Late data: the
+  * reference accepts late events forever (SURVEY §2.3); we default to a
+  * generous configurable watermark so state is bounded.
+  */
+object CounterPipeline {
+
+  /** Production source: Kafka (needs spark-sql-kafka on the classpath —
+    * S3/S6 in SURVEY §2.1). Tests use MemoryStream / file sources instead.
+    */
+  def fromKafka(spark: SparkSession, bootstrap: String, topic: String): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .load()
+      .select(col("key"), col("value"))
+
+  /** File-drop source — the reference's one-file-per-event publisher (S5/S7):
+    * 2-line files `ID\n<json>`; `cleanSource` can archive/delete processed
+    * files like the reference's post-process delete (`file/aggregator.go:212`).
+    */
+  def fromFileDrop(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.format("text")
+      .option("wholetext", "true")
+      .load(dir)
+      .select(
+        split(col("value"), "\n", 2).getItem(0).as("key"),
+        split(col("value"), "\n", 2).getItem(1).as("value"))
+
+  /** Parse → fan-out → watermark → daily tumbling window → count + growth.
+    * Output columns: (day, counter, n, growth) with day = epoch day of the
+    * window start.
+    */
+  def dailyCounterAgg(messages: DataFrame, watermark: String = "48 hours"): DataFrame =
+    CounterDerivation.explodeRecentchange(Recentchange.parse(messages))
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), "1 day"), col("counter"))
+      .agg(count(lit(1)).as("n"), sum(col("lendiff")).as("growth"))
+      .select(
+        CounterDerivation.epochDay(col("window.start")).as("day"),
+        col("counter"), col("n"), col("growth"))
+
+  /** Idempotent replace-by-key merge of an update-mode micro-batch into the
+    * parquet aggregate store at `tableDir`, partitioned by day.
+    *
+    * Update mode emits the NEW TOTAL per touched key, so merge = replace:
+    * re-running a failed batch writes identical values (exactly-once effect).
+    * Only the touched day partitions are rewritten (dynamic partition
+    * overwrite) — the store is tiny relative to event volume, so the rewrite
+    * cost is bounded by counter cardinality, not data scale.
+    */
+  def mergeBatch(spark: SparkSession, tableDir: String)(batch: DataFrame, batchId: Long): Unit = {
+    if (!batch.isEmpty) {
+      val days = batch.select("day").distinct().collect().map(_.getLong(0))
+      val existing =
+        try {
+          spark.read.parquet(tableDir)
+            .where(col("day").isin(days.toIndexedSeq: _*))
+            .select("day", "counter", "n", "growth")
+        } catch {
+          case _: org.apache.spark.sql.AnalysisException => // first batch
+            spark.emptyDataFrame
+              .select(lit(0L).as("day"), lit("").as("counter"),
+                lit(0L).as("n"), lit(0L).as("growth")).limit(0)
+        }
+      val merged = batch.select("day", "counter", "n", "growth")
+        .unionByName(
+          existing.join(batch.select("day", "counter"),
+            Seq("day", "counter"), "left_anti"))
+      merged.write
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day")
+        .parquet(tableDir)
+    }
+  }
+
+  /** Wire the full pipeline: source → aggregate → merge sink. */
+  def start(spark: SparkSession, messages: DataFrame, tableDir: String,
+      checkpointDir: String, watermark: String = "48 hours",
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+    dailyCounterAgg(messages, watermark).writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch(mergeBatch(spark, tableDir) _)
+      .start()
+}

@@ -1,0 +1,131 @@
+package graft
+
+import graft.operators.CounterDerivation
+import graft.streaming.{CounterPipeline, CounterStore, Recentchange}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+
+/** End-to-end streaming specs: fixture events (shaped like the reference's
+  * SSE corpus, FIXTURES.md §2) replayed through MemoryStream → parse →
+  * fan-out → daily windows → foreachBatch merge → CounterStore queries.
+  * Covers late/out-of-order arrival and cross-batch idempotent updates.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def event(id: Long, tsSec: Long, wiki: String, typ: String,
+      bot: Boolean = false, minor: Boolean = false,
+      len: Option[(Long, Long)] = None): (String, String) = {
+    val lenJson = len.map { case (o, n) => s""","length":{"old":$o,"new":$n}""" }.getOrElse("")
+    val key = s"""[{"topic":"x","partition":0,"timestamp":${tsSec * 1000}}]"""
+    val value = s"""{"id":$id,"wiki":"$wiki","type":"$typ","bot":$bot,"minor":$minor,
+      |"timestamp":$tsSec,"meta":{"id":"u-$id","dt":"x","stream":"rc"}$lenJson}"""
+      .stripMargin.replace("\n", "")
+    (key, value)
+  }
+
+  private val day0 = 18489L // 2020-08-15
+  private def t(day: Long, h: Int) = day * 86400 + h * 3600
+
+  test("streaming pipeline: replay, late data, idempotent merge, store queries") {
+    val tableDir = Files.createTempDirectory("graft-agg").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, String)]
+    val messages = stream.toDF().toDF("key", "value")
+
+    val q = CounterPipeline.start(spark, messages, tableDir, ckpt,
+      watermark = "48 hours", trigger = Trigger.ProcessingTime(0))
+    try {
+      // batch 1: two events on day0, one on day0+1
+      stream.addData(
+        event(1, t(day0, 1), "enwiki", "edit", bot = true, len = Some((10L, 20L))),
+        event(2, t(day0, 2), "dewiki", "edit", minor = true, len = Some((30L, 25L))),
+        event(3, t(day0 + 1, 0), "enwiki", "new"))
+      q.processAllAvailable()
+
+      val store = new CounterStore(spark, tableDir)
+      val d0 = store.countersForDay(day0).as[(String, Long)].collect().toMap
+      assert(d0("total") == 2L)
+      assert(d0("wiki_enwiki") == 1L && d0("wiki_dewiki") == 1L)
+      assert(d0("bot") == 1L && d0("minor") == 1L)
+      assert(d0("length_inc") == 1L && d0("length_dec") == 1L)
+
+      // batch 2: a LATE event for day0 (arrives after day0+1 data) must
+      // still land in day0's bucket — the reference accepts late data.
+      stream.addData(event(4, t(day0, 23), "enwiki", "edit"))
+      q.processAllAvailable()
+
+      val d0b = store.countersForDay(day0).as[(String, Long)].collect().toMap
+      assert(d0b("total") == 3L, "late event must update day0 total")
+      assert(d0b("wiki_enwiki") == 2L)
+      // day0+1 partition untouched by the merge of day0 keys
+      val d1 = store.countersForDay(day0 + 1).as[(String, Long)].collect().toMap
+      assert(d1("total") == 1L && d1("type_new") == 1L)
+
+      // growth = sum of lendiffs: (20-10) + (25-30) = 5 on day0
+      val growth = store.table.where(col("day") === day0 && col("counter") === "total")
+        .select("growth").head().getLong(0)
+      assert(growth == 5L)
+
+      // store queries: availableDays (desc, with date string), top-k, enrich
+      val days = store.availableDays(minDay = 0L).as[(Long, String, Long)].collect()
+      assert(days.map(_._1).toSeq == Seq(day0 + 1, day0))
+      assert(days.last._2 == "2020-08-15")
+
+      val top = store.topKByPrefix(day0, "wiki_", suffix = "wiki")
+        .as[(String, Long)].collect()
+      assert(top.head == (("wiki_enwiki", 2L)))
+
+      // wiki_enwiki -> code "en" -> "English"
+      val langs = new CounterStore(spark, tableDir)
+        .enrichLanguages(store.topKByPrefix(day0, "wiki_"))
+        .select("name", "language").as[(String, String)].collect().toMap
+      assert(langs("wiki_enwiki") == "English" && langs("wiki_dewiki") == "German")
+    } finally q.stop()
+  }
+
+  test("streaming aggregation agrees with the batch twin") {
+    val tableDir = Files.createTempDirectory("graft-agg2").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt2").toString
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, String)]
+
+    val events = (1 to 200).map { i =>
+      event(i.toLong, t(day0, 0) + i * 557, s"w${i % 5}wiki", if (i % 3 == 0) "edit" else "new",
+        bot = i % 7 == 0, len = if (i % 2 == 0) Some((i.toLong, (i * 2).toLong)) else None)
+    }
+    val q = CounterPipeline.start(spark, stream.toDF().toDF("key", "value"),
+      tableDir, ckpt, trigger = Trigger.ProcessingTime(0))
+    try {
+      events.grouped(67).foreach { g => stream.addData(g: _*); q.processAllAvailable() }
+
+      val streamed = spark.read.parquet(tableDir)
+        .select("day", "counter", "n", "growth")
+        .as[(Long, String, Long, Long)].collect().toSet
+
+      val batch = CounterDerivation.forRecentchange(
+        Recentchange.parse(events.toDF("key", "value")))
+        .groupBy("day", "counter")
+        .agg(count(lit(1)).as("n"), sum("lendiff").as("growth"))
+        .as[(Long, String, Long, Long)].collect().toSet
+
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("permissive parse: corrupt events still count toward total") {
+    val raw = Seq(
+      ("""[{"timestamp":1597491600000}]""", """{"wiki":"enwiki","type":"edit","timestamp":1597491600}"""),
+      ("""[{"timestamp":1597491600000}]""", """not json at all""")
+    ).toDF("key", "value")
+    val parsed = Recentchange.parse(raw)
+    assert(parsed.count() == 2)
+    val counters = CounterDerivation.forRecentchange(parsed)
+      .where(col("counter") === "total").count()
+    assert(counters == 2, "corrupt row must still produce a 'total' increment")
+  }
+}
