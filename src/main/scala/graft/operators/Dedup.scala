@@ -30,19 +30,21 @@ object Dedup {
   val MinhashK = 8
   val BandSize = 2
 
-  /** Per-hash minhash value: the lexicographic min of md5(seed || shingle).
-    * md5 acts as the random permutation; lexicographic order on the hex
-    * digest is engine-portable (plain ASCII compare).
+  /** MinHash signatures: one row per doc with `mh1..mhK` columns.
+    * md5(seed || shingle) acts as the random permutation; lexicographic
+    * order on the hex digest is engine-portable (plain ASCII compare).
+    *
+    * Plan shape: explode shingles once, then K codegen'd md5s per shingle
+    * and a single grouped min — keeps the md5 hot loop out of interpreted
+    * higher-order lambdas (was ~50x slower as `array_min(transform(...))`).
+    * Docs with fewer than n tokens produce no row.
     */
-  private def minhashCol(sh: Column, seed: Int): Column =
-    array_min(transform(sh, s => md5(concat(lit(seed.toString), s))))
-
-  /** MinHash signatures: one row per doc with `mh1..mhK` columns. */
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3): DataFrame = {
-    val sh = TextFunctions.shingles(col(textCol), n)
-    val sig = (1 to MinhashK).map(k => minhashCol(sh, k).as(s"mh$k"))
-    docs.select(col(idCol) +: sig: _*)
+    val exploded = Shingles.exploded(docs, textCol, idCol, n)
+    val aggs = (1 to MinhashK).map(k =>
+      min(md5(concat(lit(k.toString), col("shingle")))).as(s"mh$k"))
+    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: same band of the signature agreeing on all its hashes →
@@ -53,6 +55,8 @@ object Dedup {
     val sig = minhashSignatures(docs, textCol, idCol, n)
     val nBands = MinhashK / BandSize
     // (id, band_id, band_key) — band_key concatenates the band's hashes.
+    // Persisted: both sides of the self-join share this lineage, and the
+    // signature computation (md5 over every shingle) is the expensive part.
     val bands = sig.select(col(idCol), explode(array(
       (0 until nBands).map { b =>
         struct(lit(b).as("band_id"),
@@ -60,6 +64,7 @@ object Dedup {
             .as("band_key"))
       }: _*)).as("band"))
       .select(col(idCol), col("band.band_id"), col("band.band_key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bands.toDF("doc_a", "band_id", "band_key")
     val b = bands.toDF("doc_b", "band_id", "band_key")
     a.join(b, Seq("band_id", "band_key"))
@@ -96,8 +101,10 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3, minJaccard: Double = 0.0): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc_id"),
-      explode(TextFunctions.shingles(col(textCol), n)).as("shingle")).distinct()
+    // Persisted: reused by both join sides and the per-doc counts.
+    val sh = Shingles.exploded(docs, textCol, idCol, n)
+      .withColumnRenamed(idCol, "doc_id").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val a = sh.toDF("doc_a", "shingle")
     val b = sh.toDF("doc_b", "shingle")
@@ -117,11 +124,17 @@ object Dedup {
     */
   def embeddingNearDups(emb: DataFrame, vecCol: String, idCol: String,
       minCosine: Double): DataFrame = {
-    val a = emb.select(col(idCol).as("vec_a"), col(vecCol).as("va"))
-    val b = emb.select(col(idCol).as("vec_b"), col(vecCol).as("vb"))
+    // Norms precomputed per vector (O(N·d)) so each of the O(N²) pairs does
+    // ONE dot product; dot/(norm_a*norm_b) is the same IEEE sequence as the
+    // per-pair sqrt form, so oracle hashes still match.
+    val a = emb.select(col(idCol).as("vec_a"), col(vecCol).as("va"),
+      sqrt(VectorFunctions.dot(col(vecCol), col(vecCol))).as("norm_a"))
+    val b = emb.select(col(idCol).as("vec_b"), col(vecCol).as("vb"),
+      sqrt(VectorFunctions.dot(col(vecCol), col(vecCol))).as("norm_b"))
     a.crossJoin(b).where(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        VectorFunctions.cosine(col("va"), col("vb")).as("cosine"))
+        (VectorFunctions.dot(col("va"), col("vb")) / (col("norm_a") * col("norm_b")))
+          .as("cosine"))
       .where(col("cosine") >= minCosine)
   }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Similarity, TextStats}
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2.4 XQ* — the LLM-data-pipeline operator surface (north star):
@@ -144,12 +144,12 @@ object ExtensionQueries {
               |  AND ${oCos("a.v", "b.v")} >= 0.25
               |ORDER BY cosine DESC, vec_a, vec_b LIMIT 50""".stripMargin)),
 
-    // XQ10: heuristic language ID (stopword-ratio scoring).
+    // XQ10: heuristic language ID (stopword-ratio scoring; bulk path via
+    // TextStats' explode+group plan — same values as the scalar forms).
     QueryDef("xq10_lang_id",
-      (s, d) => Tables.documents(s, d)
-        .select(col("doc_id"),
-          TextFunctions.langId(col("text")).as("pred_lang"),
-          TextFunctions.englishScore(col("text")).as("score"))
+      (s, d) => TextStats.withScores(
+        TextStats.perDoc(Tables.documents(s, d), "text", "doc_id"))
+        .select(col("doc_id"), col("pred_lang"), col("score"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id,
              |  CASE WHEN score >= 0.05 THEN 'en' ELSE 'unk' END AS pred_lang, score
@@ -161,9 +161,9 @@ object ExtensionQueries {
 
     // XQ11: quality scoring (length / token-length / stopword blend).
     QueryDef("xq11_quality_score",
-      (s, d) => Tables.documents(s, d)
-        .select(col("doc_id"),
-          TextFunctions.qualityScore(col("text")).as("quality"))
+      (s, d) => TextStats.withScores(
+        TextStats.perDoc(Tables.documents(s, d), "text", "doc_id"))
+        .select(col("doc_id"), col("quality"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id,
              |  (LEAST(nt / 100.0, 1.0)
@@ -177,10 +177,8 @@ object ExtensionQueries {
 
     // XQ12: token counting — whitespace + BPE-ish ceil(len/4) subwords.
     QueryDef("xq12_token_count",
-      (s, d) => Tables.documents(s, d)
-        .select(col("doc_id"),
-          TextFunctions.tokenCount(col("text")).as("n_tokens"),
-          TextFunctions.subwordCount(col("text")).as("n_subwords"))
+      (s, d) => TextStats.perDoc(Tables.documents(s, d), "text", "doc_id")
+        .select(col("doc_id"), col("n_tokens"), col("n_subwords"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id,
              |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
