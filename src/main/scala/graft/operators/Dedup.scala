@@ -120,7 +120,8 @@ object Dedup {
   }
 
   /** Embedding-cosine near-dup pairs above a threshold. Brute force at test
-    * scale; the LSH-bucketed scale path lives in Similarity.lshBuckets.
+    * scale; the LSH-bucketed scale path is Similarity.lshAssign (bucket
+    * co-membership replaces the cross join at corpus scale).
     */
   def embeddingNearDups(emb: DataFrame, vecCol: String, idCol: String,
       minCosine: Double): DataFrame = {

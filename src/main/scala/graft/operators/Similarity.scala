@@ -52,6 +52,46 @@ object Similarity {
       .agg(max_by(col("cid"), col("csim")).as("cluster"))
   }
 
+  /** Random-hyperplane LSH bucketing: plane p's side bit = sign of
+    * dot(v, plane_p); bucket = the nPlanes-bit signature. The plane set is
+    * deterministic — embeddings with id 1..nPlanes, which for this corpus
+    * are i.i.d. gaussian vectors, i.e. genuine random hyperplanes. Probing
+    * one bucket cuts the scan ~2^nPlanes-fold; at 100 TB the bucket id
+    * becomes a partition column (same design as the IVF cluster id).
+    */
+  def lshAssign(emb: DataFrame, vecCol: String, idCol: String,
+      nPlanes: Int): DataFrame = {
+    val planes = emb.where(col(idCol) >= 1 && col(idCol) <= nPlanes)
+      .select(col(idCol).as("pid"), col(vecCol).as("p_vec"))
+    val sig = emb.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(planes))
+      .groupBy(col(idCol))
+      .agg(sum(
+        when(VectorFunctions.dot(col(vecCol), col("p_vec")) > 0d,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(pid AS INT) - 1)"))
+          .otherwise(0L)).as("bucket"))
+    emb.select(col(idCol), col(vecCol),
+        sqrt(VectorFunctions.dot(col(vecCol), col(vecCol))).as("norm"))
+      .join(sig, idCol)
+  }
+
+  /** LSH top-k: probe only the query's bucket (may return fewer than k —
+    * the recall/speed tradeoff of single-probe LSH).
+    */
+  def lshTopK(emb: DataFrame, vecCol: String, idCol: String,
+      queryId: Long, k: Int, nPlanes: Int = 6): DataFrame = {
+    val assigned = lshAssign(emb, vecCol, idCol, nPlanes)
+    val q = assigned.where(col(idCol) === queryId)
+      .select(col("bucket"), col(vecCol).as("q_vec"), col("norm").as("q_norm"))
+    assigned.where(col(idCol) =!= queryId)
+      .join(broadcast(q), "bucket")
+      .select(col(idCol),
+        (VectorFunctions.dot(col(vecCol), col("q_vec")) / (col("norm") * col("q_norm")))
+          .as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** IVF top-k: probe only the query's cluster. Approximate — recall depends
     * on nCentroids/probes; exact within the probed cluster.
     */

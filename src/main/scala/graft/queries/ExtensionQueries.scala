@@ -225,6 +225,24 @@ object ExtensionQueries {
              |  octet_length(encode(text)) AS n_bytes
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // XQ17: random-hyperplane LSH ANN — bucket by sign bits against
+    // deterministic gaussian planes (vectors id 1..6), probe one bucket.
+    QueryDef("xq17_lsh_ann",
+      (s, d) => Similarity.lshTopK(Tables.embeddings(s, d), "embedding",
+        "vec_id", queryId = 0L, k = 10, nPlanes = 6),
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |p AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id BETWEEN 1 AND 6),
+              |sig AS (SELECT e.vec_id,
+              |    CAST(SUM(CASE WHEN list_inner_product(e.v, p.pv) > 0
+              |         THEN (CAST(1 AS BIGINT) << CAST(pid - 1 AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+              |  FROM e, p GROUP BY e.vec_id),
+              |q AS (SELECT s.bucket, e.v AS qv FROM sig s JOIN e ON s.vec_id = e.vec_id
+              |      WHERE e.vec_id = 0)
+              |SELECT e.vec_id, ${oCos("e.v", "q.qv")} AS sim
+              |FROM e JOIN sig ON e.vec_id = sig.vec_id JOIN q ON sig.bucket = q.bucket
+              |WHERE e.vec_id <> 0
+              |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin)),
+
     // XQ16: multimodal feature extraction — mapPartitions over binary
     // payloads with a stubbed decoder; rows-only check (not SQL-expressible).
     QueryDef("xq16_multimodal_features",

@@ -156,6 +156,44 @@ object PleiadesQueries {
         .select(col("event_id"), coalesce(col("value"), lit(0.0d)).as("delta"))
         .orderBy("event_id"),
       Some("""SELECT event_id, CAST(COALESCE(value, 0) AS DOUBLE) AS delta
-             |FROM events ORDER BY event_id""".stripMargin))
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // PQ13: gap-based sessionization (batch twin of the
+    // flatMapGroupsWithState operator, graft.streaming.Sessionize) —
+    // lag + cumulative-sum windows, 30-minute gap.
+    QueryDef("pq13_sessionize",
+      (s, d) => graft.streaming.Sessionize.batch(
+        Tables.events(s, d).select(col("user_id"),
+          unix_timestamp(col("ts")).as("ts_sec"), col("value")),
+        gapSeconds = 1800L)
+        .orderBy("user_id", "session_start"),
+      Some("""WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value FROM events),
+             |b AS (SELECT user_id, ts_sec, value,
+             |    CASE WHEN lag(ts_sec) OVER w IS NULL
+             |              OR ts_sec - lag(ts_sec) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec)),
+             |sess AS (SELECT user_id, ts_sec, value,
+             |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_sec
+             |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |  FROM b)
+             |SELECT user_id, CAST(MIN(ts_sec) AS BIGINT) AS session_start,
+             |       CAST(MAX(ts_sec) AS BIGINT) AS session_end,
+             |       CAST(COUNT(*) AS BIGINT) AS n_events,
+             |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM sess GROUP BY user_id, session_id
+             |ORDER BY user_id, session_start""".stripMargin)),
+
+    // PQ14: latest-event-per-key lookup (max_by / arg_max — the reference's
+    // resume-ID recovery picks the max-timestamp message the same way,
+    // kafkapublisher.go:157-211).
+    QueryDef("pq14_latest_per_user",
+      (s, d) => Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(max_by(col("event_type"), col("event_id")).as("last_type"),
+          max(col("event_id")).as("last_event"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id, arg_max(event_type, event_id) AS last_type,
+             |       MAX(event_id) AS last_event
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 }

@@ -333,6 +333,56 @@ object RelationalQueries {
               |       CAST(COUNT(*) AS BIGINT) AS n,
               |       ${oSum("l_quantity")} AS qty
               |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-              |ORDER BY rf, ls""".stripMargin))
+              |ORDER BY rf, ls""".stripMargin)),
+
+    // RQ23: CUBE — all grouping combinations.
+    QueryDef("rq23_cube",
+      (s, d) => Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("qty"))
+        .orderBy("rf", "ls"),
+      Some(s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+              |       COALESCE(l_linestatus, 'ALL') AS ls,
+              |       CAST(COUNT(*) AS BIGINT) AS n,
+              |       ${oSum("l_quantity")} AS qty
+              |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+              |ORDER BY rf, ls""".stripMargin)),
+
+    // RQ24: explicit GROUPING SETS — per-flag and per-status marginals only.
+    QueryDef("rq24_grouping_sets",
+      (s, d) => {
+        val byFlag = Tables.lineitem(s, d).groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"))
+          .select(col("l_returnflag").as("rf"), lit("ALL").as("ls"), col("n"))
+        val byStatus = Tables.lineitem(s, d).groupBy("l_linestatus")
+          .agg(count(lit(1)).as("n"))
+          .select(lit("ALL").as("rf"), col("l_linestatus").as("ls"), col("n"))
+        byFlag.unionByName(byStatus).orderBy("rf", "ls")
+      },
+      Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+             |       COALESCE(l_linestatus, 'ALL') AS ls,
+             |       CAST(COUNT(*) AS BIGINT) AS n
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+             |ORDER BY rf, ls""".stripMargin)),
+
+    // RQ25: pivot — Spark's relational pivot operator; the oracle spells it
+    // as portable conditional aggregation (same values, same columns).
+    QueryDef("rq25_pivot",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(dsum(col("l_quantity")))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+        .orderBy("l_returnflag"),
+      Some(s"""SELECT l_returnflag,
+              |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+              |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
+              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
