@@ -1,0 +1,22 @@
+package graft
+
+import graft.expressions.VectorDot
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Session extensions: registers graft's native expressions in the SQL
+  * function registry, so `spark.sql("... vector_dot(a, b) ...")` works
+  * anywhere the DataFrame API does. Install with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` (done by
+  * graft.Sessions) or `spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("vector_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VectorDot(exprs(0), exprs(1))))
+  }
+}

@@ -13,6 +13,7 @@ object Sessions {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
