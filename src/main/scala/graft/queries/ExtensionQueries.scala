@@ -243,6 +243,50 @@ object ExtensionQueries {
               |WHERE e.vec_id <> 0
               |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin)),
 
+    // XQ18: reproducible hash-based sampling — the scalable way to cut
+    // deterministic train subsets (no RNG state, stable under repartition,
+    // portable across engines via md5). ~10% sample: first 4 md5 hex chars
+    // of the id < 0x199A.
+    QueryDef("xq18_hash_sample",
+      (s, d) => Tables.documents(s, d)
+        .where(expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT)") < 6554L)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang FROM documents
+             |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) < 6554
+             |ORDER BY doc_id""".stripMargin)),
+
+    // XQ19: deterministic train/val/test split via the same hash trick
+    // (buckets 0-79 train, 80-89 val, 90-99 test).
+    QueryDef("xq19_hash_split",
+      (s, d) => {
+        val bucket = expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT) % 100")
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            when(bucket < 80, "train").when(bucket < 90, "val")
+              .otherwise(lit("test")).as("split"))
+          .groupBy("split").agg(count(lit(1)).as("n"))
+          .orderBy("split")
+      },
+      Some("""SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+             |       CAST(COUNT(*) AS BIGINT) AS n
+             |FROM (SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 AS b
+             |      FROM documents)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // XQ20: text normalization — lowercase, strip punctuation, collapse
+    // whitespace (the standard pre-tokenization cleanup pass).
+    QueryDef("xq20_normalize",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          trim(regexp_replace(
+            regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+            " +", " ")).as("norm_text"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm_text
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // XQ16: multimodal feature extraction — mapPartitions over binary
     // payloads with a stubbed decoder; rows-only check (not SQL-expressible).
     QueryDef("xq16_multimodal_features",
