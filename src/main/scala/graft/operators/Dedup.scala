@@ -72,6 +72,20 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** Greedy near-dup removal: drop every doc that is the HIGHER id of an
+    * LSH candidate pair (the min-id member of each near-dup group's pair
+    * graph survives). One anti-join over the candidate pairs — the standard
+    * cheap variant (full transitive-closure dedup needs iterative connected
+    * components; at candidate-graph sparsity the greedy form removes the
+    * same mass).
+    */
+  def dropNearDuplicates(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3): DataFrame = {
+    val dupIds = minhashCandidatePairs(docs, textCol, idCol, n)
+      .select(col("doc_b").as(idCol)).distinct()
+    docs.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   /** 60-bit SimHash over whitespace tokens. Token hash = first 15 hex chars
     * of md5 as an unsigned 60-bit integer (portable: DuckDB casts
     * '0x'||hex). Signature bit b is set iff the majority of token hashes

@@ -61,6 +61,25 @@ object Multimodal {
     (width, height, means.map(m => m / per / 255.0))
   }
 
+  /** Frame sampling: slice every `stride`-th fixed-size window out of the
+    * payload — the byte-level plumbing of video frame-sampling (a real
+    * decoder would seek keyframes; the slicing, explode shape, and
+    * per-frame metadata are the part that transfers). Pure Catalyst
+    * expressions, no UDF.
+    */
+  def sampleFrames(assetsDf: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    assetsDf
+      .withColumn("n_frames",
+        greatest(floor((col("n_bytes") / lit(frameBytes.toLong * stride))).cast("int"), lit(0)))
+      .withColumn("frame_idx", explode(
+        when(col("n_frames") > 0, sequence(lit(0), col("n_frames") - 1))
+          .otherwise(array())))
+      .select(col("doc_id"), col("frame_idx"),
+        expr(s"substring(payload, CAST(frame_idx * ${frameBytes.toLong * stride} + 1 AS INT), $frameBytes)")
+          .as("frame_bytes"))
+  }
+
   /** Partition-wise feature extraction: batch iteration per partition (one
     * decoder init per partition, like a Pandas-UDF batch), typed output.
     */

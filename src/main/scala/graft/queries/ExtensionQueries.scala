@@ -287,6 +287,37 @@ object ExtensionQueries {
              |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm_text
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // XQ21: end-to-end near-dup removal — greedy survivor set from the LSH
+    // candidate graph (keep docs never appearing as the higher id of a
+    // candidate pair).
+    QueryDef("xq21_near_dedup",
+      (s, d) => Dedup.dropNearDuplicates(Tables.documents(s, d), "text", "doc_id")
+        .select("doc_id", "lang")
+        .orderBy("doc_id"),
+      Some(s"""$minhashSigCte,
+              |bands AS (
+              |  SELECT doc_id, 0 AS band_id, mh1 || '|' || mh2 AS band_key FROM sig
+              |  UNION ALL SELECT doc_id, 1, mh3 || '|' || mh4 FROM sig
+              |  UNION ALL SELECT doc_id, 2, mh5 || '|' || mh6 FROM sig
+              |  UNION ALL SELECT doc_id, 3, mh7 || '|' || mh8 FROM sig),
+              |dups AS (SELECT DISTINCT b.doc_id FROM bands a JOIN bands b
+              |  ON a.band_id = b.band_id AND a.band_key = b.band_key
+              | AND a.doc_id < b.doc_id)
+              |SELECT d.doc_id, d.lang FROM documents d
+              |WHERE NOT EXISTS (SELECT 1 FROM dups WHERE dups.doc_id = d.doc_id)
+              |ORDER BY d.doc_id""".stripMargin)),
+
+    // XQ22: multimodal frame sampling — byte-window slicing plumbing
+    // (explode shape + per-frame metadata); rows-only (binary frame bytes
+    // are not portably comparable through the parquet/pandas bridge).
+    QueryDef("xq22_frame_sample",
+      (s, d) => Multimodal.sampleFrames(
+        Multimodal.assets(Tables.documents(s, d)), frameBytes = 32, stride = 4)
+        .select(col("doc_id"), col("frame_idx"),
+          length(col("frame_bytes")).cast("long").as("frame_len"))
+        .orderBy("doc_id", "frame_idx"),
+      None),
+
     // XQ16: multimodal feature extraction — mapPartitions over binary
     // payloads with a stubbed decoder; rows-only check (not SQL-expressible).
     QueryDef("xq16_multimodal_features",

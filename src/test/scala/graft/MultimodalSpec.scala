@@ -22,6 +22,29 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.map(_.toString) == f2.map(_.toString))
   }
 
+  test("frame sampling slices the expected windows") {
+    import spark.implicits._
+    val assets = Seq((1L, ("x" * 300).getBytes("UTF-8"), "text/plain", 300L))
+      .toDF("doc_id", "payload", "mime", "n_bytes")
+    val frames = Multimodal.sampleFrames(assets, frameBytes = 32, stride = 2)
+      .orderBy("frame_idx").collect()
+    // 300 bytes / (32*2) = 4 frames, each 32 bytes from offsets 0,64,128,192
+    assert(frames.length == 4)
+    assert(frames.forall(_.getAs[Array[Byte]]("frame_bytes").length == 32))
+  }
+
+  test("near-dedup keeps min-id survivor of dup groups") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "entirely different words with no shingle overlap at all here")
+    ).toDF("doc_id", "text")
+    val kept = graft.operators.Dedup.dropNearDuplicates(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
+
   test("approx_count_distinct within 15% of exact") {
     val e = Tables.events(spark, sf)
     val exact = e.agg(countDistinct("user_id")).head().getLong(0)
