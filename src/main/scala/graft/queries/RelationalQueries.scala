@@ -72,13 +72,15 @@ object RelationalQueries {
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // RQ4: 3-way join + group — revenue per nation (TPC-H Q5 shape).
-    // nation/customer broadcast; the only big shuffle is lineitem⋈orders.
+    // Only nation gets an explicit broadcast hint (fixed 25 rows at ANY
+    // scale factor); customer scales with SF, so its join strategy is left
+    // to Catalyst/AQE — broadcast when it fits, shuffle when it doesn't.
     QueryDef("rq04_revenue_per_nation",
       (s, d) => {
         val rev = d2("l_extendedprice") * (lit(1) - col("l_discount").cast(DecimalType(4, 2)))
         Tables.lineitem(s, d)
           .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
           .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
           .groupBy("n_name")
           .agg(sum(rev).cast("double").as("revenue"))
@@ -92,7 +94,10 @@ object RelationalQueries {
              |JOIN nation   ON c_nationkey = n_nationkey
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
-    // RQ5: broadcast join against the small dim (part).
+    // RQ5: broadcast join against the small dim (part). NOTE: part is small
+    // at test SFs; at production scale the explicit hint comes off and AQE's
+    // runtime size check decides — the fixed-cardinality dims (nation,
+    // region) are the only always-broadcast tables.
     QueryDef("rq05_broadcast_part",
       (s, d) => Tables.lineitem(s, d)
         .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
@@ -369,6 +374,20 @@ object RelationalQueries {
              |FROM lineitem
              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
              |ORDER BY rf, ls""".stripMargin)),
+
+    // RQ26: exact percentile/median — Spark's `percentile` and DuckDB's
+    // `quantile_cont` both sort and linearly interpolate, so exact doubles
+    // hash-match (unlike approx_percentile, which is engine-specific).
+    QueryDef("rq26_median",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("median_price"),
+          expr("percentile(l_extendedprice, 0.9)").as("p90_price"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  quantile_cont(l_extendedprice, 0.5) AS median_price,
+             |  quantile_cont(l_extendedprice, 0.9) AS p90_price
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // RQ25: pivot — Spark's relational pivot operator; the oracle spells it
     // as portable conditional aggregation (same values, same columns).
