@@ -183,6 +183,22 @@ object PleiadesQueries {
              |FROM sess GROUP BY user_id, session_id
              |ORDER BY user_id, session_start""".stripMargin)),
 
+    // PQ15: sliding event-time windows (2h length, 1h slide) — each event
+    // lands in exactly two windows; the oracle spells the window assignment
+    // as a UNION ALL of the two shifted hour-starts.
+    QueryDef("pq15_sliding_window",
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("window.start")).as("ws"),
+          col("event_type"), col("n"))
+        .orderBy("ws", "event_type"),
+      Some("""WITH e AS (SELECT CAST(floor(epoch(ts)/3600) AS BIGINT)*3600 AS h, event_type FROM events),
+             |w AS (SELECT h - 3600 AS ws, event_type FROM e
+             |      UNION ALL SELECT h AS ws, event_type FROM e)
+             |SELECT ws, event_type, CAST(COUNT(*) AS BIGINT) AS n
+             |FROM w GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin)),
+
     // PQ14: latest-event-per-key lookup (max_by / arg_max — the reference's
     // resume-ID recovery picks the max-timestamp message the same way,
     // kafkapublisher.go:157-211).

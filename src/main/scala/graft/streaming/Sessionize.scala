@@ -44,6 +44,26 @@ object Sessionize {
       .select("user_id", "session_start", "session_end", "n_events", "sum_value")
   }
 
+  /** Native session-window variant: Spark's built-in `session_window`
+    * (dynamic gap-merged windows in the state store) — the idiomatic form
+    * when per-session output columns are plain aggregates. The
+    * flatMapGroupsWithState form below remains for custom state logic.
+    * Append mode: sessions emit once the watermark passes their close.
+    */
+  def streamingSessionWindow(events: DataFrame, gapSeconds: Long,
+      watermark: String = "0 seconds"): DataFrame =
+    events
+      .withColumn("event_time", org.apache.spark.sql.functions.timestamp_seconds(col("ts_sec")))
+      .withWatermark("event_time", watermark)
+      .groupBy(col("user_id"),
+        session_window(col("event_time"), s"$gapSeconds seconds"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_value"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("session_start"),
+        col("n_events"), col("sum_value"))
+
   /** Streaming form: one open session per user in state; emits a session
     * when the gap is exceeded by a newer event (or on state timeout).
     * Requires events in event-time order per user within a batch (sorted

@@ -57,6 +57,21 @@ class SourcesSpec extends SparkSpec {
     assert(back.toSeq == Seq(("id-1", """{"wiki":"a"}"""), ("id-2", """{"wiki":"b"}""")))
   }
 
+  test("native session_window agrees with the batch twin on closed sessions") {
+    import org.apache.spark.sql.functions._
+    val evs = Seq(
+      Sessionize.EventIn(1L, 1000L, 1.0), Sessionize.EventIn(1L, 1100L, 2.0),
+      Sessionize.EventIn(1L, 4000L, 3.0), Sessionize.EventIn(2L, 500L, 4.0))
+    // batch mode: session_window works on static DataFrames too
+    val sw = Sessionize.streamingSessionWindow(
+      evs.toDF("user_id", "ts_sec", "value"), gapSeconds = 1800L)
+      .orderBy("user_id", "session_start")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // session_window closes at last+gap; starts must match the batch twin
+    assert(sw == Seq(
+      (1L, 1000L, 2L, 3.0), (1L, 4000L, 1L, 3.0), (2L, 500L, 1L, 4.0)))
+  }
+
   test("sessionize: streaming flatMapGroupsWithState agrees with batch twin") {
     // user 1: events at t=0, 100, 2000 (gap>1800 breaks), user 2: one event
     val evs = Seq(
