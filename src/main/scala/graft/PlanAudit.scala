@@ -1,0 +1,16 @@
+package graft
+/** Dumps formatted physical plans of headline queries for scale review. */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.local("8", "plan-audit")
+    val sf = "/root/testdata/sf0.01"
+    val names = if (args.nonEmpty) args.toSeq else Seq(
+      "pq02_counter_fanout", "rq04_revenue_per_nation", "rq15_row_number",
+      "xq06_minhash_pairs", "xq02_cosine_topk", "pq13_sessionize", "xq23_top_terms")
+    names.foreach { n =>
+      println(s"===== $n =====")
+      SparkEntry.queries(n)(spark, sf).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -318,6 +318,33 @@ object ExtensionQueries {
         .orderBy("doc_id", "frame_idx"),
       None),
 
+    // XQ23: per-document top-terms (term-frequency table + window rank) —
+    // the TF side of corpus indexing; integer counts with term tie-break
+    // keep it engine-exact without log-based IDF.
+    QueryDef("xq23_top_terms",
+      (s, d) => {
+        // repartition by doc_id up front: HashPartitioning(doc_id) satisfies
+        // both the (doc_id, term) aggregation's clustering AND the window's
+        // doc_id partitioning -> one exchange instead of two.
+        val tf = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .repartition(col("doc_id"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("tf").desc, col("term"))
+        tf.withColumn("rk", row_number().over(w).cast("long"))
+          .where(col("rk") <= 3)
+          .select("doc_id", "rk", "term", "tf")
+          .orderBy("doc_id", "rk")
+      },
+      Some("""WITH tf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |cnt AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tf GROUP BY 1, 2),
+             |rk AS (SELECT doc_id, term, tf,
+             |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS rk
+             |       FROM cnt)
+             |SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tf FROM rk
+             |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)),
+
     // XQ16: multimodal feature extraction — mapPartitions over binary
     // payloads with a stubbed decoder; rows-only check (not SQL-expressible).
     QueryDef("xq16_multimodal_features",

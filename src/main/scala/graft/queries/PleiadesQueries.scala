@@ -199,6 +199,59 @@ object PleiadesQueries {
              |SELECT ws, event_type, CAST(COUNT(*) AS BIGINT) AS n
              |FROM w GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin)),
 
+    // PQ16: conversion funnel — users whose first 'signup' precedes a later
+    // 'purchase' (sequence matching over the event stream; the dashboard
+    // class of query the reference's product would grow into).
+    QueryDef("pq16_funnel",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"),
+            unix_timestamp(col("ts")).as("ts_sec"))
+        val firstSignup = e.where(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(col("ts_sec")).as("signup_ts"))
+        val converted = e.where(col("event_type") === "purchase")
+          .join(firstSignup, "user_id")
+          .where(col("ts_sec") > col("signup_ts"))
+          .select("user_id").distinct()
+        firstSignup.select(lit("signed_up").as("stage"),
+            count(lit(1)).as("n_users"))
+          .unionByName(converted.select(lit("converted").as("stage"),
+            count(lit(1)).as("n_users")))
+          .orderBy("stage")
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events),
+             |su AS (SELECT user_id, MIN(ts_sec) AS signup_ts FROM e
+             |       WHERE event_type = 'signup' GROUP BY user_id),
+             |conv AS (SELECT DISTINCT e.user_id FROM e JOIN su ON e.user_id = su.user_id
+             |         WHERE e.event_type = 'purchase' AND e.ts_sec > su.signup_ts)
+             |SELECT 'signed_up' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM su
+             |UNION ALL
+             |SELECT 'converted' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM conv
+             |ORDER BY stage""".stripMargin)),
+
+    // PQ17: cohort retention — users grouped by first-seen day; how many
+    // are active again exactly N days later.
+    QueryDef("pq17_cohort_retention",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("user_id"), epochDay(col("ts")).as("day"))
+        val cohort = e.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+        e.join(cohort, "user_id")
+          .select(col("cohort_day"), (col("day") - col("cohort_day")).as("day_n"),
+            col("user_id"))
+          .where(col("day_n").isin(0L, 1L, 7L))
+          .groupBy("cohort_day", "day_n")
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy("cohort_day", "day_n")
+      },
+      Some(s"""WITH e AS (SELECT user_id, $qDay AS day FROM events),
+              |c AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id)
+              |SELECT c.cohort_day, e.day - c.cohort_day AS day_n,
+              |       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+              |FROM e JOIN c ON e.user_id = c.user_id
+              |WHERE e.day - c.cohort_day IN (0, 1, 7)
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // PQ14: latest-event-per-key lookup (max_by / arg_max — the reference's
     // resume-ID recovery picks the max-timestamp message the same way,
     // kafkapublisher.go:157-211).
