@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Multimodal, Similarity, TextStats}
+import graft.operators.{Decontamination, Dedup, Multimodal, Similarity, TextStats}
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2.4 XQ* — the LLM-data-pipeline operator surface (north star):
@@ -344,6 +344,43 @@ object ExtensionQueries {
              |       FROM cnt)
              |SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tf FROM rk
              |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)),
+
+    // XQ24: benchmark decontamination — shingle overlap of train docs
+    // (source <> 'src0') against the 'src0' eval set.
+    QueryDef("xq24_decontaminate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Decontamination.contamination(
+          docs.where(col("source") =!= "src0"),
+          docs.where(col("source") === "src0"),
+          "text", "doc_id")
+          .orderBy(col("contamination").desc, col("doc_id")).limit(50)
+      },
+      Some(s"""$shingleCte,
+              |ts AS (SELECT DISTINCT sh_all.doc_id, shingle FROM sh_all
+              |       JOIN documents USING (doc_id) WHERE source <> 'src0'),
+              |es AS (SELECT DISTINCT shingle FROM sh_all
+              |       JOIN documents USING (doc_id) WHERE source = 'src0'),
+              |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles FROM ts GROUP BY 1),
+              |shr AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+              |        FROM ts JOIN es USING (shingle) GROUP BY 1)
+              |SELECT cnt.doc_id, cnt.n_shingles,
+              |       COALESCE(shr.n_shared, 0) AS n_shared,
+              |       CAST(COALESCE(shr.n_shared, 0) AS DOUBLE) / cnt.n_shingles AS contamination
+              |FROM cnt LEFT JOIN shr ON cnt.doc_id = shr.doc_id
+              |ORDER BY contamination DESC, cnt.doc_id LIMIT 50""".stripMargin)),
+
+    // XQ25: repetition/boilerplate score — 1 - distinct/total shingles.
+    QueryDef("xq25_repetition",
+      (s, d) => Decontamination.repetition(Tables.documents(s, d), "text", "doc_id")
+        .orderBy(col("repetition").desc, col("doc_id")).limit(50),
+      Some(s"""$shingleCte,
+              |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_total,
+              |        CAST(COUNT(DISTINCT shingle) AS BIGINT) AS n_distinct
+              |        FROM sh_all GROUP BY 1)
+              |SELECT doc_id, n_total, n_distinct,
+              |       1.0 - CAST(n_distinct AS DOUBLE) / n_total AS repetition
+              |FROM agg ORDER BY repetition DESC, doc_id LIMIT 50""".stripMargin)),
 
     // XQ16: multimodal feature extraction — mapPartitions over binary
     // payloads with a stubbed decoder; rows-only check (not SQL-expressible).
