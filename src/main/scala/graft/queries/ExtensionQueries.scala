@@ -188,9 +188,7 @@ object ExtensionQueries {
 
     // XQ13: rolling polynomial document fingerprint (left fold, mod 1e9+7).
     QueryDef("xq13_fingerprint",
-      (s, d) => Tables.documents(s, d)
-        .select(col("doc_id"),
-          TextFunctions.fingerprint(col("text")).as("fp"))
+      (s, d) => TextStats.fingerprintBulk(s, Tables.documents(s, d), "text", "doc_id")
         .orderBy("doc_id"),
       Some("""SELECT doc_id,
              |  list_reduce(
@@ -344,6 +342,36 @@ object ExtensionQueries {
              |       FROM cnt)
              |SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tf FROM rk
              |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)),
+
+    // XQ26: SimHash near-dup pairs — hamming distance over the 60-bit
+    // signatures (bit_count(xor)); completes the simhash pipeline
+    // (signature -> banded/bounded pair search). At corpus scale the
+    // all-pairs step is replaced by bucketing on signature prefixes —
+    // same output for the pairs under the distance bound.
+    QueryDef("xq26_simhash_pairs",
+      (s, d) => {
+        val sig = Dedup.simhash(Tables.documents(s, d), "text", "doc_id")
+        val a = sig.toDF("doc_a", "sig_a")
+        val b = sig.toDF("doc_b", "sig_b")
+        a.crossJoin(b).where(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            expr("CAST(bit_count(sig_a ^ sig_b) AS BIGINT)").as("hamming"))
+          .where(col("hamming") <= 12)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+             |h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok),1,15)) AS BIGINT) AS h FROM tok),
+             |bitsum AS (SELECT doc_id, b,
+             |    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+             |  FROM h, UNNEST(generate_series(0, 59)) AS u(b) GROUP BY doc_id, b),
+             |sig AS (SELECT doc_id,
+             |    CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sg
+             |  FROM bitsum GROUP BY doc_id)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |       CAST(bit_count(xor(a.sg, b.sg)) AS BIGINT) AS hamming
+             |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.sg, b.sg)) <= 12
+             |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // XQ24: benchmark decontamination — shingle overlap of train docs
     // (source <> 'src0') against the 'src0' eval set.

@@ -28,6 +28,16 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one(toks.mkString(" "), TextFunctions.fingerprint(col("text"))) == expected)
   }
 
+  test("bulk fingerprint equals the scalar fold on real docs") {
+    val docs = Tables.documents(spark, sf).limit(100)
+    val scalar = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bulk = graft.operators.TextStats.fingerprintBulk(spark, docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bulk == scalar)
+  }
+
   test("langId thresholds on marker ratio") {
     assert(one("the cat sat on the mat", TextFunctions.langId(col("text"))) == "en")
     assert(one("xyz qrs tuv wxy zab cde fgh ijk lmn opq rst uvw xyz abc def ghi jkl mno pqr stu",
