@@ -92,6 +92,29 @@ object Similarity {
       .limit(k)
   }
 
+  /** Multiprobe LSH top-k: probe the query's bucket plus every bucket at
+    * hamming distance 1 (flip each plane bit) — the standard recall fix for
+    * single-probe LSH at ~(nPlanes+1)x probe cost, still exponentially
+    * cheaper than a full scan.
+    */
+  def lshTopKMultiprobe(emb: DataFrame, vecCol: String, idCol: String,
+      queryId: Long, k: Int, nPlanes: Int = 6): DataFrame = {
+    val assigned = lshAssign(emb, vecCol, idCol, nPlanes)
+    val probeBuckets = array(
+      col("bucket") +: (0 until nPlanes).map(p =>
+        expr(s"bucket ^ ${1L << p}")): _*)
+    val q = assigned.where(col(idCol) === queryId)
+      .select(col(vecCol).as("q_vec"), col("norm").as("q_norm"),
+        explode(probeBuckets).as("bucket"))
+    assigned.where(col(idCol) =!= queryId)
+      .join(broadcast(q), "bucket")
+      .select(col(idCol),
+        (VectorFunctions.dot(col(vecCol), col("q_vec")) / (col("norm") * col("q_norm")))
+          .as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** IVF top-k: probe only the query's cluster. Approximate — recall depends
     * on nCentroids/probes; exact within the probed cluster.
     */

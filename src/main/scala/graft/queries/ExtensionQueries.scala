@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Decontamination, Dedup, Multimodal, Similarity, TextStats}
+import graft.operators.{Decontamination, Dedup, Multimodal, Sampling, Similarity, TextStats}
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2.4 XQ* — the LLM-data-pipeline operator surface (north star):
@@ -372,6 +372,41 @@ object ExtensionQueries {
              |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
              |WHERE bit_count(xor(a.sg, b.sg)) <= 12
              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // XQ27: multiprobe LSH ANN — query bucket + all hamming-1 buckets.
+    QueryDef("xq27_lsh_multiprobe",
+      (s, d) => Similarity.lshTopKMultiprobe(Tables.embeddings(s, d),
+        "embedding", "vec_id", queryId = 0L, k = 10, nPlanes = 6),
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |p AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id BETWEEN 1 AND 6),
+              |sig AS (SELECT e.vec_id,
+              |    CAST(SUM(CASE WHEN list_inner_product(e.v, p.pv) > 0
+              |         THEN (CAST(1 AS BIGINT) << CAST(pid - 1 AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+              |  FROM e, p GROUP BY e.vec_id),
+              |q AS (SELECT s.bucket, e.v AS qv FROM sig s JOIN e ON s.vec_id = e.vec_id
+              |      WHERE e.vec_id = 0),
+              |probes AS (SELECT bucket, qv FROM q
+              |           UNION ALL
+              |           SELECT xor(q.bucket, CAST(1 AS BIGINT) << CAST(u.k AS INT)), qv
+              |           FROM q, UNNEST(generate_series(0, 5)) AS u(k))
+              |SELECT e.vec_id, ${oCos("e.v", "probes.qv")} AS sim
+              |FROM e JOIN sig ON e.vec_id = sig.vec_id
+              |       JOIN probes ON sig.bucket = probes.bucket
+              |WHERE e.vec_id <> 0
+              |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin)),
+
+    // XQ28: deterministic stratified sample — k docs per language by md5
+    // order (stable, engine-portable, no RNG).
+    QueryDef("xq28_stratified_sample",
+      (s, d) => Sampling.stratifiedDeterministic(
+        Tables.documents(s, d).select("doc_id", "lang"), "lang", "doc_id", k = 20)
+        .orderBy("lang", "doc_id"),
+      Some("""SELECT doc_id, lang FROM (
+             |  SELECT doc_id, lang,
+             |         ROW_NUMBER() OVER (PARTITION BY lang
+             |             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+             |  FROM documents) WHERE rk <= 20
+             |ORDER BY lang, doc_id""".stripMargin)),
 
     // XQ24: benchmark decontamination — shingle overlap of train docs
     // (source <> 'src0') against the 'src0' eval set.
