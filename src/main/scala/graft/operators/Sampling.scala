@@ -23,4 +23,21 @@ object Sampling {
       .where(col("rk") <= k)
       .drop("rk")
   }
+
+  /** Sequence packing: assign docs to fixed-capacity training bins by
+    * prefix-sum of their token counts in id order —
+    * bin = floor(cumulative_start / capacity). Deterministic, one global
+    * window; at 100 TB the same computation runs per partition-range with
+    * offsets (ordered prefix sums parallelize by range partitioning, which
+    * is exactly what Spark's global window does).
+    */
+  def packSequences(df: DataFrame, idCol: String, sizeCol: String,
+      capacity: Long): DataFrame = {
+    val w = Window.orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_end", sum(col(sizeCol)).over(w))
+      .select(col(idCol), col(sizeCol),
+        floor((col("cum_end") - col(sizeCol)).cast("double") / capacity)
+          .cast("long").as("bin"))
+  }
 }

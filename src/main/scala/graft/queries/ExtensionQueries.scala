@@ -408,6 +408,26 @@ object ExtensionQueries {
              |  FROM documents) WHERE rk <= 20
              |ORDER BY lang, doc_id""".stripMargin)),
 
+    // XQ29: sequence packing — docs assigned to 4096-token training bins by
+    // prefix sums of their whitespace token counts (deterministic packing).
+    QueryDef("xq29_sequence_packing",
+      (s, d) => Sampling.packSequences(
+        Tables.documents(s, d)
+          .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", capacity = 4096L)
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .orderBy("bin"),
+      Some("""WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+             |p AS (SELECT doc_id, n_tokens,
+             |        CAST(floor(CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+             |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS DOUBLE)
+             |             / 4096) AS BIGINT) AS bin
+             |      FROM t)
+             |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+             |FROM p GROUP BY bin ORDER BY bin""".stripMargin)),
+
     // XQ24: benchmark decontamination — shingle overlap of train docs
     // (source <> 'src0') against the 'src0' eval set.
     QueryDef("xq24_decontaminate",
