@@ -428,6 +428,33 @@ object ExtensionQueries {
              |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
              |FROM p GROUP BY bin ORDER BY bin""".stripMargin)),
 
+    // XQ30: column profiling — rows/nulls/distinct per column (the data-
+    // quality pass that fronts every ingestion pipeline).
+    QueryDef("xq30_profile",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        def prof(c: String) = e.agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+          countDistinct(col(c)).as("n_distinct"))
+          .select(lit(c).as("column"), col("n_rows"), col("n_null"), col("n_distinct"))
+        prof("event_type").unionByName(prof("user_id")).unionByName(prof("value"))
+          .orderBy("column")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT 'event_type' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |         CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             |         CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_distinct FROM events
+             |  UNION ALL
+             |  SELECT 'user_id', CAST(COUNT(*) AS BIGINT),
+             |         CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |         CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+             |  UNION ALL
+             |  SELECT 'value', CAST(COUNT(*) AS BIGINT),
+             |         CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |         CAST(COUNT(DISTINCT value) AS BIGINT) FROM events
+             |) ORDER BY "column"""".stripMargin)),
+
     // XQ24: benchmark decontamination — shingle overlap of train docs
     // (source <> 'src0') against the 'src0' eval set.
     QueryDef("xq24_decontaminate",

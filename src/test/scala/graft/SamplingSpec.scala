@@ -1,0 +1,40 @@
+package graft
+
+import graft.operators.{Sampling, Similarity}
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stratified sample: k per stratum, deterministic across repartitions") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang")
+    val s1 = Sampling.stratifiedDeterministic(docs, "lang", "doc_id", 5)
+      .orderBy("lang", "doc_id").collect().toSeq
+    val s2 = Sampling.stratifiedDeterministic(docs.repartition(7), "lang", "doc_id", 5)
+      .orderBy("lang", "doc_id").collect().toSeq
+    assert(s1 == s2)
+    val perLang = s1.groupBy(_.getString(1)).map { case (_, rs) => rs.size }
+    assert(perLang.forall(_ <= 5) && perLang.nonEmpty)
+  }
+
+  test("sequence packing: bins respect capacity starts and cover all docs") {
+    val df = Seq((1L, 1000L), (2L, 2000L), (3L, 1500L), (4L, 100L), (5L, 4000L))
+      .toDF("doc_id", "n_tokens")
+    val packed = Sampling.packSequences(df, "doc_id", "n_tokens", capacity = 4096L)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    // cumulative starts: 0, 1000, 3000, 4500, 4600 -> bins 0,0,0,1,1
+    assert(packed.map(_._3) == Seq(0L, 0L, 0L, 1L, 1L))
+  }
+
+  test("multiprobe LSH recall >= single-probe recall") {
+    val emb = Tables.embeddings(spark, sf)
+    val exact = Similarity.bruteForceTopK(emb, "embedding", "vec_id", 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val single = Similarity.lshTopK(emb, "embedding", "vec_id", 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val multi = Similarity.lshTopKMultiprobe(emb, "embedding", "vec_id", 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert((exact & multi).size >= (exact & single).size)
+    assert(single.subsetOf(multi) || multi.size >= single.size)
+  }
+}
