@@ -49,18 +49,30 @@ object CounterPipeline {
         split(col("value"), "\n", 2).getItem(0).as("key"),
         split(col("value"), "\n", 2).getItem(1).as("value"))
 
-  /** Parse → fan-out → watermark → daily tumbling window → count + growth.
-    * Output columns: (day, counter, n, growth) with day = epoch day of the
-    * window start.
+  /** Parse → event-ID dedup → fan-out → watermark → daily tumbling window →
+    * count + growth. Output columns: (day, counter, n, growth) with
+    * day = epoch day of the window start.
+    *
+    * `dedupeEvents` (default on) drops re-deliveries of the same event ID
+    * within the watermark via `dropDuplicatesWithinWatermark` — the
+    * reference's at-least-once Kafka path can double-count on redelivery
+    * (SURVEY §2.3); this closes that hole with bounded state.
     */
-  def dailyCounterAgg(messages: DataFrame, watermark: String = "48 hours"): DataFrame =
-    CounterDerivation.explodeRecentchange(Recentchange.parse(messages))
+  def dailyCounterAgg(messages: DataFrame, watermark: String = "48 hours",
+      dedupeEvents: Boolean = true): DataFrame = {
+    val parsed = Recentchange.parse(messages)
       .withWatermark("event_time", watermark)
+    val deduped =
+      if (dedupeEvents && parsed.isStreaming) parsed.dropDuplicatesWithinWatermark("key")
+      else if (dedupeEvents) parsed.dropDuplicates("key")
+      else parsed
+    CounterDerivation.explodeRecentchange(deduped)
       .groupBy(window(col("event_time"), "1 day"), col("counter"))
       .agg(count(lit(1)).as("n"), sum(col("lendiff")).as("growth"))
       .select(
         CounterDerivation.epochDay(col("window.start")).as("day"),
         col("counter"), col("n"), col("growth"))
+  }
 
   /** Idempotent replace-by-key merge of an update-mode micro-batch into the
     * parquet aggregate store at `tableDir`, partitioned by day.

@@ -68,6 +68,7 @@ object Recentchange {
         Map("mode" -> "PERMISSIVE",
           "columnNameOfCorruptRecord" -> "_corrupt_record")))
     parsed.select(
+      col("key").cast("string").as("key"),
       col("e.*"),
       coalesce(
         timestamp_seconds(col("e.timestamp")),

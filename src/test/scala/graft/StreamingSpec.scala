@@ -117,6 +117,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("duplicate event delivery is counted once (dropDuplicatesWithinWatermark)") {
+    val tableDir = Files.createTempDirectory("graft-agg3").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt3").toString
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, String)]
+    val q = CounterPipeline.start(spark, stream.toDF().toDF("key", "value"),
+      tableDir, ckpt, trigger = Trigger.ProcessingTime(0))
+    try {
+      val e1 = event(1, t(day0, 1), "enwiki", "edit")
+      stream.addData(e1, event(2, t(day0, 2), "dewiki", "edit"))
+      q.processAllAvailable()
+      // redelivery of event 1 (same key) in a later batch
+      stream.addData(e1)
+      q.processAllAvailable()
+      val store = new CounterStore(spark, tableDir)
+      val d0 = store.countersForDay(day0).as[(String, Long)].collect().toMap
+      assert(d0("total") == 2L, s"redelivered event must not double-count: $d0")
+    } finally q.stop()
+  }
+
   test("permissive parse: corrupt events still count toward total") {
     val raw = Seq(
       ("""[{"timestamp":1597491600000}]""", """{"wiki":"enwiki","type":"edit","timestamp":1597491600}"""),
