@@ -66,9 +66,31 @@ object Sse {
       .repartition(col("capture"))
       .sortWithinPartitions("capture", "line_no")
       .as[(String, Long, String)]
-      .mapPartitions { it =>
-        it.toSeq.groupBy(_._1).iterator.flatMap { case (_, rows) =>
-          assemble(rows.sortBy(_._2).iterator.map(_._3))
+      .mapPartitions { (it: Iterator[(String, Long, String)]) =>
+        // Rows arrive sorted by (capture, line_no); feed each capture's
+        // line run through the incremental assembler WITHOUT buffering the
+        // partition (constant memory per in-flight frame, so arbitrarily
+        // large captures stream through).
+        // NB: named `rows`, not `buffered` — Iterator has an inherited
+        // `buffered` member that would shadow the val inside the anonymous
+        // iterators below.
+        val rows = it.buffered
+        new Iterator[SseEvent] {
+          private var run: Iterator[SseEvent] = Iterator.empty
+          private def advanceRun(): Unit =
+            if (rows.hasNext) {
+              val cap = rows.head._1
+              run = assemble(new Iterator[String] {
+                override def hasNext: Boolean =
+                  rows.hasNext && rows.head._1 == cap
+                override def next(): String = rows.next()._3
+              })
+            }
+          override def hasNext: Boolean = {
+            while (!run.hasNext && rows.hasNext) advanceRun()
+            run.hasNext
+          }
+          override def next(): SseEvent = { hasNext; run.next() }
         }
       }
       .toDF()

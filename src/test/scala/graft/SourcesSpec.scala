@@ -47,6 +47,21 @@ class SourcesSpec extends SparkSpec {
     assert(first.select("event_time").head().get(0) != null)
   }
 
+  test("SSE assembler splits multiple captures in one partition") {
+    // two captures forced into one partition; second starts mid-frame state
+    val cap1 = Seq("id: [{\"timestamp\":1}]", "data: a", "")
+    val cap2 = Seq("data: b1", "data: b2", "", "id: [{\"timestamp\":2}]", "data: c", "")
+    val lines = (cap1.zipWithIndex.map { case (l, i) => ("c1", i.toLong, l) } ++
+      cap2.zipWithIndex.map { case (l, i) => ("c2", i.toLong, l) })
+      .toDF("capture", "line_no", "line").coalesce(1)
+    val got = Sse.assembleCaptures(spark, lines)
+      .select("key", "value").as[(String, String)].collect().toSet
+    assert(got == Set(
+      ("[{\"timestamp\":1}]", "a"),
+      ("", "b1\nb2"),
+      ("[{\"timestamp\":2}]", "c")))
+  }
+
   test("EventFiles: .dat round trip (write per-event files, read back)") {
     val dir = Files.createTempDirectory("graft-dat").toString
     val msgs = Seq(("id-1", """{"wiki":"a"}"""), ("id-2", """{"wiki":"b"}"""))
