@@ -130,14 +130,17 @@ object RelationalQueries {
              |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
              |ORDER BY c_custkey""".stripMargin)),
 
-    // RQ8: anti join (NOT EXISTS) — customers with no orders.
+    // RQ8: anti join (NOT EXISTS) — customers with no 'P'-status order (the
+    // unfiltered variant is empty in this data, which would make the check
+    // vacuous; the filtered form returns a real survivor set).
     QueryDef("rq08_anti_join",
       (s, d) => Tables.customer(s, d)
-        .join(Tables.orders(s, d),
+        .join(Tables.orders(s, d).where(col("o_orderstatus") === "P"),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey").orderBy("c_custkey"),
       Some("""SELECT c_custkey FROM customer c
-             |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o
+             |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
              |ORDER BY c_custkey""".stripMargin)),
 
     // RQ9: exact distinct count per group.
