@@ -392,6 +392,27 @@ object RelationalQueries {
              |  quantile_cont(l_extendedprice, 0.9) AS p90_price
              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // RQ27: as-of (point-in-time) join — each event matched to the latest
+    // order of "its" customer at event time (the label join of feature
+    // stores; DuckDB expresses it natively as ASOF JOIN, our operator is a
+    // tagged-union window pass — graft.operators.AsOfJoin).
+    QueryDef("rq27_asof_join",
+      (s, d) => {
+        val e = Tables.events(s, d).withColumn("cust", col("user_id") + 1)
+        graft.operators.AsOfJoin.lastValueAsOf(
+          e, Tables.orders(s, d),
+          leftKey = "cust", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          rightCols = Seq("o_orderdate"))
+          .select(col("event_id"),
+            col("asof_o_orderdate").cast("date").as("last_order_date"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT e.event_id, CAST(o.o_orderdate AS DATE) AS last_order_date
+             |FROM events e ASOF LEFT JOIN orders o
+             |  ON e.user_id + 1 = o.o_custkey AND e.ts >= o.o_orderdate
+             |ORDER BY e.event_id""".stripMargin)),
+
     // RQ25: pivot — Spark's relational pivot operator; the oracle spells it
     // as portable conditional aggregation (same values, same columns).
     QueryDef("rq25_pivot",
