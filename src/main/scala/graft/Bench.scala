@@ -33,19 +33,24 @@ object Bench {
     // warm-up (JIT compilation of the 50 plan shapes drains during it), so
     // round 2 delivers steady-state numbers — measurements showed up to 10x
     // first-run noise from the C2 compile backlog otherwise.
+    // A failed query records -1, NOT its time-to-failure — a broken query
+    // must be distinguishable from a fast one in the emitted JSON.
     def timeAll(): Seq[(String, Double)] = SparkEntry.allDefs.map { q =>
       val t0 = System.nanoTime()
-      try materialize(q.run(spark, sfDir)) catch { case _: Throwable => () }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { materialize(q.run(spark, sfDir)); true }
+        catch { case _: Throwable => false }
+      q.name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val rounds = Seq(timeAll(), timeAll())
     val results = SparkEntry.allDefs.map(_.name).map { n =>
-      n -> rounds.map(_.toMap.apply(n)).min
+      val valid = rounds.map(_.toMap.apply(n)).filter(_ >= 0)
+      n -> (if (valid.nonEmpty) valid.min else -1.0)
     }
+    val errors = results.collect { case (n, v) if v < 0 => "\"" + n + "\"" }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":${errors.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -43,8 +43,14 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
   /** Register every table as a temp view so `spark.sql` queries can refer to
-    * them by the same names the DuckDB oracle uses.
+    * them by the same names the DuckDB oracle uses. `events` goes through
+    * the normalizing loader above — under nanosAsLong the raw parquet view
+    * would expose `ts` as epoch-nano LongType and silently diverge from the
+    * DataFrame path.
     */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 }

@@ -26,13 +26,22 @@ object AsOfJoin {
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
       rightCols: Seq[String]): DataFrame = {
+    // Join on the key in its NATIVE type: a blanket cast("long") nulled out
+    // every non-numeric key (string symbols — the canonical quotes/trades
+    // use) and silently collapsed all rows into one null-key partition.
+    // The right key is widened to the left key's type only when the two
+    // differ (e.g. int vs long); incompatible casts fail at analysis.
+    val keyType = left.schema(leftKey).dataType
+    val rKey =
+      if (right.schema(rightKey).dataType == keyType) col(rightKey)
+      else col(rightKey).cast(keyType)
     val leftStruct = struct(left.columns.map(col): _*).as("_l")
     val lTagged = left.select(
-      Seq(col(leftKey).cast("long").as("_k"), col(leftTime).as("_t"),
+      Seq(col(leftKey).as("_k"), col(leftTime).as("_t"),
         lit(1).as("_tag"), leftStruct) ++
         rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")): _*)
     val rTagged = right.select(
-      Seq(col(rightKey).cast("long").as("_k"), col(rightTime).cast(
+      Seq(rKey.as("_k"), col(rightTime).cast(
         left.schema(leftTime).dataType).as("_t"),
         lit(0).as("_tag"), lit(null).cast(lTagged.schema("_l").dataType).as("_l")) ++
         rightCols.map(c => col(c).as(s"_r_$c")): _*)

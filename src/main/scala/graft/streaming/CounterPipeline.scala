@@ -57,14 +57,23 @@ object CounterPipeline {
     * within the watermark via `dropDuplicatesWithinWatermark` — the
     * reference's at-least-once Kafka path can double-count on redelivery
     * (SURVEY §2.3); this closes that hole with bounded state.
+    *
+    * The dedup identity is the parsed `meta.id` (the per-event UUID,
+    * schema.json meta block) with the raw message key as fallback: the SSE
+    * key only carries (topic, partition, timestamp-ms) and is NOT unique —
+    * two distinct events in the same millisecond share it, so deduping on
+    * the key alone would silently drop legitimate events.
     */
   def dailyCounterAgg(messages: DataFrame, watermark: String = "48 hours",
       dedupeEvents: Boolean = true): DataFrame = {
     val parsed = Recentchange.parse(messages)
       .withWatermark("event_time", watermark)
+    val keyed = parsed.withColumn("_event_id",
+      coalesce(col("meta.id"), col("key")))
     val deduped =
-      if (dedupeEvents && parsed.isStreaming) parsed.dropDuplicatesWithinWatermark("key")
-      else if (dedupeEvents) parsed.dropDuplicates("key")
+      if (dedupeEvents && parsed.isStreaming)
+        keyed.dropDuplicatesWithinWatermark("_event_id").drop("_event_id")
+      else if (dedupeEvents) keyed.dropDuplicates("_event_id").drop("_event_id")
       else parsed
     CounterDerivation.explodeRecentchange(deduped)
       .groupBy(window(col("event_time"), "1 day"), col("counter"))

@@ -29,6 +29,24 @@ class AsOfJoinSpec extends SparkSpec {
       1L -> Some(100.0), 2L -> Some(110.0), 3L -> None, 4L -> Some(200.0)))
   }
 
+  test("as-of join works on string keys (no silent numeric cast)") {
+    val quotes = Seq(
+      ("AAPL", ts("2024-01-01 10:00:00"), 100.0),
+      ("MSFT", ts("2024-01-01 10:30:00"), 200.0)
+    ).toDF("sym", "qt", "price")
+    val trades = Seq(
+      (1L, "AAPL", ts("2024-01-01 10:30:00")),
+      (2L, "MSFT", ts("2024-01-01 10:00:00")), // before any MSFT quote -> null
+      (3L, "MSFT", ts("2024-01-01 11:00:00"))
+    ).toDF("trade_id", "sym", "tt")
+    val got = AsOfJoin.lastValueAsOf(trades, quotes,
+      "sym", "sym", "tt", "qt", Seq("price"))
+      .select("trade_id", "asof_price")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got == Map(1L -> Some(100.0), 2L -> None, 3L -> Some(200.0)),
+      "string keys must join per-key, not collapse into one null partition")
+  }
+
   test("as-of join is a single-shuffle plan (no range cross join)") {
     val e = Tables.events(spark, sf).withColumn("cust", col("user_id") + 1)
     val joined = AsOfJoin.lastValueAsOf(e, Tables.orders(spark, sf),
