@@ -107,6 +107,48 @@ object Dedup {
         .otherwise(0L)).as("simhash"))
   }
 
+  /** SimHash near-dup pair search: every (doc_a, doc_b) with
+    * hamming(sig_a, sig_b) <= maxHamming — WITHOUT the all-pairs product.
+    *
+    * Pigeonhole banding: the 60-bit signature splits into maxHamming+1
+    * disjoint bands. Two signatures within the distance bound differ in at
+    * most maxHamming bit positions, which can "dirty" at most maxHamming
+    * bands — so they agree EXACTLY on at least one band. An equi-join on
+    * (band_id, band_bits) therefore finds every qualifying pair;
+    * bit_count(xor) <= maxHamming verifies inside the buckets. Identical
+    * output to the cartesian form; the band join is the only wide exchange
+    * and its key space (band_id × band value) is hash-uniform by
+    * construction (md5-derived bits).
+    */
+  def simhashNearDupPairs(docs: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 12): DataFrame = {
+    require(maxHamming + 1 <= SimhashBits, "need at least one bit per band")
+    val sig = simhash(docs, textCol, idCol)
+    val nBands = maxHamming + 1
+    val base = SimhashBits / nBands
+    val rem = SimhashBits % nBands
+    val widths = Seq.tabulate(nBands)(b => if (b < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    // Persisted: the signature computation (md5 over every token) feeds both
+    // join sides.
+    val bands = sig.select(col(idCol), col("simhash"), explode(array(
+        (0 until nBands).map { b =>
+          struct(lit(b).as("band_id"),
+            expr(s"(simhash >> ${offsets(b)}) & ${(1L << widths(b)) - 1}")
+              .as("band_key"))
+        }: _*)).as("band"))
+      .select(col(idCol), col("simhash"), col("band.band_id"), col("band.band_key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = bands.toDF("doc_a", "sig_a", "band_id", "band_key")
+    val b = bands.toDF("doc_b", "sig_b", "band_id", "band_key")
+    a.join(b, Seq("band_id", "band_key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(bit_count(sig_a ^ sig_b) AS BIGINT)").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** n-gram Jaccard similarity for candidate pairs: distinct shingle sets,
     * co-shingle join, |A∩B| / (|A|+|B|-|A∩B|). `minJaccard` prunes output;
     * at scale the co-shingle join is the LSH-free (exact) fallback and is
@@ -133,15 +175,46 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
-  /** Embedding-cosine near-dup pairs above a threshold. Brute force at test
-    * scale; the LSH-bucketed scale path is Similarity.lshAssign (bucket
-    * co-membership replaces the cross join at corpus scale).
+  /** Embedding-cosine near-dup pairs above a threshold — the scale path:
+    * candidate generation through sign-LSH bucket co-membership
+    * (Similarity.lshAssign) with hamming-1 multiprobe, cosine verified
+    * inside the buckets. A pair qualifies iff its bucket signatures differ
+    * in at most one plane bit — each vector explodes into nPlanes+1 probe
+    * buckets and the probe⋈bucket equi-join replaces the all-pairs product.
+    * Approximate by design (recall = P[hamming(sig_a,sig_b) <= 1], which
+    * rises steeply with cosine); deterministic, so still oracle-checkable
+    * against the same candidate rule in SQL.
     */
   def embeddingNearDups(emb: DataFrame, vecCol: String, idCol: String,
+      minCosine: Double, nPlanes: Int = 4): DataFrame = {
+    // Persisted: the signature pass (nPlanes dots per vector) feeds both
+    // join sides. Exactly one probe matches per qualifying pair (the
+    // identity probe at hamming 0, the single flipped probe at hamming 1),
+    // so no distinct is needed.
+    val assigned = Similarity.lshAssign(emb, vecCol, idCol, nPlanes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probes = assigned.select(col(idCol).as("vec_a"), col(vecCol).as("va"),
+      col("norm").as("norm_a"),
+      explode(array(col("bucket") +:
+        (0 until nPlanes).map(p => expr(s"bucket ^ ${1L << p}")): _*)).as("bucket"))
+    val b = assigned.select(col(idCol).as("vec_b"), col(vecCol).as("vb"),
+      col("norm").as("norm_b"), col("bucket"))
+    probes.join(b, "bucket")
+      .where(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (VectorFunctions.dot(col("va"), col("vb")) / (col("norm_a") * col("norm_b")))
+          .as("cosine"))
+      .where(col("cosine") >= minCosine)
+  }
+
+  /** Exact all-pairs variant — the verification/oracle tool for small data
+    * (O(N²); do NOT run at corpus scale — `embeddingNearDups` is the
+    * production path). Norms precomputed per vector so each pair does ONE
+    * dot product; dot/(norm_a*norm_b) is the same IEEE sequence as the
+    * bucketed path, so outputs are directly comparable.
+    */
+  def embeddingNearDupsExact(emb: DataFrame, vecCol: String, idCol: String,
       minCosine: Double): DataFrame = {
-    // Norms precomputed per vector (O(N·d)) so each of the O(N²) pairs does
-    // ONE dot product; dot/(norm_a*norm_b) is the same IEEE sequence as the
-    // per-pair sqrt form, so oracle hashes still match.
     val a = emb.select(col(idCol).as("vec_a"), col(vecCol).as("va"),
       sqrt(VectorFunctions.dot(col(vecCol), col(vecCol))).as("norm_a"))
     val b = emb.select(col(idCol).as("vec_b"), col(vecCol).as("vb"),

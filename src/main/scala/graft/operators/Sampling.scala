@@ -26,16 +26,40 @@ object Sampling {
 
   /** Sequence packing: assign docs to fixed-capacity training bins by
     * prefix-sum of their token counts in id order —
-    * bin = floor(cumulative_start / capacity). Deterministic, one global
-    * window; at 100 TB the same computation runs per partition-range with
-    * offsets (ordered prefix sums parallelize by range partitioning, which
-    * is exactly what Spark's global window does).
+    * bin = floor(cumulative_start / capacity).
+    *
+    * A global `Window.orderBy` would funnel the whole corpus through ONE
+    * task (Spark does NOT range-parallelize partition-less windows), so the
+    * prefix sum runs as the classic two-pass parallel scan instead:
+    *  1. range-partition by id (ids stay globally ordered across partitions),
+    *  2. aggregate one total per partition (tiny: #partitions rows) and
+    *     prefix-sum those totals into per-partition offsets,
+    *  3. cumsum WITHIN each partition in parallel + broadcast-join the
+    *     offset.
+    * Same output as the sequential scan, every stage distributed; the only
+    * single-partition step is the window over the #partitions-row offsets
+    * table (metadata scale).
     */
   def packSequences(df: DataFrame, idCol: String, sizeCol: String,
       capacity: Long): DataFrame = {
-    val w = Window.orderBy(col(idCol))
+    val spark = df.sparkSession
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    // Persisted so the partition ids seen by the totals pass and the cumsum
+    // pass are the same physical assignment (range boundaries come from
+    // sampling and are otherwise not guaranteed stable across jobs).
+    val parts = df.repartitionByRange(nPart, col(idCol))
+      .withColumn("_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val offsetWin = Window.orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parts.groupBy(col("_pid"))
+      .agg(sum(col(sizeCol)).as("_psum"))
+      .select(col("_pid"),
+        coalesce(sum(col("_psum")).over(offsetWin), lit(0L)).as("_offset"))
+    val localWin = Window.partitionBy(col("_pid")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("cum_end", sum(col(sizeCol)).over(w))
+    parts.join(broadcast(offsets), "_pid")
+      .withColumn("cum_end", col("_offset") + sum(col(sizeCol)).over(localWin))
       .select(col(idCol), col(sizeCol),
         floor((col("cum_end") - col(sizeCol)).cast("double") / capacity)
           .cast("long").as("bin"))

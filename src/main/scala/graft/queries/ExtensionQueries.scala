@@ -133,15 +133,29 @@ object ExtensionQueries {
               |FROM inter JOIN cnt na ON doc_a = na.doc_id JOIN cnt nb ON doc_b = nb.doc_id
               |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 100""".stripMargin)),
 
-    // XQ9: embedding-cosine near-dup pairs (threshold + top-50).
+    // XQ9: embedding-cosine near-dup pairs (threshold + top-50) through the
+    // scale path: sign-LSH bucket candidates (4 planes, hamming-1
+    // multiprobe) verified by cosine inside buckets — no all-pairs product.
+    // The oracle mirrors the same deterministic candidate rule
+    // (bit_count(xor(bucket)) <= 1), so the approximate semantics are
+    // hash-checked, not just the exact fallback.
     QueryDef("xq09_embedding_neardup",
       (s, d) => Dedup.embeddingNearDups(
-        Tables.embeddings(s, d), "embedding", "vec_id", minCosine = 0.25d)
+        Tables.embeddings(s, d), "embedding", "vec_id", minCosine = 0.25d,
+        nPlanes = 4)
         .orderBy(col("cosine").desc, col("vec_a"), col("vec_b")).limit(50),
-      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-              |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${oCos("a.v", "b.v")} AS cosine
-              |FROM e a, e b WHERE a.vec_id < b.vec_id
-              |  AND ${oCos("a.v", "b.v")} >= 0.25
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |p AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id BETWEEN 1 AND 4),
+              |sig AS (SELECT e.vec_id,
+              |    CAST(SUM(CASE WHEN list_inner_product(e.v, p.pv) > 0
+              |         THEN (CAST(1 AS BIGINT) << CAST(pid - 1 AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+              |  FROM e, p GROUP BY e.vec_id)
+              |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${oCos("ea.v", "eb.v")} AS cosine
+              |FROM sig a JOIN sig b
+              |  ON a.vec_id < b.vec_id AND bit_count(xor(a.bucket, b.bucket)) <= 1
+              |JOIN e ea ON ea.vec_id = a.vec_id
+              |JOIN e eb ON eb.vec_id = b.vec_id
+              |WHERE ${oCos("ea.v", "eb.v")} >= 0.25
               |ORDER BY cosine DESC, vec_a, vec_b LIMIT 50""".stripMargin)),
 
     // XQ10: heuristic language ID (stopword-ratio scoring; bulk path via
@@ -344,21 +358,14 @@ object ExtensionQueries {
              |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)),
 
     // XQ26: SimHash near-dup pairs — hamming distance over the 60-bit
-    // signatures (bit_count(xor)); completes the simhash pipeline
-    // (signature -> banded/bounded pair search). At corpus scale the
-    // all-pairs step is replaced by bucketing on signature prefixes —
-    // same output for the pairs under the distance bound.
+    // signatures (bit_count(xor)). Pigeonhole banding (13 bands for
+    // hamming <= 12) turns the pair search into an equi-join on band bits:
+    // identical output to the all-pairs form, no cartesian product
+    // (Dedup.simhashNearDupPairs).
     QueryDef("xq26_simhash_pairs",
-      (s, d) => {
-        val sig = Dedup.simhash(Tables.documents(s, d), "text", "doc_id")
-        val a = sig.toDF("doc_a", "sig_a")
-        val b = sig.toDF("doc_b", "sig_b")
-        a.crossJoin(b).where(col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b"),
-            expr("CAST(bit_count(sig_a ^ sig_b) AS BIGINT)").as("hamming"))
-          .where(col("hamming") <= 12)
-          .orderBy("doc_a", "doc_b")
-      },
+      (s, d) => Dedup.simhashNearDupPairs(
+        Tables.documents(s, d), "text", "doc_id", maxHamming = 12)
+        .orderBy("doc_a", "doc_b"),
       Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
              |h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok),1,15)) AS BIGINT) AS h FROM tok),
              |bitsum AS (SELECT doc_id, b,

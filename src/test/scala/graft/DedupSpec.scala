@@ -56,6 +56,39 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("simhash banded pair search == all-pairs result, with no product plan") {
+    val real = Tables.documents(spark, sf)
+    val banded = Dedup.simhashNearDupPairs(real, "text", "doc_id", maxHamming = 12)
+    // Reference: the O(N²) cartesian form (fine at spec scale only).
+    val sig = Dedup.simhash(real, "text", "doc_id")
+    val brute = sig.toDF("doc_a", "sig_a")
+      .crossJoin(sig.toDF("doc_b", "sig_b"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(bit_count(sig_a ^ sig_b) AS BIGINT)").as("hamming"))
+      .where(col("hamming") <= 12)
+    val gotPairs = banded.as[(Long, Long, Long)].collect().toSet
+    val expPairs = brute.as[(Long, Long, Long)].collect().toSet
+    assert(gotPairs == expPairs,
+      s"pigeonhole banding must be lossless: missing=${expPairs -- gotPairs} extra=${gotPairs -- expPairs}")
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"banded pair search must not plan a product:\n$plan")
+  }
+
+  test("bucketed embedding near-dup: subset of exact, nonzero recall, no product") {
+    val emb = Tables.embeddings(spark, sf)
+    val bucketed = Dedup.embeddingNearDups(emb, "embedding", "vec_id", 0.25, nPlanes = 4)
+    val got = bucketed.select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.embeddingNearDupsExact(emb, "embedding", "vec_id", 0.25)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(exact), "bucket candidates must verify cosine exactly")
+    assert(got.nonEmpty, "multiprobe recall must be nonzero on this corpus")
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"bucketed near-dup must not plan a cartesian product:\n$plan")
+  }
+
   test("ivf topk is a subset-quality approximation of brute force") {
     val emb = Tables.embeddings(spark, sf)
     val exact = Similarity.bruteForceTopK(emb, "embedding", "vec_id", 0L, 10)

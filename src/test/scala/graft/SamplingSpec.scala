@@ -26,6 +26,36 @@ class SamplingSpec extends SparkSpec {
     assert(packed.map(_._3) == Seq(0L, 0L, 0L, 1L, 1L))
   }
 
+  test("sequence packing matches the sequential scan on real docs") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+    val got = Sampling.packSequences(docs, "doc_id", "n", capacity = 4096L)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    // Sequential single-threaded reference scan.
+    val rows = docs.orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    var cum = 0L
+    val expected = rows.map { case (id, n) =>
+      val bin = cum / 4096L; cum += n; (id, n, bin)
+    }
+    assert(got == expected)
+  }
+
+  test("sequence packing plan: no single-partition window over the data") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+    val packed = Sampling.packSequences(docs, "doc_id", "n", capacity = 4096L)
+    val plan = packed.queryExecution.optimizedPlan.toString
+    // The row-level cumsum must be partitioned by _pid; the only allowed
+    // global window is the prefix sum over the per-partition totals
+    // (ordered by _pid, metadata scale). A partition-less window ordered by
+    // the data's id column is the single-task scan this fix removes.
+    assert("windowspecdefinition\\(_pid#\\d+L?, doc_id#\\d+L? ASC".r
+        .findFirstIn(plan).isDefined,
+      s"expected the cumsum window partitioned by _pid in:\n$plan")
+    assert("windowspecdefinition\\(doc_id#\\d+L? ASC".r.findFirstIn(plan).isEmpty,
+      s"found an unpartitioned window over doc rows in:\n$plan")
+  }
+
   test("multiprobe LSH recall >= single-probe recall") {
     val emb = Tables.embeddings(spark, sf)
     val exact = Similarity.bruteForceTopK(emb, "embedding", "vec_id", 0L, 10)
