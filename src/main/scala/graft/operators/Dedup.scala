@@ -150,23 +150,50 @@ object Dedup {
   }
 
   /** n-gram Jaccard similarity for candidate pairs: distinct shingle sets,
-    * co-shingle join, |A∩B| / (|A|+|B|-|A∩B|). `minJaccard` prunes output;
-    * at scale the co-shingle join is the LSH-free (exact) fallback and is
-    * bounded by shingle-frequency skew — pair it with a stopword-shingle
-    * cap upstream when corpora are huge.
+    * co-shingle join, |A∩B| / (|A|+|B|-|A∩B|). `minJaccard` prunes output.
+    *
+    * `maxDf` bounds the join against shingle-frequency skew: a shingle
+    * appearing in more than maxDf documents (boilerplate at corpus scale)
+    * contributes O(df²) join rows for near-zero Jaccard signal, so such
+    * shingles are dropped from CANDIDATE GENERATION only — the per-doc set
+    * sizes and the intersection counts still use the full shingle sets, so
+    * every reported Jaccard value is exact. Pairs whose entire overlap is
+    * boilerplate shingles may be missed (the standard df-cap trade-off);
+    * maxDf <= 0 disables the cap.
     */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
-      n: Int = 3, minJaccard: Double = 0.0): DataFrame = {
+      n: Int = 3, minJaccard: Double = 0.0, maxDf: Long = 0L): DataFrame = {
     // Persisted: reused by both join sides and the per-doc counts.
     val sh = Shingles.exploded(docs, textCol, idCol, n)
       .withColumnRenamed(idCol, "doc_id").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val a = sh.toDF("doc_a", "shingle")
-    val b = sh.toDF("doc_b", "shingle")
-    val inter = a.join(b, "shingle").where(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
-    inter
+    val interCounts =
+      if (maxDf > 0L) {
+        // Candidate pairs from df-capped shingles only (bounded join),
+        // then the EXACT intersection recomputed per candidate over the
+        // full shingle sets.
+        val cold = sh.join(
+          sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+            .where(col("df") > maxDf).select("shingle"),
+          Seq("shingle"), "left_anti")
+          .select(col("doc_id"), col("shingle"))
+        val cand = cold.select(col("doc_id").as("doc_a"), col("shingle"))
+          .join(cold.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
+          .where(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b").distinct()
+        cand
+          .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+          .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+            Seq("doc_b", "shingle"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
+      } else {
+        sh.select(col("doc_id").as("doc_a"), col("shingle"))
+          .join(sh.toDF("doc_b", "shingle"), "shingle")
+          .where(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
+      }
+    interCounts
       .join(counts.toDF("doc_a", "na"), "doc_a")
       .join(counts.toDF("doc_b", "nb"), "doc_b")
       .select(col("doc_a"), col("doc_b"),

@@ -31,32 +31,19 @@ object TextStats {
         sum(floor((length(col("tok")) + 3).cast("double") / 4.0d).cast("long"))
           .as("n_subwords"))
 
-  /** Bulk rolling-hash fingerprint. The sequential fold
-    * h = fold((acc*31 + v_i) mod p) over tokens equals
-    * Σ v_i · 31^(n-1-i) mod p, so it decomposes into a broadcast join
-    * against a tiny precomputed powers table + a grouped sum — fully
-    * codegen'd, order-independent, one shuffle keyed by doc (the
-    * per-element interpreted HOF fold was the corpus-scan bottleneck).
-    * Identical values to TextFunctions.fingerprint (and the oracle's
-    * list_reduce). Docs longer than maxTokens would lose terms — sized
-    * well above any realistic document's whitespace-token count.
+  /** Bulk rolling-hash fingerprint — the native TokenFoldHash expression:
+    * one codegen'd pass over the raw bytes per document, no explode, no
+    * join, no aggregate exchange. (The first version decomposed the fold
+    * into a posexplode + broadcast powers-table join + grouped sum; correct,
+    * but it paid a Generate + join + exchange per token and benched 73x the
+    * DuckDB baseline — the per-row narrow map below is the plan a scan of
+    * this kind should have.) Identical values to TextFunctions.fingerprint
+    * and the oracle's list_reduce.
     */
-  def fingerprintBulk(spark: SparkSession, docs: DataFrame, textCol: String,
-      idCol: String, maxTokens: Int = 65536): DataFrame = {
-    import spark.implicits._
-    val P = 1000000007L
-    val powers = Iterator.iterate(1L)(acc => acc * 31L % P).take(maxTokens).toSeq
-    val powDf = powers.zipWithIndex.map { case (pw, k) => (k, pw) }.toDF("e", "pw")
-    docs
-      .select(col(idCol), size(split(col(textCol), " ")).as("n"),
-        posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
-      .select(col(idCol),
-        (col("n") - 1 - col("pos")).as("e"),
-        (length(col("tok")).cast("long") * 131L + ascii(col("tok"))).as("v"))
-      .join(broadcast(powDf), "e")
-      .groupBy(col(idCol))
-      .agg((sum(col("v") * col("pw") % P) % P).as("fp"))
-  }
+  def fingerprintBulk(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    docs.select(col(idCol),
+      graft.expressions.TokenFoldHash(col(textCol)).as("fp"))
 
   /** englishScore / langId / qualityScore derived from the stats — same
     * IEEE arithmetic as the TextFunctions scalar forms.

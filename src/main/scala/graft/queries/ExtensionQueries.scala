@@ -133,6 +133,29 @@ object ExtensionQueries {
               |FROM inter JOIN cnt na ON doc_a = na.doc_id JOIN cnt nb ON doc_b = nb.doc_id
               |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 100""".stripMargin)),
 
+    // XQ31: df-capped n-gram Jaccard — the skew-bounded production variant
+    // of xq08: shingles in more than maxDf=50 documents are dropped from
+    // candidate generation (boilerplate guard), intersections recomputed
+    // exactly over full shingle sets. The oracle mirrors the cap rule.
+    QueryDef("xq31_ngram_jaccard_capped",
+      (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id",
+        maxDf = 50L)
+        .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b")).limit(100),
+      Some(s"""$shingleCte,
+              |sh AS (SELECT DISTINCT doc_id, shingle FROM sh_all),
+              |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+              |cold AS (SELECT * FROM sh WHERE shingle NOT IN
+              |         (SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) > 50)),
+              |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |         FROM cold a JOIN cold b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+              |inter AS (SELECT doc_a, doc_b, COUNT(*) AS c
+              |          FROM cand JOIN sh sa ON sa.doc_id = cand.doc_a
+              |               JOIN sh sb ON sb.doc_id = cand.doc_b AND sb.shingle = sa.shingle
+              |          GROUP BY 1, 2)
+              |SELECT doc_a, doc_b, CAST(c AS DOUBLE)/(na.n_sh + nb.n_sh - c) AS jaccard
+              |FROM inter JOIN cnt na ON doc_a = na.doc_id JOIN cnt nb ON doc_b = nb.doc_id
+              |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 100""".stripMargin)),
+
     // XQ9: embedding-cosine near-dup pairs (threshold + top-50) through the
     // scale path: sign-LSH bucket candidates (4 planes, hamming-1
     // multiprobe) verified by cosine inside buckets — no all-pairs product.
@@ -202,7 +225,7 @@ object ExtensionQueries {
 
     // XQ13: rolling polynomial document fingerprint (left fold, mod 1e9+7).
     QueryDef("xq13_fingerprint",
-      (s, d) => TextStats.fingerprintBulk(s, Tables.documents(s, d), "text", "doc_id")
+      (s, d) => TextStats.fingerprintBulk(Tables.documents(s, d), "text", "doc_id")
         .orderBy("doc_id"),
       Some("""SELECT doc_id,
              |  list_reduce(

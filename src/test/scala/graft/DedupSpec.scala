@@ -56,6 +56,28 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("ngram jaccard maxDf cap bounds skew and keeps exact values") {
+    // Boilerplate skew corpus: every doc shares one hot header shingle
+    // ("standard legal disclaimer text"); docs 1/2 are genuine near-dups.
+    val boiler = "standard legal disclaimer text"
+    val skewed = (1L to 40L).map { i =>
+      val body = if (i <= 2) "identical interesting body content here"
+      else s"unique body $i with words w${i}a w${i}b w${i}c"
+      (i, s"$boiler $body")
+    }.toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(skewed, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val capped = Dedup.ngramJaccardPairs(skewed, "text", "doc_id", maxDf = 10L)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // The hot header pairs every doc with every other doc uncapped...
+    assert(uncapped.size == 40 * 39 / 2)
+    // ...while the cap keeps only pairs sharing a sub-maxDf shingle — the
+    // genuine near-dup — with the EXACT (full-set) jaccard value.
+    assert(capped.keySet == Set((1L, 2L)))
+    assert(capped((1L, 2L)) == uncapped((1L, 2L)),
+      "capped candidate generation must not change reported jaccard values")
+  }
+
   test("simhash banded pair search == all-pairs result, with no product plan") {
     val real = Tables.documents(spark, sf)
     val banded = Dedup.simhashNearDupPairs(real, "text", "doc_id", maxHamming = 12)

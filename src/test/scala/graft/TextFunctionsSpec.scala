@@ -33,9 +33,31 @@ class TextFunctionsSpec extends SparkSpec {
     val scalar = docs.select(col("doc_id"),
       graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val bulk = graft.operators.TextStats.fingerprintBulk(spark, docs, "text", "doc_id")
+    val bulk = graft.operators.TextStats.fingerprintBulk(docs, "text", "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(bulk == scalar)
+  }
+
+  test("native fold hash matches split/ascii semantics on edge cases") {
+    // Empty string, adjacent/leading/trailing spaces (empty tokens, v=0),
+    // multi-byte first characters (full codepoint like ascii()), and a
+    // 4-byte supplementary char — all must agree with the HOF fold, both
+    // on the codegen path (select) and the interpreted eval (filter-pushed).
+    val cases = Seq("", " ", "a  b", " leading", "trailing ",
+      "héllo wörld", "日本語 テスト", "𝄞clef music", "one")
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val hof = df.select(col("id"),
+      graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native = df.select(col("id"),
+      graft.expressions.TokenFoldHash(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == hof, s"native=$native hof=$hof")
+    // Null text -> null fingerprint.
+    val n = Seq((1L, Option.empty[String])).toDF("id", "text")
+      .select(graft.expressions.TokenFoldHash(col("text"))).head()
+    assert(n.isNullAt(0))
   }
 
   test("langId thresholds on marker ratio") {
