@@ -17,11 +17,18 @@ object EventFiles {
     * is inherently a small-scale/debug format (the reference uses it the
     * same way); the Kafka path is the scale path.
     */
+  /** The (key, value) string frame every sink publishes — ONE normalization
+    * shared by the Kafka and file sinks, so the file round-trip specs
+    * exercise the exact projection the Kafka writer sends.
+    */
+  def messageFrame(df: DataFrame): DataFrame =
+    df.select(col("key").cast("string"), col("value").cast("string"))
+
   def writeBatch(batch: DataFrame, dir: String, prefix: String = "pleiades"): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     // Executed on the executors (foreachPartition): files are written in
     // parallel, one per event, with partition-scoped unique names.
-    batch.select(col("key").cast("string"), col("value").cast("string"))
+    messageFrame(batch)
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
         var i = 0
@@ -57,12 +64,14 @@ object EventFiles {
     * publisher with acks upgraded (its acks=0 async writer is at-most-once,
     * `kafkapublisher.go:55-56`; Spark's sink + checkpoint is at-least-once,
     * and the downstream merge is idempotent). Requires spark-sql-kafka on
-    * the classpath.
+    * the classpath; this sandbox ships no Kafka jars at all (connector or
+    * broker), so the lines below are config-only plumbing — the projection
+    * they publish is `messageFrame`, which IS spec-verified through the
+    * file sink round trip.
     */
   def toKafka(messages: DataFrame, bootstrap: String, topic: String,
       checkpointDir: String): StreamingQuery =
-    messages
-      .select(col("key").cast("string"), col("value").cast("string"))
+    messageFrame(messages)
       .writeStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("topic", topic)
