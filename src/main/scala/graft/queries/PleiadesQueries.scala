@@ -263,6 +263,69 @@ object PleiadesQueries {
         .orderBy("user_id"),
       Some("""SELECT user_id, arg_max(event_type, event_id) AS last_type,
              |       MAX(event_id) AS last_event
-             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // PQ18 (T17 full fidelity): ISO-639 enrichment chain — 2-letter codes
+    // via 639-1, 3-letter via 639-2B with 639-3 fallback, raw-code default,
+    // first-occurrence family-suffix strip, wiki AND wiktionary families
+    // (store.js:29-91). Synthetic counter names derived from events cover
+    // every leg: known 2-letter (en/de/fr/ru), unknown 2-letter (zz),
+    // 639-2B hit (chr/nds/ceb), 639-3-only (bcl), unknown 3-letter (xyz),
+    // and other lengths (simple/bat_smg). The oracle's lookup tables are
+    // rendered from the SAME static data (Iso639.sqlValues), so the check
+    // exercises the chain logic, not a transcription.
+    QueryDef("pq18_iso639_enrichment",
+      (s, d) => {
+        val codes = Seq("en", "de", "fr", "ru", "zz", "chr", "nds", "ceb",
+          "bcl", "xyz", "simple", "bat_smg")
+        val codeArr = array(codes.map(lit): _*)
+        val named = Tables.events(s, d)
+          .where(col("user_id").isNotNull)
+          .select(concat(lit("wiki_"),
+            element_at(codeArr, (col("user_id") % codes.size).cast("int") + 1),
+            when(col("user_id") % 5 < 3, lit("wiki"))
+              .otherwise(lit("wiktionary"))).as("name"))
+        val counters = named.groupBy("name").agg(count(lit(1)).as("value"))
+        val wikis = graft.streaming.CounterStore.enrichLanguages(
+          s, counters.where(col("name").endsWith("wiki")), "wiki")
+        val wikts = graft.streaming.CounterStore.enrichLanguages(
+          s, counters.where(col("name").endsWith("wiktionary")), "wiktionary")
+        wikis.unionByName(wikts)
+          .select(col("name"), col("value").as("n"), col("language"))
+          .orderBy("name")
+      },
+      Some({
+        import graft.streaming.Iso639
+        val codeVals = Seq("en", "de", "fr", "ru", "zz", "chr", "nds", "ceb",
+          "bcl", "xyz", "simple", "bat_smg")
+          .zipWithIndex.map { case (c, i) => s"($i, '$c')" }.mkString(", ")
+        s"""WITH iso1(code, name1) AS (VALUES ${Iso639.sqlValues(Iso639.iso1)}),
+           |iso2b(code, name2) AS (VALUES ${Iso639.sqlValues(Iso639.iso2b)}),
+           |iso3(code, name3) AS (VALUES ${Iso639.sqlValues(Iso639.iso3)}),
+           |codes(i, code) AS (VALUES $codeVals),
+           |named AS (SELECT 'wiki_' || c.code ||
+           |            (CASE WHEN e.user_id % 5 < 3 THEN 'wiki' ELSE 'wiktionary' END) AS name
+           |          FROM events e JOIN codes c ON e.user_id % 12 = c.i
+           |          WHERE e.user_id IS NOT NULL),
+           |counters AS (SELECT name, CAST(COUNT(*) AS BIGINT) AS n FROM named GROUP BY 1),
+           |fam AS (SELECT name, n,
+           |          CASE WHEN name LIKE '%wiktionary' THEN 'wiktionary' ELSE 'wiki' END AS family,
+           |          substr(name, 6) AS c0
+           |        FROM counters),
+           |cod AS (SELECT name, n,
+           |          CASE WHEN strpos(c0, family) > 0
+           |               THEN substr(c0, 1, strpos(c0, family) - 1) ||
+           |                    substr(c0, strpos(c0, family) + length(family))
+           |               ELSE c0 END AS code
+           |        FROM fam)
+           |SELECT cod.name, n,
+           |       CASE WHEN length(cod.code) = 2 THEN COALESCE(i1.name1, cod.code)
+           |            WHEN length(cod.code) = 3 THEN COALESCE(i2.name2, i3.name3, cod.code)
+           |            ELSE cod.code END AS language
+           |FROM cod LEFT JOIN iso1 i1 ON cod.code = i1.code
+           |         LEFT JOIN iso2b i2 ON cod.code = i2.code
+           |         LEFT JOIN iso3 i3 ON cod.code = i3.code
+           |ORDER BY cod.name""".stripMargin
+      }))
   )
 }

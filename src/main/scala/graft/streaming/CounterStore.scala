@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The interactive query surface over the counter aggregate store — the
@@ -46,18 +46,18 @@ class CounterStore(spark: SparkSession, tableDir: String) {
       .orderBy(col("value").desc, col("name")).limit(k)
   }
 
-  /** T17: language-code enrichment — broadcast lookup join with fallback to
-    * the raw code (store.js:29-54's ISO-639 join, as a tiny static dim).
+  /** T17: language-code enrichment with the reference's full fallback chain
+    * (store.js:29-54 wiki, :66-91 wiktionary): strip the `wiki_` counter
+    * prefix, remove the FIRST occurrence of the family suffix (JS
+    * `.replace(family, "")` replaces first match only), then
+    *   2-letter code → ISO-639-1 name, else the code;
+    *   3-letter code → ISO-639-2B name, else ISO-639-3 name, else the code;
+    *   any other length → the code.
+    * Three broadcast joins against fixed-cardinality dims — the correct
+    * 100 TB shape for enrichment.
     */
-  def enrichLanguages(topWikis: DataFrame): DataFrame = {
-    val iso = CounterStore.isoLookup(spark)
-    topWikis
-      .withColumn("code",
-        regexp_replace(regexp_replace(col("name"), "^wiki_", ""), "wiki$", ""))
-      .join(broadcast(iso), Seq("code"), "left")
-      .select(col("name"), col("value"),
-        coalesce(col("language"), col("code")).as("language"))
-  }
+  def enrichLanguages(topWikis: DataFrame, family: String = "wiki"): DataFrame =
+    CounterStore.enrichLanguages(spark, topWikis, family)
 
   /** T18: human descriptions + unit conversion (store.js:101-126; growth is
     * reported in MiB, ÷ 2^20).
@@ -78,17 +78,32 @@ class CounterStore(spark: SparkSession, tableDir: String) {
 }
 
 object CounterStore {
-  /** Static ISO-639-ish lookup dim (stand-in for the npm tables the
-    * dashboard ships, store.js:4-6). Tiny → always broadcast.
+
+  /** Remove the FIRST occurrence of `sub` (JS `String.replace` with a
+    * string pattern — the reference's suffix strip, store.js:30,67).
     */
-  def isoLookup(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    Seq(
-      "en" -> "English", "de" -> "German", "fr" -> "French",
-      "es" -> "Spanish", "he" -> "Hebrew", "zh" -> "Chinese",
-      "ja" -> "Japanese", "ru" -> "Russian", "pt" -> "Portuguese",
-      "it" -> "Italian", "nl" -> "Dutch", "pl" -> "Polish",
-      "ar" -> "Arabic", "ko" -> "Korean", "hi" -> "Hindi"
-    ).toDF("code", "language")
+  private def removeFirst(c: Column, sub: String): Column = {
+    val at = instr(c, sub)
+    when(at > 0,
+      concat(substr(c, lit(1), at - 1), substr(c, at + sub.length, length(c))))
+      .otherwise(c)
+  }
+
+  /** The enrichment chain on a (name, value) counter frame; see the class
+    * method's doc. `family` is "wiki" or "wiktionary".
+    */
+  def enrichLanguages(spark: SparkSession, counters: DataFrame,
+      family: String = "wiki"): DataFrame = {
+    val code = removeFirst(regexp_replace(col("name"), "^wiki_", ""), family)
+    counters
+      .withColumn("code", code)
+      .join(broadcast(Iso639.iso1Df(spark)), Seq("code"), "left")
+      .join(broadcast(Iso639.iso2bDf(spark)), Seq("code"), "left")
+      .join(broadcast(Iso639.iso3Df(spark)), Seq("code"), "left")
+      .select(col("name"), col("value"),
+        when(length(col("code")) === 2, coalesce(col("iso1_name"), col("code")))
+          .when(length(col("code")) === 3,
+            coalesce(col("iso2b_name"), col("iso3_name"), col("code")))
+          .otherwise(col("code")).as("language"))
   }
 }
