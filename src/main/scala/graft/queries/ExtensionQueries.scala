@@ -459,16 +459,27 @@ object ExtensionQueries {
              |FROM p GROUP BY bin ORDER BY bin""".stripMargin)),
 
     // XQ30: column profiling — rows/nulls/distinct per column (the data-
-    // quality pass that fronts every ingestion pipeline).
+    // quality pass that fronts every ingestion pipeline). ONE scan: all
+    // nine aggregates in a single pass (the multi-distinct is Spark's
+    // Expand, still one read), then stack() unpivots to the per-column
+    // rows — the union-of-three-scans form read the table 3x.
     QueryDef("xq30_profile",
       (s, d) => {
-        val e = Tables.events(s, d)
-        def prof(c: String) = e.agg(
+        def nulls(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
+        Tables.events(s, d).agg(
           count(lit(1)).as("n_rows"),
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
-          countDistinct(col(c)).as("n_distinct"))
-          .select(lit(c).as("column"), col("n_rows"), col("n_null"), col("n_distinct"))
-        prof("event_type").unionByName(prof("user_id")).unionByName(prof("value"))
+          nulls("event_type").as("null_et"),
+          countDistinct(col("event_type")).as("dist_et"),
+          nulls("user_id").as("null_uid"),
+          countDistinct(col("user_id")).as("dist_uid"),
+          nulls("value").as("null_val"),
+          countDistinct(col("value")).as("dist_val"))
+          .select(expr(
+            """stack(3,
+              |  'event_type', n_rows, null_et, dist_et,
+              |  'user_id', n_rows, null_uid, dist_uid,
+              |  'value', n_rows, null_val, dist_val)
+              |AS (`column`, n_rows, n_null, n_distinct)""".stripMargin))
           .orderBy("column")
       },
       Some("""SELECT * FROM (

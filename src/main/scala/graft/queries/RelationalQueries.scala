@@ -392,6 +392,20 @@ object RelationalQueries {
              |  quantile_cont(l_extendedprice, 0.9) AS p90_price
              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // RQ28: sketch percentiles — the at-scale default companion to rq26.
+    // Exact `percentile` buffers every group's values (fine as an oracle
+    // proof, memory-unbounded on a 100 TB group); `approx_percentile` is
+    // the fixed-memory KLL/GK sketch path. Engine-specific estimate →
+    // rows-only check here + tolerance-vs-exact spec (RelationalSketchSpec),
+    // the same treatment as the HLL sketch (xq04).
+    QueryDef("rq28_median_sketch",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("median_price"),
+          expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("p90_price"))
+        .orderBy("l_returnflag"),
+      None),
+
     // RQ27: as-of (point-in-time) join — each event matched to the latest
     // order of "its" customer at event time (the label join of feature
     // stores; DuckDB expresses it natively as ASOF JOIN, our operator is a

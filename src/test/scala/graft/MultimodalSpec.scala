@@ -45,6 +45,20 @@ class MultimodalSpec extends SparkSpec {
     assert(kept == Set(1L, 3L))
   }
 
+  test("approx_percentile within 5% of the exact percentile (rq28 vs rq26)") {
+    val li = Tables.lineitem(spark, sf)
+    val exact = li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val sketch = li.groupBy("l_returnflag")
+      .agg(expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    exact.foreach { case (k, ex) =>
+      assert(math.abs(sketch(k) - ex) / ex < 0.05,
+        s"group $k: sketch ${sketch(k)} vs exact $ex")
+    }
+  }
+
   test("approx_count_distinct within 15% of exact") {
     val e = Tables.events(spark, sf)
     val exact = e.agg(countDistinct("user_id")).head().getLong(0)
