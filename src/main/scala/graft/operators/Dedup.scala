@@ -170,23 +170,30 @@ object Dedup {
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val interCounts =
       if (maxDf > 0L) {
-        // Candidate pairs from df-capped shingles only (bounded join),
-        // then the EXACT intersection recomputed per candidate over the
-        // full shingle sets.
-        val cold = sh.join(
-          sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-            .where(col("df") > maxDf).select("shingle"),
-          Seq("shingle"), "left_anti")
+        // Shingle sets partition into cold (df <= maxDf) and hot. The cold
+        // self-join generates candidates AND their cold-intersection counts
+        // in one grouped pass; the hot contribution is then added per
+        // candidate by joining each pair against doc_a's (few) hot shingles
+        // — never the O(df²) hot-shingle self-join. Exact totals:
+        // |A∩B| = |A∩B ∩ cold| + |A∩B ∩ hot|.
+        val hotKeys = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .where(col("df") > maxDf).select("shingle")
+        val cold = sh.join(hotKeys, Seq("shingle"), "left_anti")
           .select(col("doc_id"), col("shingle"))
-        val cand = cold.select(col("doc_id").as("doc_a"), col("shingle"))
+        val hot = sh.join(hotKeys, Seq("shingle"), "left_semi")
+          .select(col("doc_id"), col("shingle"))
+        val coldCounts = cold.select(col("doc_id").as("doc_a"), col("shingle"))
           .join(cold.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
           .where(col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b").distinct()
-        cand
-          .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
-          .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c_cold"))
+        val hotCounts = coldCounts.select("doc_a", "doc_b")
+          .join(hot.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+          .join(hot.select(col("doc_id").as("doc_b"), col("shingle")),
             Seq("doc_b", "shingle"))
-          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c_hot"))
+        coldCounts.join(hotCounts, Seq("doc_a", "doc_b"), "left")
+          .select(col("doc_a"), col("doc_b"),
+            (col("c_cold") + coalesce(col("c_hot"), lit(0L))).as("c"))
       } else {
         sh.select(col("doc_id").as("doc_a"), col("shingle"))
           .join(sh.toDF("doc_b", "shingle"), "shingle")
