@@ -86,6 +86,51 @@ object Dedup {
     docs.join(dupIds, Seq(idCol), "left_anti")
   }
 
+  /** Transitive-closure dedup groups: connected components over the LSH
+    * candidate-pair graph, labels = min doc id per component (so the label
+    * doubles as the canonical survivor). Returns (id, label) for every doc;
+    * singletons label themselves.
+    *
+    * Iterative min-label propagation: each round, every vertex takes the
+    * min of its own label and its neighbors' labels — one shuffle keyed by
+    * vertex per round, converging in O(component diameter) rounds (near-dup
+    * components are shallow: dup clusters are quasi-cliques, so 2-4 rounds
+    * in practice; `maxIter` caps pathological chains and throws rather than
+    * return a wrong answer). The driver-side per-round `count` is a scalar
+    * convergence check, not a data collect. For adversarial giant
+    * components the known upgrade is the large-star/small-star algorithm
+    * (Kiveris et al.) — same join primitive, fewer rounds.
+    */
+  def dedupGroups(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, maxIter: Int = 25): DataFrame = {
+    val pairs = minhashCandidatePairs(docs, textCol, idCol, n)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = docs.select(col(idCol).as("id"))
+      .withColumn("label", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("src"), col("label").as("src_label")), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("src_label")).as("nbr_label"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.join(labels.select(col("id"), col("label").as("old")), "id")
+        .where(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    require(changed == 0,
+      s"dedupGroups did not converge within $maxIter rounds")
+    labels
+  }
+
   /** 60-bit SimHash over whitespace tokens. Token hash = first 15 hex chars
     * of md5 as an unsigned 60-bit integer (portable: DuckDB casts
     * '0x'||hex). Signature bit b is set iff the majority of token hashes

@@ -144,8 +144,9 @@ object ExtensionQueries {
       Some(s"""$shingleCte,
               |sh AS (SELECT DISTINCT doc_id, shingle FROM sh_all),
               |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
-              |cold AS (SELECT * FROM sh WHERE shingle NOT IN
-              |         (SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) > 50)),
+              |hot AS (SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) > 50),
+              |cold AS (SELECT * FROM sh
+              |         WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.shingle = sh.shingle)),
               |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
               |         FROM cold a JOIN cold b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
               |inter AS (SELECT doc_a, doc_b, COUNT(*) AS c
@@ -341,6 +342,35 @@ object ExtensionQueries {
               |SELECT d.doc_id, d.lang FROM documents d
               |WHERE NOT EXISTS (SELECT 1 FROM dups WHERE dups.doc_id = d.doc_id)
               |ORDER BY d.doc_id""".stripMargin)),
+
+    // XQ32: transitive-closure dedup groups — connected components over the
+    // LSH candidate graph via iterative min-label propagation; the label
+    // (min doc id per component) doubles as the canonical survivor. The
+    // closure catches chains the greedy pair-drop (xq21) cannot: a~b, b~c
+    // groups {a,b,c} even when (a,c) never collides. Oracle: recursive
+    // label-reachability fixpoint in DuckDB.
+    QueryDef("xq32_dedup_groups",
+      (s, d) => Dedup.dedupGroups(Tables.documents(s, d), "text", "doc_id")
+        .select(col("id").as("doc_id"), col("label").as("group_id"))
+        .orderBy("doc_id"),
+      Some(s"""${minhashSigCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+              |bands AS (
+              |  SELECT doc_id, 0 AS band_id, mh1 || '|' || mh2 AS band_key FROM sig
+              |  UNION ALL SELECT doc_id, 1, mh3 || '|' || mh4 FROM sig
+              |  UNION ALL SELECT doc_id, 2, mh5 || '|' || mh6 FROM sig
+              |  UNION ALL SELECT doc_id, 3, mh7 || '|' || mh8 FROM sig),
+              |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |          FROM bands a JOIN bands b
+              |            ON a.band_id = b.band_id AND a.band_key = b.band_key
+              |           AND a.doc_id < b.doc_id),
+              |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+              |walk(id, label) AS (
+              |  SELECT doc_id, doc_id FROM documents
+              |  UNION
+              |  SELECT e.dst, w.label FROM walk w JOIN edges e ON w.id = e.src)
+              |SELECT id AS doc_id, CAST(MIN(label) AS BIGINT) AS group_id
+              |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin)),
 
     // XQ22: multimodal frame sampling — byte-window slicing plumbing
     // (explode shape + per-frame metadata); rows-only (binary frame bytes

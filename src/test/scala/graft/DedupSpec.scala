@@ -78,6 +78,32 @@ class DedupSpec extends SparkSpec {
       "capped candidate generation must not change reported jaccard values")
   }
 
+  test("dedup groups = connected components of the candidate graph") {
+    val real = Tables.documents(spark, sf)
+    val pairs = Dedup.minhashCandidatePairs(real, "text", "doc_id")
+      .as[(Long, Long)].collect()
+    val ids = real.select("doc_id").as[Long].collect()
+    // Reference union-find with min-id labels.
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val lo = math.min(ra, rb); parent(math.max(ra, rb)) = lo }
+    }
+    val expected = ids.map(i => i -> find(i)).toMap
+    val got = Dedup.dedupGroups(real, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected)
+    // Closure must be at least as aggressive as the greedy pair-drop.
+    assert(expected.count { case (i, l) => i == l } <= ids.length)
+  }
+
   test("simhash banded pair search == all-pairs result, with no product plan") {
     val real = Tables.documents(spark, sf)
     val banded = Dedup.simhashNearDupPairs(real, "text", "doc_id", maxHamming = 12)
