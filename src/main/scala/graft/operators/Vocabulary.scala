@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus vocabulary building + token-id mapping — the text→ids stage of a
+  * training pipeline: terms above a document-frequency floor get dense ids
+  * ordered by (count desc, term); everything else maps to the OOV id 0.
+  *
+  * Scale shape: the vocabulary is an AGGREGATE of the corpus (distinct
+  * surviving terms — bounded by language, not data size), so the global
+  * rank window runs over metadata-scale input and the id assignment
+  * broadcasts back to the token stream (fixed-cardinality dim join, the
+  * same posture as the ISO-639 tables).
+  */
+object Vocabulary {
+
+  /** (term, term_id, cnt), ids 1..V by (cnt desc, term). */
+  def build(docs: DataFrame, textCol: String, minCount: Long): DataFrame = {
+    val counts = docs
+      .select(explode(split(col(textCol), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+    counts.select(col("term"),
+      row_number().over(Window.orderBy(col("cnt").desc, col("term")))
+        .cast("long").as("term_id"),
+      col("cnt"))
+  }
+
+  /** Map each document's tokens to vocabulary ids (OOV → 0); output one
+    * row per (doc, position).
+    */
+  def mapTokens(docs: DataFrame, textCol: String, idCol: String,
+      vocab: DataFrame): DataFrame =
+    docs
+      .select(col(idCol),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
+      .join(broadcast(vocab.select("term", "term_id")), Seq("term"), "left")
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        coalesce(col("term_id"), lit(0L)).as("term_id"))
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Decontamination, Dedup, Multimodal, Sampling, Similarity, TextStats}
+import graft.operators.{Chunking, Decontamination, Dedup, Multimodal, Sampling, Similarity, TextStats, Vocabulary}
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2.4 XQ* — the LLM-data-pipeline operator surface (north star):
@@ -371,6 +371,50 @@ object ExtensionQueries {
               |  SELECT e.dst, w.label FROM walk w JOIN edges e ON w.id = e.src)
               |SELECT id AS doc_id, CAST(MIN(label) AS BIGINT) AS group_id
               |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin)),
+
+    // XQ33: context-window chunking — fixed-size token windows with
+    // overlap (size 32, overlap 8 -> stride 24), the pre-tokenization
+    // splitting stage. Narrow no-shuffle plan.
+    QueryDef("xq33_chunk_windows",
+      (s, d) => Chunking.chunk(Tables.documents(s, d), "text", "doc_id",
+        size = 32, overlap = 8)
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+             |                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+             |          FROM documents),
+             |c AS (SELECT doc_id, toks, n,
+             |        CASE WHEN n <= 32 THEN 1
+             |             ELSE ((n - 32 + 23) // 24) + 1 END AS n_ch FROM t)
+             |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+             |       array_to_string(list_slice(toks, i*24 + 1, i*24 + 32), ' ') AS chunk_text,
+             |       CAST(LEAST(32, n - i*24) AS BIGINT) AS n_tokens
+             |FROM c, UNNEST(generate_series(0, n_ch - 1)) AS u(i)
+             |ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // XQ34: vocabulary build + token-id mapping — terms with count >= 5 get
+    // dense ids by (count desc, term); OOV -> 0. The vocab rank window runs
+    // over the aggregated term table (metadata scale) and broadcasts back
+    // to the token stream. First 20 positions per doc keep output bounded.
+    QueryDef("xq34_vocab_map",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val vocab = Vocabulary.build(docs, "text", minCount = 5L)
+        Vocabulary.mapTokens(docs, "text", "doc_id", vocab)
+          .where(col("pos") < 20)
+          .orderBy("doc_id", "pos")
+      },
+      Some("""WITH tok AS (SELECT doc_id, i - 1 AS pos, w[i] AS term
+             |             FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t,
+             |                  UNNEST(generate_series(1, len(w))) AS u(i)),
+             |vc AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY 1 HAVING COUNT(*) >= 5),
+             |vocab AS (SELECT term,
+             |            CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS term_id
+             |          FROM vc)
+             |SELECT tok.doc_id, CAST(pos AS BIGINT) AS pos,
+             |       COALESCE(vocab.term_id, 0) AS term_id
+             |FROM tok LEFT JOIN vocab USING (term)
+             |WHERE pos < 20
+             |ORDER BY doc_id, pos""".stripMargin)),
 
     // XQ22: multimodal frame sampling — byte-window slicing plumbing
     // (explode shape + per-frame metadata); rows-only (binary frame bytes
