@@ -24,6 +24,23 @@ object Sampling {
       .drop("rk")
   }
 
+  /** Deterministic weighted corpus mix — the source-ratio stage of training
+    * data assembly ("keep 50% of src0, 25% of src1, ..."): each doc's keep
+    * decision is a pure function of its id (md5 bucket in [0,1) vs the
+    * source's fraction), so the mix is RNG-free, repartition-stable and
+    * reproducible across engines and re-runs. A narrow filter — no shuffle.
+    */
+  def weightedMix(df: DataFrame, sourceCol: String, idCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 0.0): DataFrame = {
+    val bucket = expr(
+      s"CAST(conv(substr(md5(CAST($idCol AS STRING)), 1, 4), 16, 10) AS DOUBLE) / 65536.0")
+    val threshold = fractions.toSeq.sortBy(_._1).foldLeft(lit(defaultFraction)) {
+      case (acc, (s, f)) => when(col(sourceCol) === s, lit(f)).otherwise(acc)
+    }
+    df.where(bucket < threshold)
+  }
+
   /** Sequence packing: assign docs to fixed-capacity training bins by
     * prefix-sum of their token counts in id order —
     * bin = floor(cumulative_start / capacity).

@@ -416,6 +416,21 @@ object ExtensionQueries {
              |WHERE pos < 20
              |ORDER BY doc_id, pos""".stripMargin)),
 
+    // XQ35: deterministic weighted corpus mix — per-source keep fractions
+    // via the md5-bucket trick (RNG-free, reproducible); unlisted sources
+    // keep 10%. Output: kept docs per source.
+    QueryDef("xq35_weighted_mix",
+      (s, d) => Sampling.weightedMix(Tables.documents(s, d), "source", "doc_id",
+        fractions = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+        defaultFraction = 0.1)
+        .groupBy("source").agg(count(lit(1)).as("n_kept"))
+        .orderBy("source"),
+      Some("""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept FROM documents
+             |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) / 65536.0
+             |      < (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+             |                     WHEN 'src2' THEN 0.25 ELSE 0.1 END)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // XQ22: multimodal frame sampling — byte-window slicing plumbing
     // (explode shape + per-frame metadata); rows-only (binary frame bytes
     // are not portably comparable through the parquet/pandas bridge).

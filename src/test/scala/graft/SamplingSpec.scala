@@ -56,6 +56,25 @@ class SamplingSpec extends SparkSpec {
       s"found an unpartitioned window over doc rows in:\n$plan")
   }
 
+  test("weighted mix: ratios hold, deterministic, full-keep and zero-keep") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "source")
+    val fr = Map("src0" -> 1.0, "src1" -> 0.5)
+    val kept = Sampling.weightedMix(docs, "source", "doc_id", fr,
+      defaultFraction = 0.0)
+    val bySource = kept.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource("src0") == totals("src0"), "fraction 1.0 keeps everything")
+    assert(bySource.keySet == Set("src0", "src1"), "default 0.0 drops the rest")
+    val f1 = bySource("src1").toDouble / totals("src1")
+    assert(f1 > 0.2 && f1 < 0.8, s"src1 keep fraction $f1 wildly off 0.5")
+    // Deterministic under repartition.
+    val again = Sampling.weightedMix(docs.repartition(7), "source", "doc_id", fr)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == kept.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("multiprobe LSH recall >= single-probe recall") {
     val emb = Tables.embeddings(spark, sf)
     val exact = Similarity.bruteForceTopK(emb, "embedding", "vec_id", 0L, 10)
