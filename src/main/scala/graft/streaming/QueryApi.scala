@@ -1,0 +1,156 @@
+package graft.streaming
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.{LongAdder, DoubleAdder}
+import scala.jdk.CollectionConverters._
+
+/** The reference's HTTP query + metrics surface (SURVEY §2.1 S11/S12) over
+  * the counter store:
+  *
+  *   - `GET /api/stats`        — counters for "today" (`web/handler.go:56-87`,
+  *     julian day = now/86400)
+  *   - `GET /api/stats/{day}`  — counters for a day; 400 on a non-numeric
+  *     day, 404 when the day has no counters (`handler.go:89-126`)
+  *   - `GET /api/days`         — sorted day strings above the quality floor
+  *     (`handler.go:183-211`, floor `day > 18488`)
+  *   - `GET /metrics`          — Prometheus text exposition: per-path-template
+  *     request counters/durations (the reference's `prom_middleware.go`
+  *     histograms) plus streaming batch progress gauges (`cmd/metrics.go`)
+  *
+  * Response shapes mirror the reference exactly: `{"Since":d*86400,
+  * "Counters":[{"Name":…,"Description":"","Value":…}]}` and
+  * `["18489","18490"]`, with `Content-Type: application/json` and the CORS
+  * header (`handler.go:33-34`).
+  *
+  * Scale posture: every route is a partition-pruned point query over the
+  * day-partitioned counter store returning metadata-scale results (one row
+  * per counter name per day) — the driver-side collect at the API boundary
+  * is the same shape as the reference serving `MGET day_<d>_*` from Redis.
+  * Metrics are keyed by path TEMPLATE (`/api/stats/{day}`), not raw path,
+  * so label cardinality stays bounded (`prom_middleware.go:44-46`).
+  *
+  * Built on the JDK's `com.sun.net.httpserver` — no extra dependencies.
+  */
+final class QueryApi(store: CounterStore, recorder: Option[ProgressRecorder] = None,
+    minDay: Long = 18488L) {
+
+  private var server: HttpServer = _
+  private val statusCount = new ConcurrentHashMap[(String, Int), LongAdder]()
+  private val durSum = new ConcurrentHashMap[String, DoubleAdder]()
+  private val durCount = new ConcurrentHashMap[String, LongAdder]()
+
+  /** Bind and start; `port=0` picks an ephemeral port. Returns the bound port. */
+  def start(port: Int = 0): Int = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/api", handler(apiRoute _))
+    server.createContext("/metrics", handler((_, _) => (200, "text/plain; version=0.0.4", metricsText)))
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  /** Wrap a route in the metrics middleware (template-labelled count + duration). */
+  private def handler(route: (String, HttpExchange) => (Int, String, String)): HttpHandler =
+    (ex: HttpExchange) => {
+      val t0 = System.nanoTime()
+      val path = ex.getRequestURI.getPath
+      val template = pathTemplate(path)
+      val (status, ctype, body) =
+        try route(path, ex)
+        catch {
+          case e: Exception =>
+            System.err.println(s"QueryApi error on $path: $e")
+            (500, "text/plain", "internal error")
+        }
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", ctype)
+      ex.getResponseHeaders.set("Access-Control-Allow-Origin", "*")
+      ex.sendResponseHeaders(status, if (bytes.isEmpty) -1 else bytes.length)
+      if (bytes.nonEmpty) { val os = ex.getResponseBody; os.write(bytes); os.close() }
+      ex.close()
+      statusCount.computeIfAbsent((template, status), _ => new LongAdder).increment()
+      durSum.computeIfAbsent(template, _ => new DoubleAdder).add((System.nanoTime() - t0) / 1e9)
+      durCount.computeIfAbsent(template, _ => new LongAdder).increment()
+    }
+
+  private def pathTemplate(path: String): String = path match {
+    case "/api/stats" | "/api/stats/" => "/api/stats"
+    case p if p.startsWith("/api/stats/") => "/api/stats/{day}"
+    case p if p.startsWith("/api/days") => "/api/days"
+    case p if p.startsWith("/metrics") => "/metrics"
+    case p => p
+  }
+
+  private def apiRoute(path: String, ex: HttpExchange): (Int, String, String) = path match {
+    case "/api/stats" | "/api/stats/" =>
+      statsResponse(System.currentTimeMillis() / 86400000L)
+    case p if p.startsWith("/api/stats/") =>
+      val raw = p.stripPrefix("/api/stats/")
+      raw.toLongOption match {
+        case None => (400, "application/json", "")
+        case Some(day) => statsResponse(day)
+      }
+    case "/api/days" | "/api/days/" =>
+      // handler.go:183-211 — unique days above the floor, string-sorted ASC.
+      // partition discovery may narrow `day` to int — don't assume width
+      val days = store.availableDays(minDay).select("day").collect()
+        .map(_.get(0).toString).sorted
+      (200, "application/json", days.map(jsonStr).mkString("[", ",", "]"))
+    case _ => (404, "application/json", "")
+  }
+
+  private def statsResponse(day: Long): (Int, String, String) = {
+    val counters = store.countersForDay(day).collect()
+    if (counters.isEmpty) (404, "application/json", "")
+    else {
+      val items = counters.map { r =>
+        s"""{"Name":${jsonStr(r.getString(0))},"Description":"","Value":${r.getLong(1)}}"""
+      }
+      (200, "application/json",
+        s"""{"Since":${day * 86400},"Counters":[${items.mkString(",")}]}""")
+    }
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => "\\u%04x".format(c.toInt)
+      case c => c.toString
+    } + "\""
+
+  /** Prometheus text exposition (`cmd/metrics.go` + `prom_middleware.go`). */
+  private def metricsText: String = {
+    val sb = new StringBuilder
+    sb ++= "# HELP graft_web_http_response_total Total number of HTTP responses sent\n"
+    sb ++= "# TYPE graft_web_http_response_total counter\n"
+    statusCount.asScala.toSeq.sortBy { case ((p, s), _) => (p, s) }.foreach {
+      case ((p, s), n) =>
+        sb ++= s"""graft_web_http_response_total{path="$p",status="$s"} ${n.sum}""" + "\n"
+    }
+    sb ++= "# HELP graft_web_http_duration_seconds Duration of HTTP requests\n"
+    sb ++= "# TYPE graft_web_http_duration_seconds summary\n"
+    durSum.asScala.toSeq.sortBy(_._1).foreach { case (p, d) =>
+      sb ++= s"""graft_web_http_duration_seconds_sum{path="$p"} ${d.sum}""" + "\n"
+      sb ++= s"""graft_web_http_duration_seconds_count{path="$p"} ${durCount.get(p).sum}""" + "\n"
+    }
+    recorder.foreach { r =>
+      val snap = r.snapshot
+      sb ++= "# HELP graft_streaming_input_rows_total Rows ingested per streaming query\n"
+      sb ++= "# TYPE graft_streaming_input_rows_total counter\n"
+      snap.groupBy(_.queryName).toSeq.sortBy(_._1).foreach { case (q, ps) =>
+        sb ++= s"""graft_streaming_input_rows_total{query="$q"} ${ps.map(_.numInputRows).sum}""" + "\n"
+      }
+      sb ++= "# HELP graft_streaming_last_batch_id Latest completed micro-batch id\n"
+      sb ++= "# TYPE graft_streaming_last_batch_id gauge\n"
+      snap.groupBy(_.queryName).toSeq.sortBy(_._1).foreach { case (q, ps) =>
+        sb ++= s"""graft_streaming_last_batch_id{query="$q"} ${ps.map(_.batchId).max}""" + "\n"
+      }
+    }
+    sb.toString
+  }
+}

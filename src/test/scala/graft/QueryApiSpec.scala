@@ -1,0 +1,87 @@
+package graft
+
+import graft.streaming.{CounterStore, QueryApi}
+import java.io.IOException
+import java.net.{HttpURLConnection, URL}
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+/** The HTTP query + metrics surface (S11/S12) against a real counter store:
+  * response shapes and status codes mirror the reference's
+  * `web/handler.go` / `prom_middleware.go` behavior.
+  */
+class QueryApiSpec extends SparkSpec {
+
+  private def get(url: String): (Int, String, Map[String, String]) = {
+    val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("GET")
+    val status = conn.getResponseCode
+    val stream = if (status >= 400) conn.getErrorStream else conn.getInputStream
+    val body =
+      if (stream == null) ""
+      else try new String(stream.readAllBytes(), StandardCharsets.UTF_8)
+      catch { case _: IOException => "" }
+    val headers = Seq("Content-Type", "Access-Control-Allow-Origin")
+      .flatMap(h => Option(conn.getHeaderField(h)).map(h -> _)).toMap
+    conn.disconnect()
+    (status, body, headers)
+  }
+
+  private lazy val (api, port, store) = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-queryapi").toString
+    Seq(
+      (18490L, "total", 120L), (18490L, "bot", 30L), (18490L, "wiki_enwiki", 55L),
+      (18491L, "total", 7L),
+      (18400L, "total", 999L) // below the day>18488 quality floor
+    ).toDF("day", "counter", "n")
+      .write.partitionBy("day").parquet(dir + "/counters")
+    val st = new CounterStore(spark, dir + "/counters")
+    val a = new QueryApi(st)
+    val p = a.start()
+    (a, p, st)
+  }
+
+  test("GET /api/stats/{day} returns the reference Counters shape with CORS") {
+    val (status, body, headers) = get(s"http://127.0.0.1:$port/api/stats/18490")
+    assert(status == 200)
+    assert(headers("Content-Type").startsWith("application/json"))
+    assert(headers("Access-Control-Allow-Origin") == "*")
+    assert(body == """{"Since":1597536000,"Counters":[""" +
+      """{"Name":"bot","Description":"","Value":30},""" +
+      """{"Name":"total","Description":"","Value":120},""" +
+      """{"Name":"wiki_enwiki","Description":"","Value":55}]}""")
+  }
+
+  test("GET /api/stats/{day} rejects non-numeric day with 400") {
+    val (status, _, _) = get(s"http://127.0.0.1:$port/api/stats/yesterday")
+    assert(status == 400)
+  }
+
+  test("GET /api/stats/{day} returns 404 for a day with no counters") {
+    val (status, _, _) = get(s"http://127.0.0.1:$port/api/stats/12345")
+    assert(status == 404)
+  }
+
+  test("GET /api/days lists day strings above the quality floor, sorted") {
+    val (status, body, _) = get(s"http://127.0.0.1:$port/api/days")
+    assert(status == 200)
+    assert(body == """["18490","18491"]""") // 18400 filtered by day > 18488
+  }
+
+  test("GET /metrics exposes template-labelled counters and durations") {
+    get(s"http://127.0.0.1:$port/api/stats/18490") // ensure at least one hit
+    val (status, body, _) = get(s"http://127.0.0.1:$port/metrics")
+    assert(status == 200)
+    assert(body.contains("# TYPE graft_web_http_response_total counter"))
+    // raw paths collapse to the template — bounded label cardinality
+    assert(body.contains("""graft_web_http_response_total{path="/api/stats/{day}",status="200"}"""))
+    assert(!body.contains("18490\"")) // no raw day in any label
+    assert(body.contains("""graft_web_http_duration_seconds_count{path="/api/stats/{day}"}"""))
+  }
+
+  test("unknown /api route returns 404") {
+    val (status, _, _) = get(s"http://127.0.0.1:$port/api/nope")
+    assert(status == 404)
+  }
+}
