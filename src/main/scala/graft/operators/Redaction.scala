@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PII redaction — the scrubbing stage of a training-data pipeline: mask
+  * emails, North-American phone numbers, and IPv4 addresses in document
+  * text, reporting per-type match counts.
+  *
+  * All patterns are RE2-compatible (no lookaround, no backreferences) so
+  * the same regexes run in Spark codegen and any RE2-based engine. Masking
+  * applies email → phone → IP in that order: the email pass consumes
+  * dotted-quad substrings inside addresses/domains before the IP pass can
+  * see them. Counts are computed per-pattern on the RAW text.
+  *
+  * A narrow, shuffle-free map over the corpus — redaction at 100 TB is
+  * embarrassingly parallel and this plan keeps it one codegen'd pass.
+  */
+object Redaction {
+
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** The masked text (email → phone → IP precedence). */
+  def redactText(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+
+  private def countOf(c: Column, re: String): Column =
+    size(regexp_extract_all(c, lit(re), lit(0))).cast("long")
+
+  /** (id, n_emails, n_phones, n_ips, redacted) per document. */
+  def redact(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol),
+      countOf(col(textCol), EmailRe).as("n_emails"),
+      countOf(col(textCol), PhoneRe).as("n_phones"),
+      countOf(col(textCol), Ipv4Re).as("n_ips"),
+      redactText(col(textCol)).as("redacted"))
+}
