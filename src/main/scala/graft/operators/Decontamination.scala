@@ -30,6 +30,35 @@ object Decontamination {
           col("n_shingles").cast("double")).as("contamination"))
   }
 
+  /** Span-level contamination (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better" — the substring-match regime): every
+    * maximal run of consecutive training-doc n-gram positions whose n-grams
+    * also appear in the eval set, reported as (doc, span_start, span_grams,
+    * span_tokens). Unlike [[contamination]]'s per-doc overlap RATIO, this
+    * locates the overlapping text itself — the form a filtering pipeline
+    * needs to excise benchmark quotes.
+    *
+    * Runs-of-consecutive-positions via the classic pos - row_number() group
+    * key, windowed PER DOC (no global window). Eval n-gram vocabulary is
+    * broadcast (benchmarks are small by definition); the only shuffle is
+    * keyed by doc id.
+    */
+  def contaminatedSpans(train: DataFrame, eval: DataFrame, textCol: String,
+      idCol: String, n: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val evalGrams = Shingles.exploded(eval, textCol, idCol, n)
+      .select("shingle").distinct()
+    Shingles.explodedWithPos(train, textCol, idCol, n)
+      .join(broadcast(evalGrams), "shingle")
+      .select(col(idCol), col("pos"))
+      .withColumn("_grp", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("_grp"))
+      .agg(min(col("pos")).as("span_start"), count(lit(1)).as("span_grams"))
+      .select(col(idCol), col("span_start"), col("span_grams"),
+        (col("span_grams") + lit(n - 1).cast("long")).as("span_tokens"))
+  }
+
   /** Boilerplate/repetition score: 1 - distinct/total shingles per doc —
     * high values flag template or repeated content.
     */

@@ -304,4 +304,37 @@ object Dedup {
           .as("cosine"))
       .where(col("cosine") >= minCosine)
   }
+
+  /** Paragraph-level dedup (CCNet/RefinedWeb-style boilerplate removal):
+    * split each document into non-overlapping `paraWords`-token paragraphs,
+    * drop every paragraph that occurs in >= `minDocs` DISTINCT documents
+    * (cross-document repetition = boilerplate), and reassemble the
+    * survivors in order. Documents that were pure boilerplate survive with
+    * empty `clean_text` (the caller decides whether to drop them).
+    *
+    * Scale shape: chunking is narrow; the document-frequency count and the
+    * join back are both keyed by paragraph text (bounded at `paraWords`
+    * tokens, uniformly spread); reassembly shuffles once on the doc id.
+    * No stage is all-pairs and no window is global.
+    */
+  def dropDuplicateParagraphs(docs: DataFrame, textCol: String, idCol: String,
+      paraWords: Int = 8, minDocs: Int = 2): DataFrame = {
+    val paras = Chunking.chunk(docs, textCol, idCol, size = paraWords, overlap = 0)
+      .select(col(idCol), col("chunk_idx"), col("chunk_text"))
+    val df = paras.groupBy(col("chunk_text"))
+      .agg(countDistinct(col(idCol)).as("_nd"))
+    val kept = paras.join(df, "chunk_text").where(col("_nd") < minDocs)
+    val totals = paras.groupBy(col(idCol)).agg(count(lit(1)).as("n_paras"))
+    val rebuilt = kept.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(
+        transform(
+          array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text")))),
+          x => x.getField("chunk_text")),
+        " ").as("clean_text"))
+    totals.join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

@@ -57,6 +57,39 @@ object Sampling {
     * single-partition step is the window over the #partitions-row offsets
     * table (metadata scale).
     */
+  /** Deterministic global shuffle with explicit positions — the
+    * "shuffle the corpus before training" stage: every row gets its rank in
+    * (md5(id), id) order as `shuffle_pos` (0-based). The hash order is a
+    * fixed pseudorandom permutation, so the shuffle is reproducible across
+    * re-runs, engines, and partitionings.
+    *
+    * A global `row_number()` window would be a single-task funnel; instead
+    * the rank is computed with the same two-pass scheme as [[packSequences]]:
+    * range-partition by the hash key, count per partition (metadata scale),
+    * prefix-sum those counts into offsets, then per-partition row_number +
+    * offset — identical output, every stage distributed.
+    */
+  def shuffleIndex(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val parts = df
+      .withColumn("_k", md5(col(idCol).cast("string")))
+      .repartitionByRange(nPart, col("_k"), col(idCol))
+      .withColumn("_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val offsetWin = Window.orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parts.groupBy(col("_pid"))
+      .agg(count(lit(1)).as("_pn"))
+      .select(col("_pid"),
+        coalesce(sum(col("_pn")).over(offsetWin), lit(0L)).as("_offset"))
+    val localWin = Window.partitionBy(col("_pid")).orderBy(col("_k"), col(idCol))
+    parts.join(broadcast(offsets), "_pid")
+      .withColumn("shuffle_pos",
+        col("_offset") + row_number().over(localWin).cast("long") - 1L)
+      .drop("_pid", "_offset", "_k")
+  }
+
   def packSequences(df: DataFrame, idCol: String, sizeCol: String,
       capacity: Long): DataFrame = {
     val spark = df.sparkSession

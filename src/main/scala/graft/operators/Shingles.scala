@@ -16,14 +16,21 @@ import org.apache.spark.sql.functions._
   */
 object Shingles {
 
-  def exploded(docs: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame = {
+  def exploded(docs: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame =
+    explodedWithPos(docs, textCol, idCol, n).drop("pos")
+
+  /** As [[exploded]] but keeping the 0-based start position of each
+    * shingle — the span-level operators (contamination spans) need it.
+    */
+  def explodedWithPos(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val toks = docs.select(col(idCol),
       posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
     val leadCols = (1 until n).map(k => lead(col("tok"), k).over(w).as(s"t$k"))
-    toks.select((col(idCol) +: col("tok") +: leadCols): _*)
+    toks.select((col(idCol) +: col("pos").cast("long").as("pos") +: col("tok") +: leadCols): _*)
       .where(col(s"t${n - 1}").isNotNull)
-      .select(col(idCol),
+      .select(col(idCol), col("pos"),
         concat_ws(" ", col("tok") +: (1 until n).map(k => col(s"t$k")): _*).as("shingle"))
   }
 }

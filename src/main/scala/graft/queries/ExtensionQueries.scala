@@ -1,8 +1,8 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.TextFunctions
-import graft.operators.{Chunking, Decontamination, Dedup, Multimodal, Sampling, Similarity, TextStats, Vocabulary}
+import graft.functions.{TextFunctions, UrlFunctions}
+import graft.operators.{Chunking, Decontamination, Dedup, Multimodal, Redaction, Sampling, Similarity, TextStats, Vocabulary}
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2.4 XQ* — the LLM-data-pipeline operator surface (north star):
@@ -621,6 +621,141 @@ object ExtensionQueries {
               |SELECT doc_id, n_total, n_distinct,
               |       1.0 - CAST(n_distinct AS DOUBLE) / n_total AS repetition
               |FROM agg ORDER BY repetition DESC, doc_id LIMIT 50""".stripMargin)),
+
+    // XQ36: PII redaction — synthetic emails/phones/IPs are injected as a
+    // deterministic function of doc_id (the corpus itself is PII-free), then
+    // masked with per-type counts. Narrow shuffle-free plan.
+    QueryDef("xq36_pii_redact",
+      (s, d) => {
+        val injected = Tables.documents(s, d).select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 7 === 0,
+              concat(lit(" mail user"), col("doc_id").cast("string"),
+                lit("@example.com"))).otherwise(lit("")),
+            when(col("doc_id") % 11 === 0, lit(" call 555-867-5309"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 13 === 0,
+              concat(lit(" ip 10.0."), (col("doc_id") % 256).cast("string"),
+                lit(".7"))).otherwise(lit(""))).as("text"))
+        Redaction.redact(injected, "text", "doc_id")
+          .where(col("n_emails") + col("n_phones") + col("n_ips") > 0)
+          .orderBy("doc_id")
+      },
+      Some("""WITH inj AS (SELECT doc_id, text
+             |  || CASE WHEN doc_id % 7 = 0 THEN ' mail user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+             |  || CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309' ELSE '' END
+             |  || CASE WHEN doc_id % 13 = 0 THEN ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END AS t
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+             |  CAST(len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+             |  CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+             |  regexp_replace(regexp_replace(regexp_replace(t,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+             |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+             |FROM inj
+             |WHERE doc_id % 7 = 0 OR doc_id % 11 = 0 OR doc_id % 13 = 0
+             |ORDER BY doc_id""".stripMargin)),
+
+    // XQ37: URL canonicalization + URL-level dedup — four cosmetic variants
+    // of the same page URL (case, www, default port, tracking params,
+    // fragment, trailing slash) are synthesized per doc_id, canonicalized,
+    // and grouped: the dedup key a web-corpus pipeline actually uses.
+    QueryDef("xq37_url_canonical",
+      (s, d) => {
+        val base = concat(col("source"), lit(".Example.COM/page/"),
+          (col("doc_id") % 50).cast("string"))
+        val url = when(col("doc_id") % 4 === 0,
+            concat(lit("HTTPS://WWW."), base, lit("/")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("https://"), lower(base), lit("?utm_source=feed")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("http://"), base, lit("?id=7&utm_campaign=x#frag")))
+          .otherwise(concat(lit("https://www."), lower(base), lit("?id=7")))
+        Tables.documents(s, d).select(col("doc_id"), url.as("url"))
+          .select(col("doc_id"), UrlFunctions.canonicalizeUrl(col("url")).as("canonical_url"))
+          .groupBy("canonical_url")
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+          .orderBy("canonical_url")
+      },
+      Some {
+        val oBase = "source || '.Example.COM/page/' || CAST(doc_id % 50 AS VARCHAR)"
+        s"""WITH u AS (SELECT doc_id,
+           |  CASE doc_id % 4
+           |    WHEN 0 THEN 'HTTPS://WWW.' || $oBase || '/'
+           |    WHEN 1 THEN 'https://' || lower($oBase) || '?utm_source=feed'
+           |    WHEN 2 THEN 'http://' || $oBase || '?id=7&utm_campaign=x#frag'
+           |    ELSE 'https://www.' || lower($oBase) || '?id=7' END AS url
+           |  FROM documents)
+           |SELECT ${UrlFunctions.oracleCanonicalize("url")} AS canonical_url,
+           |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  MIN(doc_id) AS first_doc
+           |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
+    // XQ38: paragraph-level dedup — non-overlapping 8-token paragraphs that
+    // occur in >= 2 distinct docs are boilerplate and get removed; docs are
+    // reassembled from the survivors in order.
+    QueryDef("xq38_paragraph_dedup",
+      (s, d) => Dedup.dropDuplicateParagraphs(Tables.documents(s, d),
+        "text", "doc_id", paraWords = 8, minDocs = 2)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+             |                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+             |            FROM documents),
+             |p AS (SELECT doc_id, i AS chunk_idx,
+             |        array_to_string(list_slice(toks, i*8 + 1, i*8 + 8), ' ') AS para
+             |      FROM t, UNNEST(generate_series(0, ((n + 7) // 8) - 1)) AS u(i)),
+             |df AS (SELECT para, COUNT(DISTINCT doc_id) AS nd FROM p GROUP BY 1),
+             |kept AS (SELECT p.doc_id, p.chunk_idx, p.para
+             |         FROM p JOIN df USING (para) WHERE nd < 2),
+             |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras FROM p GROUP BY 1),
+             |reb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             |          string_agg(para, ' ' ORDER BY chunk_idx) AS clean_text
+             |        FROM kept GROUP BY 1)
+             |SELECT tot.doc_id, n_paras, COALESCE(n_kept, 0) AS n_kept,
+             |       COALESCE(clean_text, '') AS clean_text
+             |FROM tot LEFT JOIN reb USING (doc_id) ORDER BY tot.doc_id""".stripMargin)),
+
+    // XQ39: span-level benchmark contamination — maximal runs of
+    // consecutive 4-gram positions shared with the eval split (source=src0):
+    // where xq24 scores overlap per doc, this locates the quoted spans.
+    QueryDef("xq39_contamination_spans",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Decontamination.contaminatedSpans(
+          docs.where(col("source") =!= "src0"),
+          docs.where(col("source") === "src0"),
+          "text", "doc_id", n = 4)
+          .orderBy("doc_id", "span_start")
+      },
+      Some("""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+             |g AS (SELECT doc_id, source, CAST(i - 1 AS BIGINT) AS pos,
+             |        array_to_string(list_slice(w, i, i + 3), ' ') AS gram
+             |      FROM t, UNNEST(generate_series(1, len(w) - 3)) AS u(i)),
+             |ev AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+             |hits AS (SELECT g.doc_id, g.pos FROM g JOIN ev USING (gram)
+             |         WHERE g.source <> 'src0'),
+             |runs AS (SELECT doc_id, pos,
+             |           pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+             |         FROM hits)
+             |SELECT doc_id, MIN(pos) AS span_start,
+             |       CAST(COUNT(*) AS BIGINT) AS span_grams,
+             |       CAST(COUNT(*) + 3 AS BIGINT) AS span_tokens
+             |FROM runs GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin)),
+
+    // XQ40: deterministic global shuffle — every doc's rank in
+    // (md5(doc_id), doc_id) order via the two-pass distributed prefix sum
+    // (no single-task global window; oracle is the sequential row_number).
+    QueryDef("xq40_shuffle_index",
+      (s, d) => Sampling.shuffleIndex(
+        Tables.documents(s, d).select("doc_id", "source"), "doc_id")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, source,
+             |  CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT)
+             |    AS shuffle_pos
+             |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // XQ16: multimodal feature extraction — mapPartitions over binary
     // payloads with a stubbed decoder; rows-only check (not SQL-expressible).
