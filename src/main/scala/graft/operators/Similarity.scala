@@ -39,6 +39,70 @@ object Similarity {
     emb.where(col(idCol) < nCentroids)
       .select(col(idCol).as("cid"), col(vecCol).as("c_vec"))
 
+  /** Lloyd's k-means over the embedding column — the trainer behind the IVF
+    * index ([[centroids]] is the untrained stand-in). Deterministic
+    * end-to-end:
+    *   - init: the k smallest-id vectors (cluster labels ARE those ids);
+    *   - assign: argmax cosine, smallest-label tie-break;
+    *   - update: coordinate means with coordinates quantized to 1e-6 via
+    *     floor(x*1e6 + 0.5) BEFORE summing — integer sums are order-free,
+    *     so the fit is identical under any partitioning/parallelism and
+    *     across engines (double-sum order is the classic nondeterminism
+    *     trap in distributed k-means; quantization error 5e-7/coordinate is
+    *     far below clustering-relevant signal).
+    *
+    * Per iteration: one broadcast of k centroids + a narrow argmax, then one
+    * shuffle keyed by (cluster, dim) whose state is k*dims rows — nothing
+    * scales with corpus size except the scan. Clusters that lose every
+    * member drop out (standard Lloyd). Returns
+    * (cluster, dim [1-based], centroid_val, n_members).
+    */
+  def kmeansFit(emb: DataFrame, vecCol: String, idCol: String, k: Int,
+      iters: Int): DataFrame = {
+    require(k > 0 && iters >= 1, s"need k > 0, iters >= 1; got k=$k iters=$iters")
+    val e = emb.select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_v"))
+    var cents = e.orderBy("_id").limit(k)
+      .select(col("_id").as("cluster"), col("_v").as("cvec"))
+    var sums: DataFrame = null
+    for (_ <- 1 to iters) {
+      val assigned = e.crossJoin(broadcast(cents))
+        .select(col("_id"), col("_v"), col("cluster"),
+          VectorFunctions.cosine(col("_v"), col("cvec")).as("csim"))
+        .groupBy(col("_id"), col("_v"))
+        .agg(max_by(col("cluster"), struct(col("csim"), (-col("cluster")).as("nc")))
+          .as("cluster"))
+      sums = assigned
+        .select(col("cluster"), posexplode(col("_v")).as(Seq("dim0", "x")))
+        .groupBy(col("cluster"), (col("dim0") + 1).cast("long").as("dim"))
+        .agg(sum(floor(col("x") * 1e6 + 0.5).cast("long")).as("s"),
+          count(lit(1)).as("cnt"))
+      cents = sums
+        .select(col("cluster"), col("dim"),
+          (col("s").cast("double") / (lit(1e6) * col("cnt"))).as("m"))
+        .groupBy("cluster")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          x => x.getField("m")).as("cvec"))
+    }
+    sums.select(col("cluster"), col("dim"),
+      (col("s").cast("double") / (lit(1e6) * col("cnt"))).as("centroid_val"),
+      col("cnt").as("n_members"))
+  }
+
+  /** Assignment against an arbitrary trained centroid frame
+    * (cluster, cvec: array<double>) — e.g. [[kmeansFit]] output reassembled.
+    * Broadcast + argmax, smallest-cluster tie-break; no wide shuffle.
+    */
+  def assignToCentroids(emb: DataFrame, vecCol: String, idCol: String,
+      cents: DataFrame): DataFrame =
+    emb.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
+      .crossJoin(broadcast(cents))
+      .select(col(idCol), col("cluster"),
+        VectorFunctions.cosine(col("_v"), col("cvec")).as("csim"))
+      .groupBy(col(idCol))
+      .agg(max_by(struct(col("cluster"), col("csim")),
+        struct(col("csim"), (-col("cluster")).as("nc"))).as("b"))
+      .select(col(idCol), col("b.cluster").as("cluster"), col("b.csim").as("csim"))
+
   /** Cluster assignment: argmax-cosine centroid per vector (broadcast join +
     * max_by, no wide shuffle).
     */

@@ -38,6 +38,40 @@ object ExtensionQueries {
   private def oCos(a: String, b: String): String =
     s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"
 
+  /** DuckDB twin of Similarity.kmeansFit — Lloyd's iterations unrolled as
+    * CTEs: assign (argmax cosine, min-cluster tie-break as max-then-filter),
+    * update (1e-6-quantized integer sums / count).
+    */
+  private def kmeansOracle(k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |c0 AS (SELECT vec_id AS cluster, v AS cvec FROM e ORDER BY vec_id LIMIT $k)""".stripMargin
+    for (i <- 1 to iters) {
+      sb ++= s""",
+                |a$i AS (SELECT e.vec_id, c.cluster, ${oCos("e.v", "c.cvec")} AS csim
+                |        FROM e, c${i - 1} c),
+                |m$i AS (SELECT vec_id, MAX(csim) AS ms FROM a$i GROUP BY 1),
+                |g$i AS (SELECT a.vec_id, MIN(a.cluster) AS cluster
+                |        FROM a$i a JOIN m$i m ON a.vec_id = m.vec_id AND a.csim = m.ms
+                |        GROUP BY 1),
+                |s$i AS (SELECT g.cluster, CAST(u.i AS BIGINT) AS dim,
+                |          SUM(CAST(floor(e.v[u.i] * 1000000 + 0.5) AS BIGINT)) AS s,
+                |          COUNT(*) AS cnt
+                |        FROM g$i g JOIN e ON g.vec_id = e.vec_id,
+                |             UNNEST(generate_series(1, len(e.v))) AS u(i)
+                |        GROUP BY 1, 2)""".stripMargin
+      if (i < iters) sb ++= s""",
+                |c$i AS (SELECT cluster,
+                |          list(CAST(s AS DOUBLE) / (1000000.0 * cnt) ORDER BY dim) AS cvec
+                |        FROM s$i GROUP BY 1)""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT cluster, dim, CAST(s AS DOUBLE) / (1000000.0 * cnt) AS centroid_val,
+              |       CAST(cnt AS BIGINT) AS n_members
+              |FROM s$iters ORDER BY cluster, dim""".stripMargin
+    sb.toString
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // XQ1: exact dedup — deterministic survivor (min id) per distinct text.
@@ -756,6 +790,16 @@ object ExtensionQueries {
              |  CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT)
              |    AS shuffle_pos
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // XQ41: k-means centroid training (Lloyd's, 2 iterations, k=8) — the
+    // IVF index trainer. The oracle unrolls the iterations as CTEs; exact
+    // hash-match works because centroid updates quantize coordinates to
+    // 1e-6 before summing (order-free integer sums, identical IEEE floor).
+    QueryDef("xq41_kmeans",
+      (s, d) => Similarity.kmeansFit(
+        Tables.embeddings(s, d), "embedding", "vec_id", k = 8, iters = 2)
+        .orderBy("cluster", "dim"),
+      Some(kmeansOracle(k = 8, iters = 2))),
 
     // XQ16: multimodal feature extraction — mapPartitions over binary
     // payloads with a stubbed decoder; rows-only check (not SQL-expressible).
