@@ -50,20 +50,29 @@ object Dedup {
   /** LSH banding: same band of the signature agreeing on all its hashes →
     * candidate pair. Returns distinct (doc_a, doc_b) with doc_a < doc_b.
     */
-  def minhashCandidatePairs(docs: DataFrame, textCol: String, idCol: String,
+  /** The LSH band-bucket table (id, band_id, band_key) of a corpus — the
+    * structure a production pipeline PERSISTS as its dedup index: band_key
+    * concatenates the band's minhashes, so near-dup docs collide on at
+    * least one (band_id, band_key) bucket with LSH probability.
+    */
+  def bandTable(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3): DataFrame = {
     val sig = minhashSignatures(docs, textCol, idCol, n)
     val nBands = MinhashK / BandSize
-    // (id, band_id, band_key) — band_key concatenates the band's hashes.
-    // Persisted: both sides of the self-join share this lineage, and the
-    // signature computation (md5 over every shingle) is the expensive part.
-    val bands = sig.select(col(idCol), explode(array(
+    sig.select(col(idCol), explode(array(
       (0 until nBands).map { b =>
         struct(lit(b).as("band_id"),
           concat_ws("|", (1 to BandSize).map(j => col(s"mh${b * BandSize + j}")): _*)
             .as("band_key"))
       }: _*)).as("band"))
       .select(col(idCol), col("band.band_id"), col("band.band_key"))
+  }
+
+  def minhashCandidatePairs(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3): DataFrame = {
+    // Persisted: both sides of the self-join share this lineage, and the
+    // signature computation (md5 over every shingle) is the expensive part.
+    val bands = bandTable(docs, textCol, idCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bands.toDF("doc_a", "band_id", "band_key")
     val b = bands.toDF("doc_b", "band_id", "band_key")
@@ -71,6 +80,35 @@ object Dedup {
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
   }
+
+  /** Incremental near-dedup — the daily-crawl shape: flag each NEW-batch
+    * document that LSH-collides with the EXISTING corpus, without comparing
+    * the corpus against itself. Returns one row per flagged batch doc:
+    * (id, corpus_match = smallest colliding corpus id, n_matches).
+    *
+    * At scale the corpus side of the join is the persisted [[bandTable]]
+    * index (append-only across runs) — each run computes signatures only
+    * for the batch and joins on (band_id, band_key); cost is O(batch), not
+    * O(corpus), and the corpus text is never rescanned.
+    */
+  def incrementalNearDups(corpus: DataFrame, batch: DataFrame,
+      textCol: String, idCol: String, n: Int = 3): DataFrame = {
+    val corpusBands = bandTable(corpus, textCol, idCol, n)
+      .toDF("corpus_id", "band_id", "band_key")
+    bandTable(batch, textCol, idCol, n)
+      .join(corpusBands, Seq("band_id", "band_key"))
+      .groupBy(col(idCol))
+      .agg(min(col("corpus_id")).as("corpus_match"),
+        countDistinct(col("corpus_id")).as("n_matches"))
+  }
+
+  /** The batch with corpus near-duplicates removed (anti-join over
+    * [[incrementalNearDups]]).
+    */
+  def dropIncrementalNearDups(corpus: DataFrame, batch: DataFrame,
+      textCol: String, idCol: String, n: Int = 3): DataFrame =
+    batch.join(incrementalNearDups(corpus, batch, textCol, idCol, n)
+      .select(col(idCol)), Seq(idCol), "left_anti")
 
   /** Greedy near-dup removal: drop every doc that is the HIGHER id of an
     * LSH candidate pair (the min-id member of each near-dup group's pair

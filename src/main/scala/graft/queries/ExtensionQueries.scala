@@ -801,6 +801,81 @@ object ExtensionQueries {
         .orderBy("cluster", "dim"),
       Some(kmeansOracle(k = 8, iters = 2))),
 
+    // XQ42: incremental near-dedup — a new crawl batch (source=src3)
+    // checked against the existing corpus's LSH band index: O(batch) work,
+    // the corpus is never self-joined or rescanned.
+    QueryDef("xq42_incremental_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.incrementalNearDups(
+          docs.where(col("source") =!= "src3"),
+          docs.where(col("source") === "src3"),
+          "text", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+              |sh_all AS (SELECT doc_id, source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+              |           FROM t, UNNEST(generate_series(1, len(w)-2)) AS u(i)),
+              |sig AS (SELECT doc_id, source,
+              |  MIN(md5('1'||shingle)) AS mh1, MIN(md5('2'||shingle)) AS mh2,
+              |  MIN(md5('3'||shingle)) AS mh3, MIN(md5('4'||shingle)) AS mh4,
+              |  MIN(md5('5'||shingle)) AS mh5, MIN(md5('6'||shingle)) AS mh6,
+              |  MIN(md5('7'||shingle)) AS mh7, MIN(md5('8'||shingle)) AS mh8
+              |  FROM sh_all GROUP BY doc_id, source),
+              |bands AS (
+              |  SELECT doc_id, source, 0 AS band_id, mh1 || '|' || mh2 AS band_key FROM sig
+              |  UNION ALL SELECT doc_id, source, 1, mh3 || '|' || mh4 FROM sig
+              |  UNION ALL SELECT doc_id, source, 2, mh5 || '|' || mh6 FROM sig
+              |  UNION ALL SELECT doc_id, source, 3, mh7 || '|' || mh8 FROM sig)
+              |SELECT b.doc_id, MIN(c.doc_id) AS corpus_match,
+              |       CAST(COUNT(DISTINCT c.doc_id) AS BIGINT) AS n_matches
+              |FROM bands b JOIN bands c
+              |  ON b.band_id = c.band_id AND b.band_key = c.band_key
+              | AND b.source = 'src3' AND c.source <> 'src3'
+              |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin)),
+
+    // XQ43: end-to-end curation pipeline — the composed form of the
+    // individual stages: exact dedup -> language-ID + quality floor ->
+    // deterministic weighted source mix -> training-mix summary. One
+    // DataFrame program, every stage the operator the standalone queries
+    // verify; proves the operators COMPOSE (shared scans, no materialization
+    // boundaries between stages).
+    QueryDef("xq43_curation_pipeline",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val survivors = Dedup.exact(docs, "text", "doc_id").select("doc_id")
+        val kept = docs.join(survivors, "doc_id")
+        val scored = TextStats.withScores(TextStats.perDoc(kept, "text", "doc_id"))
+          .where(col("pred_lang") === "en" && col("quality") >= 0.55)
+          .select("doc_id", "n_tokens")
+        val mixed = Sampling.weightedMix(
+          kept.join(scored, "doc_id"), "source", "doc_id",
+          fractions = Map("src0" -> 1.0, "src1" -> 0.5), defaultFraction = 0.25)
+        mixed.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+          .orderBy("source")
+      },
+      Some("""WITH surv AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+             |kept AS (SELECT d.* FROM documents d JOIN surv USING (doc_id)),
+             |st AS (SELECT doc_id, source,
+             |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+             |  CAST(len(list_filter(string_split(text, ' '),
+             |       t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE) AS ns,
+             |  CAST(LENGTH(text) AS DOUBLE) AS tl,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |  FROM kept),
+             |q AS (SELECT doc_id, source, n_tokens, ns / nt AS score,
+             |  (LEAST(nt / 100.0, 1.0) + LEAST(((tl - (nt - 1)) / nt) / 8.0, 1.0)
+             |   + LEAST((ns / nt) * 5.0, 1.0)) / 3.0 AS quality
+             |  FROM st),
+             |f AS (SELECT * FROM q WHERE score >= 0.05 AND quality >= 0.55),
+             |m AS (SELECT * FROM f
+             |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) / 65536.0
+             |      < CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5 ELSE 0.25 END)
+             |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+             |FROM m GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // XQ16: multimodal feature extraction — mapPartitions over binary
     // payloads with a stubbed decoder; rows-only check (not SQL-expressible).
     QueryDef("xq16_multimodal_features",

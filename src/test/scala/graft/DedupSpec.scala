@@ -147,4 +147,26 @@ class DedupSpec extends SparkSpec {
     // IVF probes one cluster; recall must be nonzero on this data
     assert((exact & approx).nonEmpty)
   }
+
+  test("incremental near-dedup == batch-vs-corpus slice of the full pair graph") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val batch = docs.where($"source" === "src3")
+    val corpus = docs.where($"source" =!= "src3")
+    val incr = Dedup.incrementalNearDups(corpus, batch, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    // reference: full all-docs pair graph, restricted to batch-corpus edges
+    val batchIds = batch.select("doc_id").as[Long].collect().toSet
+    val full = Dedup.minhashCandidatePairs(docs, "text", "doc_id")
+      .as[(Long, Long)].collect()
+      .flatMap { case (a, b) =>
+        Seq(a).filter(x => batchIds(x) && !batchIds(b)) ++
+          Seq(b).filter(x => batchIds(x) && !batchIds(a))
+      }.toSet
+    assert(incr == full)
+    // and the cleaned batch is exactly the unflagged remainder
+    val dropped = Dedup.dropIncrementalNearDups(corpus, batch, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(dropped == batchIds -- incr)
+  }
 }
