@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus ranking / search-index construction — the retrieval side of a
+  * training-data platform (quality-weighted sampling, dedup triage, eval
+  * retrieval all sit on a BM25-ish score + an inverted index).
+  *
+  * BM25 here uses the RAW rational idf (N - df + 0.5)/(df + 0.5) rather
+  * than its logarithm: every input is an exact integer (tf, df, dl, N), so
+  * the whole score is a fixed tree of IEEE ops and reproduces bit-exactly
+  * on any engine — `ln` is only ~1-ulp-accurate and engine-dependent, which
+  * would break cross-engine verification. Monotonicity (what ranking needs)
+  * is unchanged; callers wanting the classical value can take ln of the
+  * reported idf.
+  *
+  * Plan shape: one (doc, term) aggregation feeds tf; dl and df derive from
+  * it with doc-/term-keyed shuffles; N and avgdl are a 1-row broadcast.
+  * Nothing is all-pairs, no window is global.
+  */
+object Ranking {
+
+  /** Per-(term, doc) BM25 components: (term, id, tf, dl, df, idf, bm25). */
+  def bm25(docs: DataFrame, textCol: String, idCol: String,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val corpus = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
+      .select(col("n"), (col("sum_dl").cast("double") / col("n")).as("avgdl"))
+    val idf = (col("n").cast("double") - col("df").cast("double") + 0.5) /
+      (col("df").cast("double") + 0.5)
+    val denom = col("tf").cast("double") +
+      lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / col("avgdl")))
+    tf.join(dl, idCol)
+      .join(df, "term")
+      .crossJoin(broadcast(corpus))
+      .select(col("term"), col(idCol), col("tf"), col("dl"), col("df"),
+        idf.as("idf"),
+        ((idf * (col("tf").cast("double") * lit(k1 + 1))) / denom).as("bm25"))
+  }
+
+  /** Inverted index: per term, document frequency and the posting list of
+    * the first `maxPostings` doc ids (ascending, comma-joined). Postings at
+    * real scale are stored columnar per term-shard; the bounded CSV form
+    * here is the portably-comparable surface.
+    */
+  def invertedIndex(docs: DataFrame, textCol: String, idCol: String,
+      maxPostings: Int = 10): DataFrame =
+    docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("term"), col(idCol)).agg(count(lit(1)).as("tf"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        array_join(
+          slice(transform(array_sort(collect_list(col(idCol))),
+            x => x.cast("string")), 1, maxPostings), ",").as("postings"))
+}

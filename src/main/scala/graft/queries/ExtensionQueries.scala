@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{TextFunctions, UrlFunctions}
-import graft.operators.{Chunking, Decontamination, Dedup, Multimodal, Redaction, Sampling, Similarity, TextStats, Vocabulary}
+import graft.operators.{Chunking, Decontamination, Dedup, Multimodal, Ranking, Redaction, Sampling, Similarity, TextStats, Vocabulary}
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2.4 XQ* — the LLM-data-pipeline operator surface (north star):
@@ -875,6 +875,53 @@ object ExtensionQueries {
              |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
              |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
              |FROM m GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // XQ44: BM25 ranking — top-3 docs per term with the rational-idf BM25
+    // (exact integer inputs -> bit-identical IEEE score tree on both
+    // engines; see Ranking's doc for why not ln).
+    QueryDef("xq44_bm25",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("term")).orderBy(col("bm25").desc, col("doc_id"))
+        Ranking.bm25(Tables.documents(s, d), "text", "doc_id")
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .where(col("rk") <= 3)
+          .select("term", "rk", "doc_id", "tf", "bm25")
+          .orderBy("term", "rk")
+      },
+      Some("""WITH tf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |cnt AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tf GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM cnt GROUP BY 1),
+             |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM cnt GROUP BY 1),
+             |corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |                  CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+             |scored AS (SELECT cnt.term, cnt.doc_id, cnt.tf,
+             |  ((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)
+             |    * (CAST(cnt.tf AS DOUBLE) * 2.2))
+             |  / (CAST(cnt.tf AS DOUBLE)
+             |     + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / avgdl))) AS bm25
+             |  FROM cnt JOIN dl USING (doc_id) JOIN df USING (term), corpus),
+             |rk AS (SELECT term, doc_id, tf, bm25,
+             |         ROW_NUMBER() OVER (PARTITION BY term ORDER BY bm25 DESC, doc_id) AS rk
+             |       FROM scored)
+             |SELECT term, CAST(rk AS BIGINT) AS rk, doc_id, tf, bm25
+             |FROM rk WHERE rk <= 3 ORDER BY term, rk""".stripMargin)),
+
+    // XQ45: inverted-index construction — per-term document frequency +
+    // bounded ascending posting list (the search-index direction; xq23 is
+    // the per-doc top-terms direction).
+    QueryDef("xq45_inverted_index",
+      (s, d) => Ranking.invertedIndex(Tables.documents(s, d), "text", "doc_id",
+        maxPostings = 10)
+        .orderBy("term"),
+      Some("""WITH tf AS (SELECT term, doc_id FROM (
+             |         SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+             |       GROUP BY 1, 2)
+             |SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+             |       array_to_string(list_slice(
+             |         list_transform(list(doc_id ORDER BY doc_id), x -> CAST(x AS VARCHAR)),
+             |         1, 10), ',') AS postings
+             |FROM tf GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // XQ16: multimodal feature extraction — mapPartitions over binary
     // payloads with a stubbed decoder; rows-only check (not SQL-expressible).
