@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{TextFunctions, UrlFunctions}
-import graft.operators.{Chunking, Decontamination, Dedup, Multimodal, Ranking, Redaction, Sampling, Similarity, TextStats, Vocabulary}
+import graft.operators.{Chunking, Decontamination, Dedup, Multimodal, Ranking, Redaction, RepeatedNgrams, Sampling, Similarity, TextStats, Vocabulary}
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2.4 XQ* — the LLM-data-pipeline operator surface (north star):
@@ -922,6 +922,33 @@ object ExtensionQueries {
              |         list_transform(list(doc_id ORDER BY doc_id), x -> CAST(x AS VARCHAR)),
              |         1, 10), ',') AS postings
              |FROM tf GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // XQ46: ExactSubstr-style repeated-sequence spans — 4-grams occurring
+    // >= 2 times corpus-wide, overlapping hits merged into maximal per-doc
+    // intervals (xq39 matches an eval set; this self-matches the corpus).
+    QueryDef("xq46_repeated_spans",
+      (s, d) => RepeatedNgrams.repeatedSpans(Tables.documents(s, d),
+        "text", "doc_id", n = 4, minCount = 2)
+        .orderBy("doc_id", "span_start"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             |        array_to_string(list_slice(w, i, i + 3), ' ') AS gram
+             |      FROM t, UNNEST(generate_series(1, len(w) - 3)) AS u(i)),
+             |hot AS (SELECT gram FROM g GROUP BY 1 HAVING COUNT(*) >= 2),
+             |hits AS (SELECT g.doc_id, g.pos FROM g JOIN hot USING (gram)),
+             |marked AS (SELECT doc_id, pos,
+             |    MAX(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+             |  FROM hits),
+             |grp AS (SELECT doc_id, pos,
+             |    SUM(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY doc_id ORDER BY pos
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g_id
+             |  FROM marked)
+             |SELECT doc_id, MIN(pos) AS span_start, MAX(pos + 4) AS span_end,
+             |  CAST(MAX(pos + 4) - MIN(pos) AS BIGINT) AS span_tokens,
+             |  CAST(COUNT(*) AS BIGINT) AS n_grams
+             |FROM grp GROUP BY doc_id, g_id ORDER BY doc_id, span_start""".stripMargin)),
 
     // XQ16: multimodal feature extraction — mapPartitions over binary
     // payloads with a stubbed decoder; rows-only check (not SQL-expressible).
