@@ -116,6 +116,48 @@ object Similarity {
       .agg(max_by(col("cid"), col("csim")).as("cluster"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): k-means-cluster the
+    * embedding space, then search for semantic duplicates ONLY within each
+    * cluster — the cluster partitioning turns the O(N²) all-pairs search
+    * into k independent O((N/k)²) searches. k grows with corpus size, so
+    * per-cluster work stays bounded and the within-cluster self-join is an
+    * ordinary shuffle keyed by cluster id (no product over the corpus).
+    * Pairs with cosine >= threshold are semantic duplicates; the smallest
+    * id of each pair survives (deterministic stand-in for the paper's
+    * keep-farthest-from-centroid rule).
+    *
+    * Returns the REMOVED rows: (id, cluster, dup_of = smallest flagging
+    * survivor-candidate, n_dups = flagging pairs, max_sim).
+    */
+  def semDedup(emb: DataFrame, vecCol: String, idCol: String, k: Int,
+      iters: Int, threshold: Double): DataFrame = {
+    val cents = kmeansFit(emb, vecCol, idCol, k, iters)
+      .groupBy("cluster")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("centroid_val")))),
+        x => x.getField("centroid_val")).as("cvec"))
+    val assigned = assignToCentroids(emb, vecCol, idCol, cents)
+      .select(col(idCol), col("cluster"))
+    val v = emb.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
+      .join(assigned, Seq(idCol))
+    v.select(col("cluster"), col(idCol).as("_ida"), col("_v").as("_va"))
+      .join(v.select(col("cluster"), col(idCol).as("_idb"), col("_v").as("_vb")),
+        Seq("cluster"))
+      .where(col("_ida") < col("_idb"))
+      .select(col("cluster"), col("_ida"), col("_idb"),
+        VectorFunctions.cosine(col("_va"), col("_vb")).as("_sim"))
+      .where(col("_sim") >= threshold)
+      .groupBy(col("_idb").as(idCol), col("cluster"))
+      .agg(min(col("_ida")).as("dup_of"), count(lit(1)).as("n_dups"),
+        max(col("_sim")).as("max_sim"))
+  }
+
+  /** The corpus [[semDedup]] keeps: everything not flagged as removed. */
+  def semDedupSurvivors(emb: DataFrame, vecCol: String, idCol: String,
+      k: Int, iters: Int, threshold: Double): DataFrame =
+    emb.join(semDedup(emb, vecCol, idCol, k, iters, threshold).select(idCol),
+      Seq(idCol), "left_anti")
+
   /** Random-hyperplane LSH bucketing: plane p's side bit = sign of
     * dot(v, plane_p); bucket = the nPlanes-bit signature. The plane set is
     * deterministic — embeddings with id 1..nPlanes, which for this corpus

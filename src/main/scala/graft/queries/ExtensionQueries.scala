@@ -42,7 +42,17 @@ object ExtensionQueries {
     * CTEs: assign (argmax cosine, min-cluster tie-break as max-then-filter),
     * update (1e-6-quantized integer sums / count).
     */
-  private def kmeansOracle(k: Int, iters: Int): String = {
+  private def kmeansOracle(k: Int, iters: Int): String =
+    s"""${kmeansCtes(k, iters)}
+       |SELECT cluster, dim, CAST(s AS DOUBLE) / (1000000.0 * cnt) AS centroid_val,
+       |       CAST(cnt AS BIGINT) AS n_members
+       |FROM s$iters ORDER BY cluster, dim""".stripMargin
+
+  /** The CTE chain of [[kmeansOracle]] alone (ends with s<iters> holding the
+    * final quantized coordinate sums) — shared with the SemDeDup oracle,
+    * which keeps clustering from there.
+    */
+  private def kmeansCtes(k: Int, iters: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
               |c0 AS (SELECT vec_id AS cluster, v AS cvec FROM e ORDER BY vec_id LIMIT $k)""".stripMargin
@@ -65,10 +75,6 @@ object ExtensionQueries {
                 |          list(CAST(s AS DOUBLE) / (1000000.0 * cnt) ORDER BY dim) AS cvec
                 |        FROM s$i GROUP BY 1)""".stripMargin
     }
-    sb ++= s"""
-              |SELECT cluster, dim, CAST(s AS DOUBLE) / (1000000.0 * cnt) AS centroid_val,
-              |       CAST(cnt AS BIGINT) AS n_members
-              |FROM s$iters ORDER BY cluster, dim""".stripMargin
     sb.toString
   }
 
@@ -949,6 +955,34 @@ object ExtensionQueries {
              |  CAST(MAX(pos + 4) - MIN(pos) AS BIGINT) AS span_tokens,
              |  CAST(COUNT(*) AS BIGINT) AS n_grams
              |FROM grp GROUP BY doc_id, g_id ORDER BY doc_id, span_start""".stripMargin)),
+
+    // XQ47: SemDeDup — semantic dedup searched only WITHIN k-means
+    // clusters (xq41's trainer); the oracle extends the same unrolled
+    // Lloyd's CTEs with final-centroid assignment + in-cluster pairs.
+    QueryDef("xq47_semdedup",
+      (s, d) => Similarity.semDedup(Tables.embeddings(s, d),
+        "embedding", "vec_id", k = 8, iters = 2, threshold = 0.25d)
+        .orderBy("vec_id"),
+      Some(s"""${kmeansCtes(k = 8, iters = 2)},
+              |cf AS (SELECT cluster,
+              |         list(CAST(s AS DOUBLE) / (1000000.0 * cnt) ORDER BY dim) AS cvec
+              |       FROM s2 GROUP BY 1),
+              |af AS (SELECT e.vec_id, c.cluster, ${oCos("e.v", "c.cvec")} AS csim
+              |       FROM e, cf c),
+              |mf AS (SELECT vec_id, MAX(csim) AS ms FROM af GROUP BY 1),
+              |gf AS (SELECT a.vec_id, MIN(a.cluster) AS cluster
+              |       FROM af a JOIN mf m ON a.vec_id = m.vec_id AND a.csim = m.ms
+              |       GROUP BY 1),
+              |pairs AS (SELECT ga.cluster, ga.vec_id AS ida, gb.vec_id AS idb,
+              |            ${oCos("ea.v", "eb.v")} AS sim
+              |          FROM gf ga JOIN gf gb
+              |            ON ga.cluster = gb.cluster AND ga.vec_id < gb.vec_id
+              |          JOIN e ea ON ea.vec_id = ga.vec_id
+              |          JOIN e eb ON eb.vec_id = gb.vec_id
+              |          WHERE ${oCos("ea.v", "eb.v")} >= 0.25)
+              |SELECT idb AS vec_id, cluster, MIN(ida) AS dup_of,
+              |  CAST(COUNT(*) AS BIGINT) AS n_dups, MAX(sim) AS max_sim
+              |FROM pairs GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
 
     // XQ16: multimodal feature extraction — mapPartitions over binary
     // payloads with a stubbed decoder; rows-only check (not SQL-expressible).

@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** SemDeDup behavior on constructed embeddings (xq47 pins corpus values).
+  * Two well-separated directions; duplicates planted inside one of them.
+  */
+class SemDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ids 1,2 seed the two k-means clusters (x-ish and y-ish directions);
+  // 3 ≈ 1 (near-dup), 4 = exact copy of 3, 5 is y-ish but not a dup of 2.
+  private val vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.05f)),
+    (2L, Array(0.0f, 1.0f, 0.05f)),
+    (3L, Array(0.99f, 0.02f, 0.05f)),
+    (4L, Array(0.99f, 0.02f, 0.05f)),
+    (5L, Array(0.1f, 0.9f, -0.6f))).toDF("vec_id", "embedding")
+
+  test("in-cluster near-dups removed, min id survives, distinct members kept") {
+    val removed = Similarity.semDedup(vecs, "embedding", "vec_id",
+      k = 2, iters = 1, threshold = 0.98d)
+      .orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // cluster of 1: {1,3,4} all pairwise >= 0.98 -> 3 and 4 removed, both
+    // trace to survivor 1; cluster of 2: {2,5} below threshold -> kept.
+    assert(removed.toSeq == Seq((3L, 1L, 1L), (4L, 1L, 1L)))
+  }
+
+  test("survivors are the complement of the removed set") {
+    val kept = Similarity.semDedupSurvivors(vecs, "embedding", "vec_id",
+      k = 2, iters = 1, threshold = 0.98d)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 5L))
+  }
+
+  test("cross-cluster near-dups are NOT flagged (the approximation semantics)") {
+    // 10 sits exactly between the clusters but lands in one of them; its
+    // twin 11 lands in the same cluster (same vector, same assignment), so
+    // equal vectors are always co-clustered and DO get flagged — the only
+    // missed pairs are similar-but-unequal vectors split by the boundary.
+    val withTwin = vecs.union(Seq(
+      (10L, Array(0.7f, 0.7f, 0.0f)),
+      (11L, Array(0.7f, 0.7f, 0.0f))).toDF("vec_id", "embedding"))
+    val removed = Similarity.semDedup(withTwin, "embedding", "vec_id",
+      k = 2, iters = 1, threshold = 0.98d)
+      .select("vec_id").as[Long].collect().toSet
+    assert(removed.contains(11L) && !removed.contains(10L))
+  }
+}
