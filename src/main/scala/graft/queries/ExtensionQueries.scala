@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{TextFunctions, UrlFunctions}
-import graft.operators.{Chunking, Decontamination, Dedup, Multimodal, Ranking, Redaction, RepeatedNgrams, Sampling, Similarity, TextStats, Vocabulary}
+import graft.operators.{Chunking, Decontamination, Dedup, Multimodal, NgramLm, Ranking, Redaction, RepeatedNgrams, Sampling, Similarity, TextStats, Vocabulary}
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2.4 XQ* — the LLM-data-pipeline operator surface (north star):
@@ -983,6 +983,40 @@ object ExtensionQueries {
               |SELECT idb AS vec_id, cluster, MIN(ida) AS dup_of,
               |  CAST(COUNT(*) AS BIGINT) AS n_dups, MAX(sim) AS max_sim
               |FROM pairs GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
+
+    // XQ48: bigram-LM quality scoring (the CCNet recipe) — LM trained on
+    // the src0 reference split, every other doc scored by add-one-smoothed
+    // negative log-likelihood; per-term 1e-6-nat quantization before the
+    // integer sum makes the score order-free (see NgramLm).
+    QueryDef("xq48_lm_quality",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        NgramLm.scoreDocs(
+          docs.where(col("source") === "src0"),
+          docs.where(col("source") =!= "src0"),
+          "text", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+             |bg AS (SELECT doc_id, source, w[i] AS w1, w[i+1] AS w2
+             |       FROM t, UNNEST(generate_series(1, len(w) - 1)) AS u(i)),
+             |c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+             |        FROM bg WHERE source = 'src0' GROUP BY 1, 2),
+             |c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+             |v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM
+             |        (SELECT unnest(string_split(text, ' ')) AS tok
+             |         FROM documents WHERE source = 'src0')),
+             |q AS (SELECT bg.doc_id,
+             |        CAST(floor(-ln(CAST(COALESCE(c12.c12, 0) + 1 AS DOUBLE)
+             |                       / CAST(COALESCE(c1.c1, 0) + v.v AS DOUBLE))
+             |             * 1000000 + 0.5) AS BIGINT) AS q
+             |      FROM bg LEFT JOIN c12 ON bg.w1 = c12.w1 AND bg.w2 = c12.w2
+             |              LEFT JOIN c1 ON bg.w1 = c1.w1, v
+             |      WHERE bg.source <> 'src0')
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             |  CAST(SUM(q) AS BIGINT) AS nll_q,
+             |  CAST(SUM(q) AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS DOUBLE) AS avg_nll
+             |FROM q GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // XQ16: multimodal feature extraction — mapPartitions over binary
     // payloads with a stubbed decoder; rows-only check (not SQL-expressible).
