@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{TextFunctions, UrlFunctions}
-import graft.operators.{Chunking, Decontamination, Dedup, Multimodal, NgramLm, Ranking, Redaction, RepeatedNgrams, Sampling, Similarity, TextStats, Vocabulary}
+import graft.operators.{Chunking, Decontamination, Dedup, Multimodal, NgramLm, QualityClassifier, Ranking, Redaction, RepeatedNgrams, Sampling, Similarity, TextStats, Vocabulary}
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2.4 XQ* — the LLM-data-pipeline operator surface (north star):
@@ -1017,6 +1017,32 @@ object ExtensionQueries {
              |  CAST(SUM(q) AS BIGINT) AS nll_q,
              |  CAST(SUM(q) AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS DOUBLE) AS avg_nll
              |FROM q GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // XQ49: hashed-feature linear quality classifier — fastText-style
+    // keep/drop inference over md5-bucketed unigram+bigram features with a
+    // broadcast milli-weight table (deterministic stand-in weights).
+    QueryDef("xq49_quality_classifier",
+      (s, d) => QualityClassifier.score(Tables.documents(s, d),
+        "text", "doc_id",
+        QualityClassifier.defaultWeights(s, nBuckets = 256), nBuckets = 256)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |f AS (SELECT doc_id, unnest(w) AS feat FROM t
+             |      UNION ALL
+             |      SELECT doc_id, w[i] || ' ' || w[i+1] AS feat
+             |      FROM t, UNNEST(generate_series(1, len(w) - 1)) AS u(i)),
+             |wt AS (SELECT CAST(range AS BIGINT) AS bucket,
+             |         CAST((range * 37 + 11) % 1999 - 999 AS BIGINT) AS w_m
+             |       FROM range(256)),
+             |b AS (SELECT doc_id,
+             |        CAST('0x' || substr(md5(feat), 1, 15) AS BIGINT) % 256 AS bucket
+             |      FROM f)
+             |SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+             |  CAST(SUM(COALESCE(wt.w_m, 0)) AS BIGINT) AS margin_m,
+             |  CAST(SUM(COALESCE(wt.w_m, 0)) AS DOUBLE) / 1000.0
+             |    / CAST(COUNT(*) AS DOUBLE) AS score,
+             |  CASE WHEN SUM(COALESCE(wt.w_m, 0)) > 0 THEN 'keep' ELSE 'drop' END AS label
+             |FROM b LEFT JOIN wt USING (bucket) GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // XQ16: multimodal feature extraction — mapPartitions over binary
     // payloads with a stubbed decoder; rows-only check (not SQL-expressible).
