@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BPE merge training (Sennrich et al. 2016) — the tokenizer-training stage
+  * of a data pipeline, in the shape real trainers use at scale: ONE corpus
+  * pass aggregates word frequencies, then every merge iteration runs over
+  * the distinct-word table only (vocabulary is metadata-scale: bounded by
+  * language, not corpus size — the same argument as [[Vocabulary]]).
+  *
+  * Words are kept as space-separated symbol strings (" l o w e r " with
+  * sentinel spaces); a merge rewrites them with a LITERAL replace — both
+  * Spark's `replace` and DuckDB's replace substitute leftmost
+  * non-overlapping occurrences, so greedy BPE merging ("a a a" + (a,a) →
+  * "aa a") is identical across engines, with no regex-metacharacter
+  * hazards. Pair selection is max count with smallest-(left,right)
+  * lexicographic tie-break, computed as max-then-filter-then-min (the
+  * k-means argmax discipline — no order-dependent reduction anywhere).
+  */
+object Bpe {
+
+  /** Distinct words with frequencies and initial character-symbol strings.
+    * The only corpus-scale operation: one explode + one hash aggregation
+    * keyed by word.
+    */
+  def wordTable(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(col("word"), col("freq"),
+        concat(lit(" "),
+          concat_ws(" ", split(col("word"), "")), lit(" ")).as("syms"))
+
+  /** Pair counts over the current symbolization, weighted by word freq. */
+  private def pairCounts(words: DataFrame): DataFrame = {
+    val syms = split(trim(col("syms")), " ")
+    words
+      .select(col("freq"), explode(
+        arrays_zip(slice(syms, lit(1), size(syms) - 1).as("l"),
+          slice(syms, lit(2), size(syms) - 1).as("r"))).as("p"))
+      .groupBy(col("p.l").as("left"), col("p.r").as("right"))
+      .agg(sum(col("freq")).as("cnt"))
+  }
+
+  /** Run `merges` BPE iterations over the corpus; returns the merge table
+    * (step [1-based], left, right, pair_count) — the artifact a tokenizer
+    * ships. Deterministic under any partitioning.
+    */
+  def fit(docs: DataFrame, textCol: String, merges: Int): DataFrame =
+    train(docs, textCol, merges)._1
+
+  private def train(docs: DataFrame, textCol: String, merges: Int)
+      : (DataFrame, DataFrame) = {
+    require(merges >= 1, s"need merges >= 1, got $merges")
+    var words = wordTable(docs, textCol)
+    var out: DataFrame = null
+    for (step <- 1 to merges) {
+      val pc = pairCounts(words)
+      val best = pc
+        .crossJoin(broadcast(pc.agg(max(col("cnt")).as("_mx"))))
+        .where(col("cnt") === col("_mx"))
+        .agg(min(struct(col("left"), col("right"), col("cnt"))).as("b"))
+        .select(col("b.left").as("left"), col("b.right").as("right"),
+          col("b.cnt").as("pair_count"), lit(step.toLong).as("step"))
+      val stepOut = best.select(col("step"), col("left"), col("right"), col("pair_count"))
+      out = if (out == null) stepOut else out.unionByName(stepOut)
+      words = words
+        .crossJoin(broadcast(best))
+        .select(col("word"), col("freq"),
+          replace(col("syms"),
+            concat(lit(" "), col("left"), lit(" "), col("right"), lit(" ")),
+            concat(lit(" "), col("left"), col("right"), lit(" "))).as("syms"))
+    }
+    (out, words)
+  }
+
+  /** Symbolization of every word after [[fit]]'s merges — the trained
+    * tokenizer applied back to the vocabulary (join a corpus token stream
+    * against this to tokenize at scale).
+    */
+  def symbolized(docs: DataFrame, textCol: String, merges: Int): DataFrame =
+    train(docs, textCol, merges)._2
+      .select(col("word"), col("freq"), trim(col("syms")).as("syms"))
+}

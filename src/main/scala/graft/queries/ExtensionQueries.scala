@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{TextFunctions, UrlFunctions}
-import graft.operators.{Chunking, Decontamination, Dedup, Multimodal, NgramLm, QualityClassifier, Ranking, Redaction, RepeatedNgrams, Sampling, Similarity, TextStats, Vocabulary}
+import graft.operators.{Bpe, Chunking, Decontamination, Dedup, Multimodal, NgramLm, QualityClassifier, Ranking, Redaction, RepeatedNgrams, Sampling, Similarity, TextStats, Vocabulary}
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2.4 XQ* — the LLM-data-pipeline operator surface (north star):
@@ -37,6 +37,34 @@ object ExtensionQueries {
     */
   private def oCos(a: String, b: String): String =
     s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"
+
+  /** DuckDB twin of Bpe.fit/symbolized — merge iterations unrolled as CTEs:
+    * weighted pair counts, max-count argmax with smallest-(l,r) tie-break,
+    * literal-replace rewrite of the symbol strings.
+    */
+  private def bpeOracle(merges: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH w0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+             |    ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS syms
+             |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+             |  WHERE len(word) > 0 GROUP BY word)""".stripMargin
+    for (i <- 1 to merges) {
+      sb ++= s""",
+               |p$i AS (SELECT s.l, s.r, CAST(SUM(s.freq) AS BIGINT) AS cnt FROM (
+               |    SELECT t.freq, t.a[u.i] AS l, t.a[u.i + 1] AS r
+               |    FROM (SELECT freq, string_split(trim(syms), ' ') AS a FROM w${i - 1}) t,
+               |         UNNEST(generate_series(1, len(t.a) - 1)) AS u(i)) s
+               |  GROUP BY 1, 2),
+               |b$i AS (SELECT l, r FROM p$i WHERE cnt = (SELECT MAX(cnt) FROM p$i)
+               |        ORDER BY l, r LIMIT 1),
+               |w$i AS (SELECT word, freq,
+               |    replace(syms, ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' ') AS syms
+               |  FROM w${i - 1}, b$i b)""".stripMargin
+    }
+    sb ++= s"""
+             |SELECT word, freq, trim(syms) AS syms FROM w$merges ORDER BY word""".stripMargin
+    sb.toString
+  }
 
   /** DuckDB twin of Similarity.kmeansFit — Lloyd's iterations unrolled as
     * CTEs: assign (argmax cosine, min-cluster tie-break as max-then-filter),
@@ -1043,6 +1071,14 @@ object ExtensionQueries {
              |    / CAST(COUNT(*) AS DOUBLE) AS score,
              |  CASE WHEN SUM(COALESCE(wt.w_m, 0)) > 0 THEN 'keep' ELSE 'drop' END AS label
              |FROM b LEFT JOIN wt USING (bucket) GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // XQ50: BPE tokenizer training (4 merge iterations) — the vocabulary
+    // symbolized by the learned merges; the oracle unrolls each iteration
+    // (pair count → argmax with lexicographic tie-break → literal replace).
+    QueryDef("xq50_bpe",
+      (s, d) => Bpe.symbolized(Tables.documents(s, d), "text", merges = 4)
+        .orderBy("word"),
+      Some(bpeOracle(merges = 4))),
 
     // XQ16: multimodal feature extraction — mapPartitions over binary
     // payloads with a stubbed decoder; rows-only check (not SQL-expressible).
