@@ -1080,6 +1080,52 @@ object ExtensionQueries {
         .orderBy("word"),
       Some(bpeOracle(merges = 4))),
 
+    // XQ51: per-source corpus audit — the pipeline report a curation run
+    // emits per ingest source: volume, exact-dup rate, mean length and
+    // quality (quality quantized to 1e-6 per doc before the integer sum,
+    // the standard order-free aggregation discipline).
+    QueryDef("xq51_source_audit",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val stats = TextStats.withScores(TextStats.perDoc(docs, "text", "doc_id"))
+          .select(col("doc_id"), col("n_tokens"), col("quality"))
+        docs.select(col("doc_id"), col("source"), col("text"))
+          .join(stats, "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            countDistinct(col("text")).as("n_distinct_texts"),
+            sum(floor(col("quality") * lit(1e6) + lit(0.5)).cast("long")).as("_qq"))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            col("n_distinct_texts"),
+            (lit(1.0d) - col("n_distinct_texts").cast("double") /
+              col("n_docs").cast("double")).as("dup_rate"),
+            (col("n_tokens").cast("double") / col("n_docs").cast("double"))
+              .as("avg_tokens"),
+            (col("_qq").cast("double") / lit(1e6) / col("n_docs").cast("double"))
+              .as("avg_quality"))
+          .orderBy("source")
+      },
+      Some("""WITH q AS (SELECT doc_id, source, text,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |    (LEAST(nt / 100.0, 1.0)
+             |     + LEAST(((CAST(LENGTH(text) AS DOUBLE) - (nt - 1)) / nt) / 8.0, 1.0)
+             |     + LEAST((ns / nt) * 5.0, 1.0)) / 3.0 AS quality
+             |  FROM (SELECT doc_id, source, text,
+             |    CAST(len(string_split(text,' ')) AS DOUBLE) AS nt,
+             |    CAST(len(list_filter(string_split(text,' '),
+             |         t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE) AS ns
+             |    FROM documents))
+             |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             |  CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+             |  1.0 - CAST(COUNT(DISTINCT text) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             |    AS dup_rate,
+             |  CAST(SUM(n_tokens) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_tokens,
+             |  CAST(SUM(CAST(floor(quality * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+             |    / 1000000.0 / CAST(COUNT(*) AS DOUBLE) AS avg_quality
+             |FROM q GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // XQ16: multimodal feature extraction — mapPartitions over binary
     // payloads with a stubbed decoder; rows-only check (not SQL-expressible).
     QueryDef("xq16_multimodal_features",
