@@ -50,29 +50,40 @@ object Bpe {
   def fit(docs: DataFrame, textCol: String, merges: Int): DataFrame =
     train(docs, textCol, merges)._1
 
+  /** The corpus is scanned ONCE ([[wordTable]], persisted); every merge
+    * iteration then runs on the cached vocabulary and collects exactly one
+    * row (the winning pair) to the driver — bounded driver state, the
+    * standard coordination shape of distributed BPE trainers. Without the
+    * persist each iteration would lazily recompute the whole corpus pass
+    * (M extra full scans at 100 TB).
+    */
   private def train(docs: DataFrame, textCol: String, merges: Int)
       : (DataFrame, DataFrame) = {
     require(merges >= 1, s"need merges >= 1, got $merges")
-    var words = wordTable(docs, textCol)
-    var out: DataFrame = null
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = wordTable(docs, textCol).persist()
+    val mergeRows = Seq.newBuilder[(Long, String, String, Long)]
     for (step <- 1 to merges) {
       val pc = pairCounts(words)
       val best = pc
         .crossJoin(broadcast(pc.agg(max(col("cnt")).as("_mx"))))
         .where(col("cnt") === col("_mx"))
         .agg(min(struct(col("left"), col("right"), col("cnt"))).as("b"))
-        .select(col("b.left").as("left"), col("b.right").as("right"),
-          col("b.cnt").as("pair_count"), lit(step.toLong).as("step"))
-      val stepOut = best.select(col("step"), col("left"), col("right"), col("pair_count"))
-      out = if (out == null) stepOut else out.unionByName(stepOut)
-      words = words
-        .crossJoin(broadcast(best))
-        .select(col("word"), col("freq"),
-          replace(col("syms"),
-            concat(lit(" "), col("left"), lit(" "), col("right"), lit(" ")),
-            concat(lit(" "), col("left"), col("right"), lit(" "))).as("syms"))
+        .select(col("b.left"), col("b.right"), col("b.cnt"))
+        .collect().head
+      if (!best.isNullAt(0)) { // no pairs left: every word is one symbol
+        val (l, r) = (best.getString(0), best.getString(1))
+        mergeRows += ((step.toLong, l, r, best.getLong(2)))
+        val next = words.select(col("word"), col("freq"),
+          replace(col("syms"), lit(s" $l $r "), lit(s" $l$r ")).as("syms"))
+          .persist()
+        next.count()
+        words.unpersist()
+        words = next
+      }
     }
-    (out, words)
+    (mergeRows.result().toDF("step", "left", "right", "pair_count"), words)
   }
 
   /** Symbolization of every word after [[fit]]'s merges — the trained
