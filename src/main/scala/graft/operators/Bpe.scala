@@ -93,4 +93,24 @@ object Bpe {
   def symbolized(docs: DataFrame, textCol: String, merges: Int): DataFrame =
     train(docs, textCol, merges)._2
       .select(col("word"), col("freq"), trim(col("syms")).as("syms"))
+
+  /** Apply the trained tokenizer to the corpus: per-doc subword statistics
+    * via a BROADCAST join of the token stream against the symbolized
+    * vocabulary — the vocabulary is bounded by language, not corpus size
+    * (the [[Vocabulary]] argument), so tokenization is a map-side pass with
+    * one doc-keyed aggregation shuffle.
+    */
+  def tokenize(docs: DataFrame, textCol: String, idCol: String,
+      merges: Int): DataFrame = {
+    val vocab = symbolized(docs, textCol, merges)
+      .select(col("word"), size(split(col("syms"), " ")).cast("long").as("_units"))
+    docs.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .where(length(col("word")) > 0)
+      .join(broadcast(vocab), "word")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("_units")).as("n_units"))
+      .select(col(idCol), col("n_words"), col("n_units"),
+        (col("n_units").cast("double") / col("n_words").cast("double"))
+          .as("units_per_word"))
+  }
 }

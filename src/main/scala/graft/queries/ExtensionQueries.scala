@@ -42,7 +42,15 @@ object ExtensionQueries {
     * weighted pair counts, max-count argmax with smallest-(l,r) tie-break,
     * literal-replace rewrite of the symbol strings.
     */
-  private def bpeOracle(merges: Int): String = {
+  private def bpeOracle(merges: Int): String =
+    s"""${bpeCtes(merges)}
+       |SELECT word, freq, trim(syms) AS syms FROM w$merges ORDER BY word""".stripMargin
+
+  /** The CTE chain of [[bpeOracle]] alone (ends with w<merges> holding the
+    * fully merged symbolizations) — shared with the tokenizer-application
+    * oracle.
+    */
+  private def bpeCtes(merges: Int): String = {
     val sb = new StringBuilder
     sb ++= """WITH w0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
              |    ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS syms
@@ -61,8 +69,6 @@ object ExtensionQueries {
                |    replace(syms, ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' ') AS syms
                |  FROM w${i - 1}, b$i b)""".stripMargin
     }
-    sb ++= s"""
-             |SELECT word, freq, trim(syms) AS syms FROM w$merges ORDER BY word""".stripMargin
     sb.toString
   }
 
@@ -1125,6 +1131,24 @@ object ExtensionQueries {
              |  CAST(SUM(CAST(floor(quality * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
              |    / 1000000.0 / CAST(COUNT(*) AS DOUBLE) AS avg_quality
              |FROM q GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // XQ52: trained-BPE tokenization — the apply side of xq50: corpus token
+    // stream broadcast-joined against the symbolized vocabulary, per-doc
+    // subword statistics.
+    QueryDef("xq52_bpe_tokenize",
+      (s, d) => Bpe.tokenize(Tables.documents(s, d), "text", "doc_id",
+        merges = 4)
+        .orderBy("doc_id"),
+      Some(s"""${bpeCtes(merges = 4)},
+              |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              |        FROM documents),
+              |j AS (SELECT t.doc_id,
+              |        CAST(len(string_split(trim(w.syms), ' ')) AS BIGINT) AS units
+              |      FROM tok t JOIN w4 w USING (word) WHERE len(t.word) > 0)
+              |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+              |  CAST(SUM(units) AS BIGINT) AS n_units,
+              |  CAST(SUM(units) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS units_per_word
+              |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // XQ16: multimodal feature extraction — mapPartitions over binary
     // payloads with a stubbed decoder; rows-only check (not SQL-expressible).

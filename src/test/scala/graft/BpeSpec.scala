@@ -37,6 +37,16 @@ class BpeSpec extends SparkSpec {
     assert(syms("aaa", 2).head == (("aaa", 1L, "aaa")))
   }
 
+  test("tokenize applies the learned merges to the corpus stream") {
+    val docs = Seq((1L, "ab ab ab ac")).toDF("doc_id", "text")
+    // after 1 merge (a,b): ab -> 1 unit, ac -> "a c" = 2 units
+    val one = Bpe.tokenize(docs, "text", "doc_id", merges = 1).collect().head
+    assert((one.getLong(1), one.getLong(2), one.getDouble(3)) == ((4L, 5L, 1.25d)))
+    // after 2 merges both words are single units
+    val two = Bpe.tokenize(docs, "text", "doc_id", merges = 2).collect().head
+    assert((two.getLong(1), two.getLong(2), two.getDouble(3)) == ((4L, 4L, 1.0d)))
+  }
+
   test("training is stable under input repartitioning") {
     val docs = Tables.documents(spark, sf)
     val a = Bpe.fit(docs, "text", 3)
