@@ -221,6 +221,72 @@ object Similarity {
       .limit(k)
   }
 
+  /** Scalar int8 quantization (the FAISS "SQ8" regime): each dimension is
+    * affinely mapped to a byte via the corpus per-dim [min,max] range — a 4x
+    * storage/scan-bandwidth cut (float32 → int8) that preserves ranking to
+    * within half a quantization step per dim. "Training" is one narrow
+    * posexplode + dims-row aggregate; the 2×dims stats arrays broadcast, so
+    * encoding is map-only. Returns (mns, scs) as single-row arrays.
+    *
+    * Determinism: min/max are comparisons (order-free) and the affine map is
+    * elementwise IEEE — no accumulation anywhere, so codes and decoded
+    * vectors are identical across engines and partitionings.
+    */
+  def sq8Stats(emb: DataFrame, vecCol: String): DataFrame =
+    emb.select(posexplode(col(vecCol).cast("array<double>")).as(Seq("dim0", "x")))
+      .groupBy("dim0")
+      .agg(min("x").as("mn"), max("x").as("mx"))
+      .groupBy()
+      .agg(
+        transform(array_sort(collect_list(struct(col("dim0"), col("mn")))),
+          s => s.getField("mn")).as("mns"),
+        transform(array_sort(collect_list(struct(col("dim0"), col("mx")))),
+          s => s.getField("mx")).as("mxs"))
+      .select(col("mns"),
+        zip_with(col("mxs"), col("mns"),
+          (mx, mn) => when(mx > mn, (mx - mn) / lit(255.0)).otherwise(lit(1.0)))
+          .as("scs"))
+
+  /** Encode against [[sq8Stats]]: (id, codes: array<tinyint> storing
+    * code−128, dv: the decoded vector mn + code·sc used by search). Search
+    * over `dv` composes with [[ivfTopK]]/[[lshTopK]] bucketing — the
+    * IVF-SQ8 index shape.
+    */
+  def sq8Encode(emb: DataFrame, vecCol: String, idCol: String): DataFrame = {
+    def codeOf(x: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) = {
+      val mn = element_at(col("mns"), i + 1)
+      val sc = element_at(col("scs"), i + 1)
+      least(greatest(floor((x - mn) / sc + lit(0.5)), lit(0.0)), lit(255.0))
+    }
+    emb.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
+      .crossJoin(broadcast(sq8Stats(emb, vecCol)))
+      .select(col(idCol),
+        transform(col("_v"), (x, i) => (codeOf(x, i) - lit(128)).cast("byte"))
+          .as("codes"),
+        transform(col("_v"), (x, i) =>
+          element_at(col("mns"), i + 1) + codeOf(x, i) * element_at(col("scs"), i + 1))
+          .as("dv"))
+  }
+
+  /** SQ8 asymmetric-style top-k: rank by cosine over decoded vectors (ADC),
+    * reporting the exact cosine alongside for error inspection.
+    */
+  def sq8TopK(emb: DataFrame, vecCol: String, idCol: String,
+      queryId: Long, k: Int): DataFrame = {
+    val enc = sq8Encode(emb, vecCol, idCol).select(col(idCol), col("dv"))
+    val exact = emb.select(col(idCol), col(vecCol).cast("array<double>").as("_ev"))
+    val both = enc.join(exact, idCol)
+    val q = both.where(col(idCol) === queryId)
+      .select(col("dv").as("q_dv"), col("_ev").as("q_ev"))
+    both.where(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        VectorFunctions.cosine(col("dv"), col("q_dv")).as("adc_sim"),
+        VectorFunctions.cosine(col("_ev"), col("q_ev")).as("exact_sim"))
+      .orderBy(col("adc_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** IVF top-k: probe only the query's cluster. Approximate — recall depends
     * on nCentroids/probes; exact within the probed cluster.
     */

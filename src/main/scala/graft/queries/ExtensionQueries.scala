@@ -1150,6 +1150,34 @@ object ExtensionQueries {
               |  CAST(SUM(units) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS units_per_word
               |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // XQ53: int8 scalar-quantized similarity (FAISS SQ8 regime) — per-dim
+    // [min,max] affine byte codes, search over DECODED vectors (ADC), exact
+    // cosine reported alongside. 4x scan-bandwidth cut with no change in
+    // search shape; composes with IVF/LSH bucketing for the IVF-SQ8 index.
+    // Every step is comparison or elementwise IEEE (no accumulation), so the
+    // oracle hash-matches bit-exactly through the sequential-fold cosine.
+    QueryDef("xq53_sq8_topk",
+      (s, d) => Similarity.sq8TopK(Tables.embeddings(s, d), "embedding",
+        "vec_id", queryId = 42L, k = 10),
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |x AS (SELECT vec_id, CAST(u.i AS BIGINT) AS dim, e.v[u.i] AS xv
+              |      FROM e, UNNEST(generate_series(1, len(e.v))) AS u(i)),
+              |d AS (SELECT dim, MIN(xv) AS mn, MAX(xv) AS mx FROM x GROUP BY 1),
+              |st AS (SELECT dim, mn,
+              |         CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 1.0 END AS sc
+              |       FROM d),
+              |dec AS (SELECT vec_id,
+              |          list(mn + LEAST(GREATEST(floor((xv - mn) / sc + 0.5), 0.0), 255.0) * sc
+              |               ORDER BY dim) AS dv
+              |        FROM x JOIN st USING (dim) GROUP BY 1),
+              |q AS (SELECT d1.dv AS qdv, e1.v AS qev
+              |      FROM dec d1 JOIN e e1 USING (vec_id) WHERE vec_id = 42)
+              |SELECT dec.vec_id, ${oCos("dec.dv", "q.qdv")} AS adc_sim,
+              |       ${oCos("e.v", "q.qev")} AS exact_sim
+              |FROM dec JOIN e USING (vec_id), q
+              |WHERE vec_id <> 42
+              |ORDER BY adc_sim DESC, vec_id LIMIT 10""".stripMargin)),
+
     // XQ16: multimodal feature extraction — mapPartitions over binary
     // payloads with a stubbed decoder; rows-only check (not SQL-expressible).
     QueryDef("xq16_multimodal_features",

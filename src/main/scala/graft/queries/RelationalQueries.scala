@@ -427,6 +427,52 @@ object RelationalQueries {
              |  ON e.user_id + 1 = o.o_custkey AND e.ts >= o.o_orderdate
              |ORDER BY e.event_id""".stripMargin)),
 
+    // RQ29: interval overlap join — audit windows (30 days from every
+    // 997th order's date) against lineitem "transit intervals"
+    // [shipdate, shipdate + quantity days]. The inequality-only join
+    // condition would plan as a product; graft.operators.RangeJoin bins the
+    // day domain (width 32) and equi-joins on the bin with canonical-bin
+    // exactly-once semantics. The oracle states the same join as the naive
+    // inequality join DuckDB can afford at oracle scale.
+    QueryDef("rq29_range_join",
+      (s, d) => {
+        val epoch = lit("1970-01-01").cast("date")
+        val w = Tables.orders(s, d)
+          .where(col("o_orderkey") % 997 === 0)
+          .select(col("o_orderkey").as("window_id"),
+            datediff(col("o_orderdate").cast("date"), epoch).cast("long").as("ws"))
+          .withColumn("we", col("ws") + lit(29L))
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"),
+            datediff(col("l_shipdate").cast("date"), epoch).cast("long").as("ls"),
+            floor(col("l_quantity")).as("qd"))
+          .withColumn("le", col("ls") + col("qd"))
+          .drop("qd")
+        graft.operators.RangeJoin.overlapJoin(li, w,
+          "ls", "le", "ws", "we", binWidth = 32L)
+          .groupBy("window_id")
+          .agg(count(lit(1)).as("n_lines"),
+            countDistinct(col("l_orderkey")).as("n_orders"),
+            min(col("ls")).as("first_ship_day"))
+          .orderBy("window_id")
+      },
+      Some("""WITH w AS (
+             |  SELECT o_orderkey AS window_id,
+             |         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS ws,
+             |         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) + 29 AS we
+             |  FROM orders WHERE o_orderkey % 997 = 0),
+             |l AS (
+             |  SELECT l_orderkey,
+             |         CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS ls,
+             |         CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+             |           + CAST(floor(l_quantity) AS BIGINT) AS le
+             |  FROM lineitem)
+             |SELECT w.window_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+             |       CAST(COUNT(DISTINCT l.l_orderkey) AS BIGINT) AS n_orders,
+             |       MIN(l.ls) AS first_ship_day
+             |FROM w JOIN l ON l.ls <= w.we AND w.ws <= l.le
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // RQ25: pivot — Spark's relational pivot operator; the oracle spells it
     // as portable conditional aggregation (same values, same columns).
     QueryDef("rq25_pivot",

@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.RangeJoin
+import org.apache.spark.sql.functions._
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pairs(df: org.apache.spark.sql.DataFrame) =
+    df.select("lid", "rid").as[(Long, Long)].collect().toSet
+
+  test("overlap join matches naive cross+filter ground truth") {
+    // Intervals engineered to hit: boundary touch (end == start), containment,
+    // spans over many bins, disjoint, negative coordinates.
+    val left = Seq(
+      (1L, 0L, 10L), (2L, 5L, 6L), (3L, 31L, 33L), (4L, -20L, -10L),
+      (5L, 100L, 400L), (6L, 64L, 64L)
+    ).toDF("lid", "ls", "le")
+    val right = Seq(
+      (10L, 10L, 12L), (11L, 7L, 8L), (12L, 0L, 200L), (13L, -15L, -12L),
+      (14L, 401L, 500L), (15L, 64L, 70L)
+    ).toDF("rid", "rs", "re")
+
+    val got = pairs(RangeJoin.overlapJoin(left, right, "ls", "le", "rs", "re", 8L))
+    val want = pairs(left.crossJoin(right)
+      .where(col("ls") <= col("re") && col("rs") <= col("le")))
+    assert(got == want, s"got $got want $want")
+    assert(want.contains((1L, 10L)), "inclusive boundary touch must match")
+    assert(want.contains((4L, 13L)), "negative-coordinate intervals must match")
+  }
+
+  test("each overlapping pair is emitted exactly once (no distinct needed)") {
+    // Both intervals span many shared bins; without the canonical-bin rule
+    // the pair would appear once per shared bin.
+    val left = Seq((1L, 0L, 100L)).toDF("lid", "ls", "le")
+    val right = Seq((2L, 1L, 99L)).toDF("rid", "rs", "re")
+    val out = RangeJoin.overlapJoin(left, right, "ls", "le", "rs", "re", 8L)
+    assert(out.count() == 1L, "pair must surface exactly once, not per bin")
+  }
+
+  test("point-in-interval join matches ground truth") {
+    val points = Seq((1L, 5L), (2L, 16L), (3L, 64L), (4L, -3L)).toDF("lid", "p")
+    val ivals = Seq((10L, 0L, 10L), (11L, 10L, 20L), (12L, -5L, 70L)).toDF("rid", "is", "ie")
+    val got = pairs(RangeJoin.pointInIntervalJoin(points, ivals, "p", "is", "ie", 8L))
+    val want = pairs(points.crossJoin(ivals)
+      .where(col("p") >= col("is") && col("p") <= col("ie")))
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("plan is an equi-join on the bin id, not a product") {
+    val epoch = lit("1970-01-01").cast("date")
+    val w = Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("window_id"),
+        datediff(col("o_orderdate").cast("date"), epoch).cast("long").as("ws"))
+      .withColumn("we", col("ws") + 29L)
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"),
+        datediff(col("l_shipdate").cast("date"), epoch).cast("long").as("ls"))
+      .withColumn("le", col("ls") + 5L)
+    val plan = RangeJoin.overlapJoin(li, w, "ls", "le", "ws", "we", 32L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"range join must not plan a product:\n$plan")
+  }
+}
