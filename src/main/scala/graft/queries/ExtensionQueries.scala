@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{TextFunctions, UrlFunctions}
-import graft.operators.{Bpe, Chunking, Decontamination, Dedup, Multimodal, NgramLm, QualityClassifier, Ranking, Redaction, RepeatedNgrams, Sampling, Similarity, TextStats, Vocabulary}
+import graft.operators.{Bpe, Chunking, Decontamination, Dedup, Multimodal, NgramLm, QualityClassifier, Ranking, Redaction, RepeatedNgrams, Sampling, Similarity, TextStats, Vocabulary, ZOrder}
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2.4 XQ* — the LLM-data-pipeline operator surface (north star):
@@ -37,6 +37,14 @@ object ExtensionQueries {
     */
   private def oCos(a: String, b: String): String =
     s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"
+
+  /** DuckDB twin of ZOrder.interleave: per-bit shift/mask terms on disjoint
+    * positions, summed (= bitwise or).
+    */
+  private def oZInterleave(x: String, y: String, bits: Int): String =
+    (0 until bits).map(i =>
+      s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
 
   /** DuckDB twin of Bpe.fit/symbolized — merge iterations unrolled as CTEs:
     * weighted pair counts, max-count argmax with smallest-(l,r) tie-break,
@@ -1177,6 +1185,42 @@ object ExtensionQueries {
               |FROM dec JOIN e USING (vec_id), q
               |WHERE vec_id <> 42
               |ORDER BY adc_sim DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // XQ54: z-order layout — Morton z-values over (l_partkey, l_suppkey)
+    // normalized to the 16-bit grid, rows clustered by the top 5 z bits
+    // (32 write units, pure map + group — no global window), per-cluster
+    // min/max boxes: exactly the file stats a 100 TB scan prunes on.
+    // ZOrderSpec proves the pruning win vs a single-column sort.
+    QueryDef("xq54_zorder_layout",
+      (s, d) => {
+        val pts = Tables.lineitem(s, d)
+          .select(col("l_partkey").cast("long").as("x"),
+            col("l_suppkey").cast("long").as("y"))
+        ZOrder.withZValue(pts, "x", "y", bits = 16)
+          .withColumn("bucket", shiftright(col("z"), 27))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"),
+            min("x").as("xmn"), max("x").as("xmx"),
+            min("y").as("ymn"), max("y").as("ymx"))
+          .withColumn("box_area",
+            (col("xmx") - col("xmn") + lit(1L)) * (col("ymx") - col("ymn") + lit(1L)))
+          .orderBy("bucket")
+      },
+      Some(s"""WITH p AS (SELECT CAST(l_partkey AS BIGINT) AS x,
+              |                 CAST(l_suppkey AS BIGINT) AS y FROM lineitem),
+              |st AS (SELECT MIN(x) AS xmn, MAX(x) AS xmx,
+              |              MIN(y) AS ymn, MAX(y) AS ymx FROM p),
+              |nn AS (SELECT x, y,
+              |        CAST(floor((CAST(x AS DOUBLE) - CAST(xmn AS DOUBLE)) * 65535.0
+              |          / GREATEST(CAST(xmx AS DOUBLE) - CAST(xmn AS DOUBLE), 1.0) + 0.5) AS BIGINT) AS nx,
+              |        CAST(floor((CAST(y AS DOUBLE) - CAST(ymn AS DOUBLE)) * 65535.0
+              |          / GREATEST(CAST(ymx AS DOUBLE) - CAST(ymn AS DOUBLE), 1.0) + 0.5) AS BIGINT) AS ny
+              |      FROM p, st),
+              |zz AS (SELECT x, y, ${oZInterleave("nx", "ny", 16)} AS z FROM nn)
+              |SELECT z >> 27 AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+              |  MIN(x) AS xmn, MAX(x) AS xmx, MIN(y) AS ymn, MAX(y) AS ymx,
+              |  (MAX(x) - MIN(x) + 1) * (MAX(y) - MIN(y) + 1) AS box_area
+              |FROM zz GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // XQ16: multimodal feature extraction — mapPartitions over binary
     // payloads with a stubbed decoder; rows-only check (not SQL-expressible).
