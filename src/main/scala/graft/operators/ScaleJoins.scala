@@ -40,4 +40,64 @@ object ScaleJoins {
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
       key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
+
+  // ---- Bloom-filter semi-join reduction -----------------------------------
+  //
+  // The 100 TB shape this serves: a big fact table joins a small-but-not-
+  // broadcastable dimension subset. A plain shuffle join moves EVERY fact row
+  // through the exchange; a Bloom prefilter drops the non-matching majority
+  // map-side first, so only candidate rows pay the shuffle. (Spark's own
+  // runtime row-level filtering does this opportunistically; the explicit
+  // operator works in every mode, is deterministic, and its bitmap is
+  // portable enough to oracle-check.) No false negatives by construction —
+  // the post-filter join result is identical to the unfiltered one
+  // (ScaleJoinsSpec asserts equality).
+  //
+  // Portability: probes use the md5-hex → 60-bit integer hash (the repo's
+  // cross-engine hash idiom), and the bitmap packs 60 bits per word so shift
+  // amounts stay in [0,59] and words stay positive — no sign-bit edge to
+  // disagree on. bit_or aggregation is order-free.
+
+  private val BitsPerWord = 60L
+
+  /** The bitmap: one row per 60-bit word, `word -> bits`. Size nBits/60 rows
+    * regardless of data scale; built with one shuffle over the DISTINCT
+    * small-side keys.
+    */
+  def bloomBitmap(small: DataFrame, key: String, nBits: Long): DataFrame = {
+    require(nBits >= BitsPerWord, s"nBits must be >= $BitsPerWord")
+    small.select(col(key).cast("string").as("_k")).distinct()
+      .select(explode(array(
+        expr(s"CAST(conv(substr(md5(concat('b1', _k)), 1, 15), 16, 10) AS BIGINT) % $nBits"),
+        expr(s"CAST(conv(substr(md5(concat('b2', _k)), 1, 15), 16, 10) AS BIGINT) % $nBits")))
+        .as("_p"))
+      .select(floor(col("_p") / BitsPerWord).cast("long").as("word"),
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(_p % $BitsPerWord AS INT))").as("_m"))
+      .groupBy("word")
+      .agg(expr("bit_or(_m)").as("bits"))
+  }
+
+  /** Map-side prefilter of `big` against the small side's Bloom bitmap: a
+    * row survives iff both probe bits are set. The bitmap joins broadcast
+    * (≤ nBits/60 rows), so the filter adds no shuffle — candidate rows only
+    * then enter the real join.
+    */
+  def bloomFiltered(big: DataFrame, bigKey: String, small: DataFrame,
+      smallKey: String, nBits: Long): DataFrame = {
+    val bm = broadcast(bloomBitmap(small, smallKey, nBits))
+    val probed = big
+      .withColumn("_p1", expr(
+        s"CAST(conv(substr(md5(concat('b1', CAST($bigKey AS STRING))), 1, 15), 16, 10) AS BIGINT) % $nBits"))
+      .withColumn("_p2", expr(
+        s"CAST(conv(substr(md5(concat('b2', CAST($bigKey AS STRING))), 1, 15), 16, 10) AS BIGINT) % $nBits"))
+      .withColumn("_w1", floor(col("_p1") / BitsPerWord).cast("long"))
+      .withColumn("_w2", floor(col("_p2") / BitsPerWord).cast("long"))
+    probed
+      .join(bm.select(col("word").as("_w1"), col("bits").as("_b1")), Seq("_w1"), "left")
+      .join(bm.select(col("word").as("_w2"), col("bits").as("_b2")), Seq("_w2"), "left")
+      .where(
+        expr(s"(coalesce(_b1, CAST(0 AS BIGINT)) & shiftleft(CAST(1 AS BIGINT), CAST(_p1 % $BitsPerWord AS INT))) <> 0") &&
+        expr(s"(coalesce(_b2, CAST(0 AS BIGINT)) & shiftleft(CAST(1 AS BIGINT), CAST(_p2 % $BitsPerWord AS INT))) <> 0"))
+      .drop("_p1", "_p2", "_w1", "_w2", "_b1", "_b2")
+  }
 }

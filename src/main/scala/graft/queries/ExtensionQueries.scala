@@ -1222,6 +1222,52 @@ object ExtensionQueries {
               |  (MAX(x) - MIN(x) + 1) * (MAX(y) - MIN(y) + 1) AS box_area
               |FROM zz GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // XQ55: Bloom-filter semi-join reduction — the map-side prefilter that
+    // keeps a 100 TB fact table's non-matching rows out of the join
+    // exchange. Deterministic md5 probes + 60-bit bit_or words make the
+    // bitmap itself portable, so survivor/false-positive counts hash-match
+    // the DuckDB twin exactly. ScaleJoinsSpec proves no-false-negatives and
+    // result-identity of the downstream join.
+    QueryDef("xq55_bloom_semijoin",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val dim = Tables.part(s, d).where(col("p_size") < 5)
+        val nBits = 61440L
+        val pass = graft.operators.ScaleJoins.bloomFiltered(
+          li, "l_partkey", dim, "p_partkey", nBits)
+        val trueSemi = li.join(dim.select("p_partkey").distinct(),
+          li("l_partkey") === col("p_partkey"), "left_semi")
+        li.agg(count(lit(1)).as("n_big"))
+          .crossJoin(pass.agg(count(lit(1)).as("n_pass")))
+          .crossJoin(trueSemi.agg(count(lit(1)).as("n_true")))
+          .select(col("n_big"), col("n_pass"), col("n_true"),
+            (col("n_pass") - col("n_true")).as("n_false_pos"))
+      },
+      Some("""WITH dk AS (SELECT DISTINCT CAST(p_partkey AS VARCHAR) AS k
+             |            FROM part WHERE p_size < 5),
+             |pos AS (SELECT CAST('0x' || substr(md5('b1' || k), 1, 15) AS BIGINT) % 61440 AS p FROM dk
+             |        UNION ALL
+             |        SELECT CAST('0x' || substr(md5('b2' || k), 1, 15) AS BIGINT) % 61440 AS p FROM dk),
+             |bm AS (SELECT CAST(floor(p / 60) AS BIGINT) AS word,
+             |              bit_or(CAST(1 AS BIGINT) << CAST(p % 60 AS INT)) AS bits
+             |       FROM pos GROUP BY 1),
+             |big AS (SELECT l_partkey,
+             |         CAST('0x' || substr(md5('b1' || CAST(l_partkey AS VARCHAR)), 1, 15) AS BIGINT) % 61440 AS p1,
+             |         CAST('0x' || substr(md5('b2' || CAST(l_partkey AS VARCHAR)), 1, 15) AS BIGINT) % 61440 AS p2
+             |        FROM lineitem),
+             |pass AS (SELECT COUNT(*) AS n_pass FROM big
+             |         LEFT JOIN bm b1 ON CAST(floor(big.p1 / 60) AS BIGINT) = b1.word
+             |         LEFT JOIN bm b2 ON CAST(floor(big.p2 / 60) AS BIGINT) = b2.word
+             |         WHERE (COALESCE(b1.bits, 0) & (CAST(1 AS BIGINT) << CAST(big.p1 % 60 AS INT))) <> 0
+             |           AND (COALESCE(b2.bits, 0) & (CAST(1 AS BIGINT) << CAST(big.p2 % 60 AS INT))) <> 0),
+             |tr AS (SELECT COUNT(*) AS n_true FROM lineitem
+             |       WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size < 5)),
+             |tot AS (SELECT COUNT(*) AS n_big FROM lineitem)
+             |SELECT CAST(n_big AS BIGINT) AS n_big, CAST(n_pass AS BIGINT) AS n_pass,
+             |       CAST(n_true AS BIGINT) AS n_true,
+             |       CAST(n_pass - n_true AS BIGINT) AS n_false_pos
+             |FROM tot, pass, tr""".stripMargin)),
+
     // XQ16: multimodal feature extraction — mapPartitions over binary
     // payloads with a stubbed decoder; rows-only check (not SQL-expressible).
     QueryDef("xq16_multimodal_features",

@@ -46,4 +46,39 @@ class ScaleJoinsSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_customer")
     }
   }
+
+  test("bloom prefilter loses no matches and join result is unchanged") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_linenumber", "l_partkey")
+    val dim = Tables.part(spark, sf).where(col("p_size") < 5)
+      .select("p_partkey", "p_brand")
+    val nBits = 61440L
+
+    val plain = li.join(dim, li("l_partkey") === dim("p_partkey"))
+      .select("l_orderkey", "l_linenumber", "p_brand")
+      .collect().map(_.toSeq).toSet
+    val filtered = ScaleJoins.bloomFiltered(li, "l_partkey", dim, "p_partkey", nBits)
+      .join(dim, col("l_partkey") === dim("p_partkey"))
+      .select("l_orderkey", "l_linenumber", "p_brand")
+      .collect().map(_.toSeq).toSet
+    assert(filtered == plain, "bloom prefilter must not change the join result")
+
+    // reduction actually happens: survivors ≈ true matches, not the full scan
+    val nBig = li.count()
+    val nPass = ScaleJoins.bloomFiltered(li, "l_partkey", dim, "p_partkey", nBits).count()
+    val nTrue = li.join(dim.select("p_partkey").distinct(),
+      li("l_partkey") === col("p_partkey"), "left_semi").count()
+    assert(nPass >= nTrue, "no false negatives")
+    assert(nPass - nTrue <= nBig / 100,
+      s"false-positive rate too high: pass=$nPass true=$nTrue big=$nBig")
+    assert(nPass < nBig / 2, s"prefilter should drop most rows: $nPass of $nBig")
+  }
+
+  test("bloom bitmap is broadcast and adds no shuffle to the filter path") {
+    val li = Tables.lineitem(spark, sf)
+    val dim = Tables.part(spark, sf).where(col("p_size") < 5)
+    val plan = ScaleJoins.bloomFiltered(li, "l_partkey", dim, "p_partkey", 61440L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bitmap joins must broadcast:\n$plan")
+  }
 }
