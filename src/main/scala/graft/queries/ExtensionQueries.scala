@@ -1268,6 +1268,31 @@ object ExtensionQueries {
              |       CAST(n_pass - n_true AS BIGINT) AS n_false_pos
              |FROM tot, pass, tr""".stripMargin)),
 
+    // XQ56: compaction plan — target-size output files from the distributed
+    // prefix sum over doc bytes (file = floor(start/target), no global
+    // window). The oracle states the same rule with a sequential window
+    // cumsum — exact agreement proves the two-pass scheme.
+    QueryDef("xq56_compaction_plan",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars").cast("long").as("nb"))
+        graft.operators.Compaction.planFiles(docs, "doc_id", "nb", targetBytes = 16384L)
+          .groupBy("file_id")
+          .agg(count(lit(1)).as("n_docs"), sum(col("nb")).as("total_bytes"),
+            min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+          .orderBy("file_id")
+      },
+      Some("""WITH b AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS nb FROM documents),
+             |c AS (SELECT doc_id, nb,
+             |        SUM(nb) OVER (ORDER BY doc_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nb AS st
+             |      FROM b)
+             |SELECT CAST(floor(CAST(st AS DOUBLE) / 16384) AS BIGINT) AS file_id,
+             |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(nb) AS BIGINT) AS total_bytes,
+             |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // XQ16: multimodal feature extraction — mapPartitions over binary
     // payloads with a stubbed decoder; rows-only check (not SQL-expressible).
     QueryDef("xq16_multimodal_features",
