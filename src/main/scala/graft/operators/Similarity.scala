@@ -221,6 +221,113 @@ object Similarity {
       .limit(k)
   }
 
+  /** Squared L2 distance spelled as (aa − 2ab) + bb so each term is a
+    * sequential fold and the combination parses identically in SQL — the
+    * parenthesization IS the cross-engine contract.
+    */
+  private def l2d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    (VectorFunctions.dot(a, a) - lit(2.0) * VectorFunctions.dot(a, b)) +
+      VectorFunctions.dot(b, b)
+
+  /** L2 Lloyd's over a (_id, _v) frame — the product-quantization trainer
+    * ([[kmeansFit]] is the cosine twin for IVF). Same determinism recipe:
+    * smallest-id init, argmin distance with smallest-cluster tie-break,
+    * 1e-6-quantized integer mean sums. Returns the FINAL (cluster, cvec)
+    * centroids (rebuilt after the last assignment — encoding needs them).
+    */
+  def kmeansFitL2(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters >= 1, s"need k > 0, iters >= 1; got k=$k iters=$iters")
+    var cents = vecs.orderBy("_id").limit(k)
+      .select(col("_id").as("cluster"), col("_v").as("cvec"))
+    for (_ <- 1 to iters) {
+      val assigned = vecs.crossJoin(broadcast(cents))
+        .select(col("_id"), col("_v"), col("cluster"),
+          l2d2(col("_v"), col("cvec")).as("d2"))
+        .groupBy(col("_id"), col("_v"))
+        .agg(min_by(col("cluster"), struct(col("d2"), col("cluster"))).as("cluster"))
+      cents = assigned
+        .select(col("cluster"), posexplode(col("_v")).as(Seq("dim0", "x")))
+        .groupBy(col("cluster"), (col("dim0") + 1).cast("long").as("dim"))
+        .agg(sum(floor(col("x") * 1e6 + 0.5).cast("long")).as("s"),
+          count(lit(1)).as("cnt"))
+        .groupBy("cluster")
+        .agg(transform(array_sort(collect_list(struct(col("dim"),
+          (col("s").cast("double") / (lit(1e6) * col("cnt"))).as("m")))),
+          x => x.getField("m")).as("cvec"))
+    }
+    cents
+  }
+
+  /** Product quantization (Jégou et al., "Product quantization for nearest
+    * neighbor search"): the vector is split into `m` subspaces of `subDim`
+    * dims; each subspace gets its own k-centroid L2 codebook; a vector is
+    * stored as m small codes (m=4, k=16 ⇒ 2 bytes vs 256 — a 128x cut).
+    * Search never touches raw vectors: a query builds an m×k distance
+    * lookup table against the codebooks and each candidate's approximate
+    * distance is the sum of m table entries (ADC).
+    *
+    * Scale shape: codebooks are m·k rows (broadcast everywhere); training
+    * scans the corpus iters times with only (cluster,dim)-keyed
+    * metadata-size shuffles; encoding/ADC shuffle narrow (id)-keyed rows.
+    * Compose with [[ivfTopK]]'s cluster pruning for the classic IVF-PQ
+    * index.
+    *
+    * Recall regime: on the i.i.d. gaussian test corpus exact-top-k recall is
+    * low for ANY coded method (distance concentration — the same measured
+    * finding as sign-LSH in COVERAGE.md); PqSpec asserts the property that
+    * survives that regime (ADC ordering tracks true distances) and reports
+    * recall honestly. On clustered real embeddings recall rises with m·log2 k
+    * bits as usual.
+    */
+  def pqTrain(emb: DataFrame, vecCol: String, idCol: String,
+      m: Int, subDim: Int, k: Int, iters: Int): DataFrame =
+    (0 until m).map { s =>
+      val sliced = emb.select(col(idCol).as("_id"),
+        slice(col(vecCol).cast("array<double>"), s * subDim + 1, subDim).as("_v"))
+      kmeansFitL2(sliced, k, iters)
+        .select(lit(s).as("sub"), col("cluster"), col("cvec"))
+    }.reduce(_ unionByName _)
+
+  /** (id, sub, code): each subvector's nearest codebook centroid. */
+  def pqEncode(emb: DataFrame, vecCol: String, idCol: String,
+      codebook: DataFrame, m: Int, subDim: Int): DataFrame = {
+    val subs = emb.select(col(idCol), posexplode(array((0 until m).map(s =>
+      slice(col(vecCol).cast("array<double>"), s * subDim + 1, subDim)): _*))
+      .as(Seq("sub", "sv")))
+    subs.join(broadcast(codebook), "sub")
+      .select(col(idCol), col("sub"), col("cluster"),
+        l2d2(col("sv"), col("cvec")).as("d2"))
+      .groupBy(col(idCol), col("sub"))
+      .agg(min_by(col("cluster"), struct(col("d2"), col("cluster"))).as("code"))
+  }
+
+  /** PQ ADC top-k: approximate squared L2 = Σ over subspaces of the query's
+    * precomputed distance to the candidate's code centroid. Per-entry
+    * distances are 1e-9-quantized before the sum so the m-term addition is
+    * order-free (the repo's integer-sum discipline).
+    */
+  def pqTopK(emb: DataFrame, vecCol: String, idCol: String, queryId: Long,
+      kNN: Int, m: Int, subDim: Int, k: Int, iters: Int): DataFrame = {
+    val cb = pqTrain(emb, vecCol, idCol, m, subDim, k, iters)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val codes = pqEncode(emb, vecCol, idCol, cb, m, subDim)
+    val qsubs = emb.where(col(idCol) === queryId)
+      .select(posexplode(array((0 until m).map(s =>
+        slice(col(vecCol).cast("array<double>"), s * subDim + 1, subDim)): _*))
+        .as(Seq("sub", "qv")))
+    val lut = qsubs.join(cb, "sub")
+      .select(col("sub"), col("cluster").as("code"),
+        l2d2(col("qv"), col("cvec")).as("d2"))
+    codes.join(broadcast(lut), Seq("sub", "code"))
+      .select(col(idCol), floor(col("d2") * lit(1e9) + lit(0.5)).cast("long").as("dq"))
+      .groupBy(idCol)
+      .agg(sum(col("dq")).as("dqs"))
+      .where(col(idCol) =!= queryId)
+      .select(col(idCol), (col("dqs").cast("double") / lit(1e9)).as("adc_dist2"))
+      .orderBy(col("adc_dist2").asc, col(idCol))
+      .limit(kNN)
+  }
+
   /** Scalar int8 quantization (the FAISS "SQ8" regime): each dimension is
     * affinely mapped to a byte via the corpus per-dim [min,max] range — a 4x
     * storage/scan-bandwidth cut (float32 → int8) that preserves ranking to

@@ -38,6 +38,68 @@ object ExtensionQueries {
   private def oCos(a: String, b: String): String =
     s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"
 
+  /** DuckDB twin of Similarity's squared-L2: every term a sequential fold,
+    * parenthesization mirrored exactly — (aa − 2ab) + bb.
+    */
+  private def oL2(a: String, b: String): String =
+    s"(list_inner_product($a, $a) - 2.0 * list_inner_product($a, $b)) + list_inner_product($b, $b)"
+
+  /** DuckDB twin of Similarity.pqTrain/pqEncode/pqTopK: per-subspace L2
+    * Lloyd's unrolled as CTEs (the xq41 pattern with L2 argmin), then codes,
+    * the query's m×k lookup table, and the 1e-9-quantized ADC sum.
+    */
+  private def pqOracle(m: Int, subDim: Int, k: Int, iters: Int,
+      queryId: Long, kNN: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+    for (s <- 0 until m) {
+      val lo = s * subDim + 1
+      val hi = (s + 1) * subDim
+      sb ++= s""",
+                |e$s AS (SELECT vec_id, v[$lo:$hi] AS v FROM e),
+                |c${s}_0 AS (SELECT vec_id AS cluster, v AS cvec FROM e$s ORDER BY vec_id LIMIT $k)""".stripMargin
+      for (i <- 1 to iters) {
+        sb ++= s""",
+                  |a${s}_$i AS (SELECT e.vec_id, c.cluster, ${oL2("e.v", "c.cvec")} AS d2
+                  |        FROM e$s e, c${s}_${i - 1} c),
+                  |m${s}_$i AS (SELECT vec_id, MIN(d2) AS md FROM a${s}_$i GROUP BY 1),
+                  |g${s}_$i AS (SELECT a.vec_id, MIN(a.cluster) AS cluster
+                  |        FROM a${s}_$i a JOIN m${s}_$i mm
+                  |          ON a.vec_id = mm.vec_id AND a.d2 = mm.md
+                  |        GROUP BY 1),
+                  |s${s}_$i AS (SELECT g.cluster, CAST(u.i AS BIGINT) AS dim,
+                  |          SUM(CAST(floor(e.v[u.i] * 1000000 + 0.5) AS BIGINT)) AS s,
+                  |          COUNT(*) AS cnt
+                  |        FROM g${s}_$i g JOIN e$s e ON g.vec_id = e.vec_id,
+                  |             UNNEST(generate_series(1, len(e.v))) AS u(i)
+                  |        GROUP BY 1, 2),
+                  |c${s}_$i AS (SELECT cluster,
+                  |          list(CAST(s AS DOUBLE) / (1000000.0 * cnt) ORDER BY dim) AS cvec
+                  |        FROM s${s}_$i GROUP BY 1)""".stripMargin
+      }
+      sb ++= s""",
+                |d$s AS (SELECT e.vec_id, c.cluster, ${oL2("e.v", "c.cvec")} AS d2
+                |        FROM e$s e, c${s}_$iters c),
+                |dm$s AS (SELECT vec_id, MIN(d2) AS md FROM d$s GROUP BY 1),
+                |code$s AS (SELECT d.vec_id, MIN(d.cluster) AS code
+                |        FROM d$s d JOIN dm$s mm ON d.vec_id = mm.vec_id AND d.d2 = mm.md
+                |        GROUP BY 1),
+                |lut$s AS (SELECT c.cluster AS code, ${oL2("q.v", "c.cvec")} AS d2
+                |        FROM c${s}_$iters c,
+                |             (SELECT v FROM e$s WHERE vec_id = $queryId) q),
+                |adc$s AS (SELECT co.vec_id,
+                |          CAST(floor(l.d2 * 1000000000.0 + 0.5) AS BIGINT) AS dq
+                |        FROM code$s co JOIN lut$s l ON co.code = l.code)""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT vec_id, CAST(SUM(dq) AS DOUBLE) / 1000000000.0 AS adc_dist2
+              |FROM (${(0 until m).map(s => s"SELECT vec_id, dq FROM adc$s").mkString(" UNION ALL ")})
+              |WHERE vec_id <> $queryId
+              |GROUP BY 1
+              |ORDER BY adc_dist2 ASC, vec_id LIMIT $kNN""".stripMargin
+    sb.toString
+  }
+
   /** DuckDB twin of ZOrder.interleave: per-bit shift/mask terms on disjoint
     * positions, summed (= bitwise or).
     */
@@ -1292,6 +1354,16 @@ object ExtensionQueries {
              |  CAST(SUM(nb) AS BIGINT) AS total_bytes,
              |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
              |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // XQ57: product quantization (Jégou et al.) — 4 subspaces × 16 L2
+    // centroids, vectors stored as 4 codes (128x vs float32), query answered
+    // from the ADC lookup table alone. The oracle unrolls all four
+    // subspace trainers (L2 Lloyd's CTEs), the code assignment, the query
+    // LUT, and the quantized ADC sum — hash-exact end-to-end.
+    QueryDef("xq57_pq_topk",
+      (s, d) => Similarity.pqTopK(Tables.embeddings(s, d), "embedding",
+        "vec_id", queryId = 7L, kNN = 10, m = 4, subDim = 16, k = 16, iters = 2),
+      Some(pqOracle(m = 4, subDim = 16, k = 16, iters = 2, queryId = 7L, kNN = 10))),
 
     // XQ16: multimodal feature extraction — mapPartitions over binary
     // payloads with a stubbed decoder; rows-only check (not SQL-expressible).

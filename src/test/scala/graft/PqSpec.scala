@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class PqSpec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sf)
+  private val M = 4
+  private val SubDim = 16
+  private val K = 16
+
+  test("codebook has one entry set per subspace with subDim-wide centroids") {
+    val cb = Similarity.pqTrain(emb, "embedding", "vec_id", M, SubDim, K, iters = 2)
+    val bySub = cb.groupBy("sub").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(bySub.keySet == (0 until M).toSet)
+    // Lloyd's may drop empty clusters but most of k must survive
+    assert(bySub.values.forall(n => n > K / 2 && n <= K), s"cluster counts $bySub")
+    val widths = cb.select(size(col("cvec"))).distinct().collect().map(_.getInt(0)).toSeq
+    assert(widths == Seq(SubDim))
+  }
+
+  test("every vector gets exactly m codes drawn from the codebook") {
+    val cb = Similarity.pqTrain(emb, "embedding", "vec_id", M, SubDim, K, iters = 2)
+    val codes = Similarity.pqEncode(emb, "embedding", "vec_id", cb, M, SubDim)
+    assert(codes.groupBy("vec_id").count().where(col("count") =!= M).count() == 0)
+    val orphan = codes.join(cb.select(col("sub"), col("cluster").as("code")),
+      Seq("sub", "code"), "left_anti")
+    assert(orphan.count() == 0, "every code must reference a codebook entry")
+  }
+
+  test("ADC ranking tracks true geometry (and recall is measured honestly)") {
+    // This corpus is i.i.d. gaussian — the regime where high-dim distances
+    // concentrate and exact top-10 recall of ANY coded method collapses
+    // (same finding as the sign-LSH recall measurement in COVERAGE.md). The
+    // robust property quantization MUST keep is coarse ordering: candidates
+    // ADC ranks close should be genuinely closer than average.
+    val q = emb.where(col("vec_id") === 7L)
+      .select(col("embedding").cast("array<double>").as("q"))
+    val exactD2 = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .where(col("vec_id") =!= 7L)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), expr(
+        "aggregate(zip_with(v, q, (x,y) -> (x-y)*(x-y)), CAST(0.0 AS DOUBLE), (a,x) -> a + x)")
+        .as("d2"))
+    val n = exactD2.count()
+    val adcTop = Similarity.pqTopK(emb, "embedding", "vec_id",
+      queryId = 7L, kNN = 50, M, SubDim, K, iters = 2).select("vec_id")
+    val meanTop = exactD2.join(adcTop, "vec_id")
+      .agg(avg("d2")).collect()(0).getDouble(0)
+    val meanAll = exactD2.agg(avg("d2")).collect()(0).getDouble(0)
+    info(f"mean exact d2: ADC-top-50 $meanTop%.2f vs corpus $meanAll%.2f (n=$n)")
+    assert(meanTop < meanAll,
+      s"ADC's preferred candidates must be closer than average: $meanTop vs $meanAll")
+
+    val pq10 = Similarity.pqTopK(emb, "embedding", "vec_id",
+      queryId = 7L, kNN = 10, M, SubDim, K, iters = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val exact10 = exactD2.orderBy(col("d2").asc, col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    info(s"PQ recall@10 = ${(pq10 & exact10).size}/10 (m=$M k=$K, gaussian corpus)")
+  }
+
+  test("PQ pipeline is deterministic under repartitioning") {
+    val a = Similarity.pqTopK(emb, "embedding", "vec_id", 7L, 10, M, SubDim, K, 2)
+      .collect().toSeq
+    val b = Similarity.pqTopK(emb.repartition(17), "embedding", "vec_id", 7L, 10, M, SubDim, K, 2)
+      .collect().toSeq
+    assert(a == b, "codes and ADC distances must not depend on partitioning")
+  }
+}
