@@ -1365,6 +1365,44 @@ object ExtensionQueries {
         "vec_id", queryId = 7L, kNN = 10, m = 4, subDim = 16, k = 16, iters = 2),
       Some(pqOracle(m = 4, subDim = 16, k = 16, iters = 2, queryId = 7L, kNN = 10))),
 
+    // XQ58: count-min sketch — fixed-memory (4×1024 cells) frequency table
+    // over all token occurrences; the top-20 exact heavy hitters probed back
+    // through the sketch with their guaranteed-upper-bound estimates. The
+    // portable md5 row hashes make the whole sketch deterministic, so
+    // estimates AND overestimates hash-match DuckDB exactly.
+    QueryDef("xq58_count_min",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("term"))
+          .where(length(col("term")) > 0)
+        val cms = graft.operators.CountMin.sketch(toks, "term", d = 4, w = 1024)
+        val top = toks.groupBy("term").agg(count(lit(1)).as("exact"))
+          .orderBy(col("exact").desc, col("term")).limit(20)
+        graft.operators.CountMin.estimate(cms, top, "term", d = 4, w = 1024)
+          .select(col("term"), col("exact"), col("estimate"),
+            (col("estimate") - col("exact")).as("overestimate"))
+          .orderBy(col("exact").desc, col("term"))
+      },
+      Some("""WITH t AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+             |tk AS (SELECT term FROM t WHERE len(term) > 0),
+             |cells AS (
+             |  SELECT u.r AS r,
+             |         CAST('0x' || substr(md5('cms' || CAST(u.r AS VARCHAR) || ':' || term), 1, 15) AS BIGINT) % 1024 AS b,
+             |         COUNT(*) AS c
+             |  FROM tk, UNNEST(generate_series(0, 3)) AS u(r)
+             |  GROUP BY 1, 2),
+             |top AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS exact FROM tk
+             |        GROUP BY 1 ORDER BY exact DESC, term LIMIT 20),
+             |probes AS (
+             |  SELECT term, exact, u.r AS r,
+             |         CAST('0x' || substr(md5('cms' || CAST(u.r AS VARCHAR) || ':' || term), 1, 15) AS BIGINT) % 1024 AS b
+             |  FROM top, UNNEST(generate_series(0, 3)) AS u(r))
+             |SELECT p.term, p.exact, MIN(c.c) AS estimate,
+             |       MIN(c.c) - p.exact AS overestimate
+             |FROM probes p JOIN cells c ON c.r = p.r AND c.b = p.b
+             |GROUP BY 1, 2
+             |ORDER BY p.exact DESC, p.term""".stripMargin)),
+
     // XQ16: multimodal feature extraction — mapPartitions over binary
     // payloads with a stubbed decoder; rows-only check (not SQL-expressible).
     QueryDef("xq16_multimodal_features",
