@@ -328,6 +328,42 @@ object Similarity {
       .limit(kNN)
   }
 
+  /** IVF-PQ — the composed billion-scale index (FAISS's IVFx,PQy): coarse
+    * k-means cells prune the candidate set to the query's cell ([[assign]]),
+    * then PQ codes rank the survivors by ADC sum — the scan touches only
+    * ~N/nCells code rows (2 bytes each), never a raw vector. Both stages
+    * are the independently oracle-proven operators (xq41/xq14, xq57); this
+    * wires them: cell assignment and codes are computed once (at ingest, at
+    * scale), the query probes its cell's codes against its LUT.
+    */
+  def ivfPqTopK(emb: DataFrame, vecCol: String, idCol: String, queryId: Long,
+      kNN: Int, nCells: Int, m: Int, subDim: Int, k: Int, iters: Int): DataFrame = {
+    val cells = assign(emb, vecCol, idCol, nCells)
+      .select(col(idCol), col("cluster").as("cell"))
+    val cb = pqTrain(emb, vecCol, idCol, m, subDim, k, iters)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val codes = pqEncode(emb, vecCol, idCol, cb, m, subDim).join(cells, idCol)
+    val qCell = cells.where(col(idCol) === queryId).select(col("cell"))
+    val qsubs = emb.where(col(idCol) === queryId)
+      .select(posexplode(array((0 until m).map(s =>
+        slice(col(vecCol).cast("array<double>"), s * subDim + 1, subDim)): _*))
+        .as(Seq("sub", "qv")))
+    val lut = qsubs.join(cb, "sub")
+      .select(col("sub"), col("cluster").as("code"),
+        (VectorFunctions.dot(col("qv"), col("qv")) -
+          lit(2.0) * VectorFunctions.dot(col("qv"), col("cvec"))) +
+          VectorFunctions.dot(col("cvec"), col("cvec")) as "d2")
+    codes.join(broadcast(qCell), "cell")
+      .join(broadcast(lut), Seq("sub", "code"))
+      .select(col(idCol), floor(col("d2") * lit(1e9) + lit(0.5)).cast("long").as("dq"))
+      .groupBy(idCol)
+      .agg(sum(col("dq")).as("dqs"))
+      .where(col(idCol) =!= queryId)
+      .select(col(idCol), (col("dqs").cast("double") / lit(1e9)).as("adc_dist2"))
+      .orderBy(col("adc_dist2").asc, col(idCol))
+      .limit(kNN)
+  }
+
   /** Scalar int8 quantization (the FAISS "SQ8" regime): each dimension is
     * affinely mapped to a byte via the corpus per-dim [min,max] range — a 4x
     * storage/scan-bandwidth cut (float32 → int8) that preserves ranking to

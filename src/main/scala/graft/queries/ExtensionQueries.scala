@@ -1403,6 +1403,49 @@ object ExtensionQueries {
              |GROUP BY 1, 2
              |ORDER BY p.exact DESC, p.term""".stripMargin)),
 
+    // XQ59: ingest drift monitor — per-source moment statistics (exact
+    // integer sums of chars and squared chars) and each source's z-score
+    // against the src0 reference split. The "did today's crawl shift?"
+    // check a continuously-fed corpus needs; one scan, group state = one
+    // row per source, every double derived from identical integer inputs
+    // via a mirrored IEEE op sequence.
+    QueryDef("xq59_source_drift",
+      (s, d) => {
+        val st = Tables.documents(s, d)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n"),
+            sum(col("n_chars")).as("sm"),
+            sum(col("n_chars") * col("n_chars")).as("sq"))
+          .select(col("source"), col("n"),
+            (col("sm").cast("double") / col("n").cast("double")).as("mean_chars"),
+            ((col("sq").cast("double") -
+              col("sm").cast("double") * col("sm").cast("double") / col("n").cast("double"))
+              / col("n").cast("double")).as("var_chars"))
+        val base = st.where(col("source") === "src0")
+          .select(col("mean_chars").as("mean0"), col("var_chars").as("var0"))
+        st.crossJoin(broadcast(base))
+          .select(col("source"), col("n"), col("mean_chars"), col("var_chars"),
+            ((col("mean_chars") - col("mean0")) /
+              sqrt(col("var0") / col("n").cast("double"))).as("drift_z"))
+          .orderBy("source")
+      },
+      Some("""WITH st AS (
+             |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             |         CAST(SUM(n_chars) AS BIGINT) AS sm,
+             |         CAST(SUM(n_chars * n_chars) AS BIGINT) AS sq
+             |  FROM documents GROUP BY 1),
+             |m AS (SELECT source, n,
+             |        CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) AS mean_chars,
+             |        (CAST(sq AS DOUBLE)
+             |          - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) / CAST(n AS DOUBLE))
+             |          / CAST(n AS DOUBLE) AS var_chars
+             |      FROM st),
+             |b AS (SELECT mean_chars AS mean0, var_chars AS var0 FROM m
+             |      WHERE source = 'src0')
+             |SELECT m.source, m.n, m.mean_chars, m.var_chars,
+             |       (m.mean_chars - b.mean0) / sqrt(b.var0 / CAST(m.n AS DOUBLE)) AS drift_z
+             |FROM m, b ORDER BY m.source""".stripMargin)),
+
     // XQ16: multimodal feature extraction — mapPartitions over binary
     // payloads with a stubbed decoder; rows-only check (not SQL-expressible).
     QueryDef("xq16_multimodal_features",

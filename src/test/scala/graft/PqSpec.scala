@@ -63,6 +63,24 @@ class PqSpec extends SparkSpec {
     info(s"PQ recall@10 = ${(pq10 & exact10).size}/10 (m=$M k=$K, gaussian corpus)")
   }
 
+  test("IVF-PQ probes only the query's cell and keeps PQ's ADC distances") {
+    val nCells = 8
+    val res = Similarity.ivfPqTopK(emb, "embedding", "vec_id",
+      queryId = 7L, kNN = 10, nCells, M, SubDim, K, iters = 2)
+    val cells = Similarity.assign(emb, "embedding", "vec_id", nCells)
+      .select(col("vec_id"), col("cluster").as("cell"))
+    val qCell = cells.where(col("vec_id") === 7L)
+      .select("cell").collect()(0).getLong(0)
+    val outside = res.join(cells, "vec_id").where(col("cell") =!= qCell)
+    assert(outside.count() == 0, "IVF-PQ must only return the probed cell")
+    // ADC distances agree with the pure-PQ path for the same candidates
+    val pq = Similarity.pqTopK(emb, "embedding", "vec_id", 7L, 1000, M, SubDim, K, 2)
+      .withColumnRenamed("adc_dist2", "pq_d2")
+    val mismatch = res.join(pq, "vec_id")
+      .where(col("adc_dist2") =!= col("pq_d2"))
+    assert(mismatch.count() == 0, "cell pruning must not change ADC distances")
+  }
+
   test("PQ pipeline is deterministic under repartitioning") {
     val a = Similarity.pqTopK(emb, "embedding", "vec_id", 7L, 10, M, SubDim, K, 2)
       .collect().toSeq

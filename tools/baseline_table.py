@@ -7,7 +7,8 @@ import sys
 
 def load_spark(path):
     line = open(path).read()
-    return json.loads(line[line.index('{'):])['queries']
+    obj = json.loads(line[line.index('{'):])
+    return obj.get('queries', obj)  # raw Bench line or merge_bench output
 
 
 def load_duck(path):
