@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph algorithms as DataFrame programs — the second family
+  * (with [[Dedup.dedupGroups]]' connected components) where "loop over a
+  * shuffle" replaces a specialized graph engine.
+  *
+  * PageRank here serves corpus curation: over a document/embedding
+  * similarity graph, rank = how centrally a document sits in its near-dup
+  * neighborhood (the canonical pick-the-canonical-copy signal; also the
+  * centrality feature web-scale quality filters use on link graphs).
+  */
+object Graphs {
+
+  /** PageRank over a directed edge list (src, dst) — pass both directions
+    * for an undirected graph. Per iteration: one join of edges to current
+    * ranks + out-degrees (both keyed by src — a single co-partitioned
+    * shuffle at scale), one groupBy(dst) to sum contributions. State is one
+    * rank row per node; iterations are a fixed count (the curation use
+    * ranks neighborhoods, where 3-5 iterations separate centers from rims).
+    *
+    * Every node must have out-degree ≥ 1 (true for symmetrized undirected
+    * graphs — the intended input; checked). Cross-engine determinism: the
+    * per-edge contribution pr/deg is 1e-12-quantized BEFORE the per-node
+    * sum, so accumulation is an order-free integer sum and the rank vector
+    * is bit-identical across engines/partitionings (xq60's oracle unrolls
+    * the iterations as CTEs).
+    */
+  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
+      teleport: Double = 0.15): DataFrame = {
+    // teleport is a separate parameter (not computed as 1 - damping): the
+    // double 1.0-0.85 is NOT the double 0.15, and the oracle writes the
+    // literal — computing it here would shift every rank by 2e-17 and break
+    // the bit-exact contract.
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val e = edges.select(col("src"), col("dst"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = e.select(col("src").as("id")).distinct()
+    val withN = nodes.crossJoin(broadcast(nodes.agg(count(lit(1)).as("n_nodes"))))
+    var pr = withN.select(col("id"),
+      (lit(1.0) / col("n_nodes").cast("double")).as("pr"), col("n_nodes"))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(pr.select(col("id").as("src"), col("pr"), col("n_nodes")), "src")
+        .join(deg, "src")
+        .select(col("dst").as("id"), col("n_nodes"),
+          floor((col("pr") / col("deg").cast("double")) * lit(1e12) + lit(0.5))
+            .cast("long").as("cq"))
+      pr = contrib.groupBy("id", "n_nodes")
+        .agg(sum(col("cq")).as("s"))
+        .select(col("id"),
+          (lit(teleport) / col("n_nodes").cast("double") +
+            lit(damping) * (col("s").cast("double") / lit(1e12))).as("pr"),
+          col("n_nodes"))
+    }
+    pr.select("id", "pr")
+  }
+}

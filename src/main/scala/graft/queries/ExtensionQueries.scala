@@ -1446,6 +1446,54 @@ object ExtensionQueries {
              |       (m.mean_chars - b.mean0) / sqrt(b.var0 / CAST(m.n AS DOUBLE)) AS drift_z
              |FROM m, b ORDER BY m.source""".stripMargin)),
 
+    // XQ60: PageRank over the embedding similarity graph — centrality
+    // within near-dup neighborhoods (the pick-the-canonical-copy signal).
+    // Edges are xq09's deterministic LSH-bucket rule symmetrized; 3
+    // iterations with 1e-12-quantized contributions (order-free sums). The
+    // oracle unrolls the iterations as CTEs — rank vector hash-exact.
+    QueryDef("xq60_pagerank",
+      (s, d) => {
+        val pairs = Dedup.embeddingNearDups(Tables.embeddings(s, d),
+          "embedding", "vec_id", minCosine = 0.25d, nPlanes = 4)
+          .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+        val edges = pairs.unionByName(
+          pairs.select(col("dst").as("src"), col("src").as("dst")))
+        graft.operators.Graphs.pageRank(edges, iters = 3)
+          .select(col("id").as("vec_id"), col("pr"))
+          .orderBy(col("pr").desc, col("vec_id")).limit(50)
+      },
+      Some {
+        val prIter = (i: Int) => s"""
+          |c$i AS (SELECT e.dst AS id, nn.n_nodes,
+          |          CAST(floor((p.pr / CAST(d.deg AS DOUBLE)) * 1000000000000.0 + 0.5) AS BIGINT) AS cq
+          |        FROM edges e JOIN pr${i - 1} p ON e.src = p.id
+          |        JOIN deg d ON e.src = d.src, nn),
+          |pr$i AS (SELECT id,
+          |          0.15 / CAST(n_nodes AS DOUBLE)
+          |            + 0.85 * (CAST(SUM(cq) AS DOUBLE) / 1000000000000.0) AS pr
+          |        FROM c$i GROUP BY id, n_nodes)""".stripMargin
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |p AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id BETWEEN 1 AND 4),
+           |sig AS (SELECT e.vec_id,
+           |    CAST(SUM(CASE WHEN list_inner_product(e.v, p.pv) > 0
+           |         THEN (CAST(1 AS BIGINT) << CAST(pid - 1 AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+           |  FROM e, p GROUP BY e.vec_id),
+           |e0 AS (SELECT a.vec_id AS src, b.vec_id AS dst
+           |  FROM sig a JOIN sig b
+           |    ON a.vec_id < b.vec_id AND bit_count(xor(a.bucket, b.bucket)) <= 1
+           |  JOIN e ea ON ea.vec_id = a.vec_id
+           |  JOIN e eb ON eb.vec_id = b.vec_id
+           |  WHERE ${oCos("ea.v", "eb.v")} >= 0.25),
+           |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+           |nodes AS (SELECT DISTINCT src AS id FROM edges),
+           |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nodes),
+           |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+           |pr0 AS (SELECT id, 1.0 / CAST(n_nodes AS DOUBLE) AS pr FROM nodes, nn)
+           |${(1 to 3).map(prIter).map(t => "," + t.trim.stripPrefix(",")).mkString}
+           |SELECT id AS vec_id, pr FROM pr3
+           |ORDER BY pr DESC, vec_id LIMIT 50""".stripMargin
+      }),
+
     // XQ16: multimodal feature extraction — mapPartitions over binary
     // payloads with a stubbed decoder; rows-only check (not SQL-expressible).
     QueryDef("xq16_multimodal_features",
