@@ -6,7 +6,8 @@ object PlanAudit {
     val sf = "/root/testdata/sf0.01"
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "pq02_counter_fanout", "rq04_revenue_per_nation", "rq15_row_number",
-      "xq06_minhash_pairs", "xq02_cosine_topk", "pq13_sessionize", "xq23_top_terms")
+      "xq06_minhash_pairs", "xq02_cosine_topk", "pq13_sessionize", "xq23_top_terms",
+      "rq29_range_join", "xq55_bloom_semijoin", "xq57_pq_topk", "xq60_pagerank")
     names.foreach { n =>
       println(s"===== $n =====")
       SparkEntry.queries(n)(spark, sf).explain("formatted")

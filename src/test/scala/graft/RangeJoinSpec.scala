@@ -47,6 +47,30 @@ class RangeJoinSpec extends SparkSpec {
     assert(got == want, s"got $got want $want")
   }
 
+  test("property: random interval sets always equal the naive join, any bin width") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genIval = for {
+      s <- Gen.choose(-200L, 200L)
+      len <- Gen.choose(0L, 120L)
+    } yield (s, s + len)
+    val params = org.scalacheck.Gen.Parameters.default
+    (1 to 5).foreach { round =>
+      val seed = Seed(round.toLong)
+      def sample(n: Int, s: Seed) =
+        Gen.listOfN(n, genIval).pureApply(params, s)
+      val ls = sample(40, seed).zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+      val rs = sample(30, seed.next).zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+      val left = ls.toDF("lid", "ls", "le")
+      val right = rs.toDF("rid", "rs", "re")
+      val width = 1L << (round % 4 + 1) // 2, 4, 8, 16, 2
+      val got = pairs(RangeJoin.overlapJoin(left, right, "ls", "le", "rs", "re", width))
+      val want = pairs(left.crossJoin(right)
+        .where(col("ls") <= col("re") && col("rs") <= col("le")))
+      assert(got == want, s"round $round width $width: got ${got.size} want ${want.size}")
+    }
+  }
+
   test("plan is an equi-join on the bin id, not a product") {
     val epoch = lit("1970-01-01").cast("date")
     val w = Tables.orders(spark, sf)
