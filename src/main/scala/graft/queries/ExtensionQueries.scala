@@ -1494,6 +1494,32 @@ object ExtensionQueries {
            |ORDER BY pr DESC, vec_id LIMIT 50""".stripMargin
       }),
 
+    // XQ61: mergeable HLL vocabulary sketches (Spark 4's DataSketches
+    // integration) — per-source distinct-token sketches built in ONE scan,
+    // the corpus-wide vocabulary estimated by UNIONING the sketches (never
+    // rescanning; the distributed-systems point of HLL). Engine-specific
+    // binary sketches → rows-only check; HllSpec asserts the ±5% envelope
+    // vs exact and that merged == direct-global estimate.
+    QueryDef("xq61_hll_vocab",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("term"))
+          .where(length(col("term")) > 0)
+        val sk = toks.groupBy("source")
+          .agg(expr("hll_sketch_agg(term)").as("sk"),
+            countDistinct(col("term")).as("exact_vocab"))
+        val per = sk.select(col("source"),
+          expr("hll_sketch_estimate(sk)").cast("long").as("approx_vocab"),
+          col("exact_vocab"))
+        val global = sk.agg(
+            expr("hll_sketch_estimate(hll_union_agg(sk))").cast("long")
+              .as("approx_vocab"))
+          .crossJoin(toks.agg(countDistinct(col("term")).as("exact_vocab")))
+          .select(lit("~all").as("source"), col("approx_vocab"), col("exact_vocab"))
+        per.unionByName(global).orderBy("source")
+      },
+      None),
+
     // XQ16: multimodal feature extraction — mapPartitions over binary
     // payloads with a stubbed decoder; rows-only check (not SQL-expressible).
     QueryDef("xq16_multimodal_features",

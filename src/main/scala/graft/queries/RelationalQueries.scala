@@ -473,6 +473,24 @@ object RelationalQueries {
              |FROM w JOIN l ON l.ls <= w.we AND w.ws <= l.le
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // RQ30: filtered aggregation (ANSI FILTER clause semantics) — selective
+    // aggregates inside one grouping pass, no self-joins or second scans.
+    QueryDef("rq30_filtered_agg",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_all"),
+          expr("count_if(l_quantity > 25)").as("n_big"),
+          dsum(col("l_extendedprice")).as("sum_all"),
+          sum(when(col("l_linestatus") === "F", d2("l_extendedprice")))
+            .cast("double").as("sum_f"))
+        .orderBy("l_returnflag"),
+      Some(s"""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_all,
+              |  CAST(COUNT(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_big,
+              |  ${oSum("l_extendedprice")} AS sum_all,
+              |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+              |    FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS sum_f
+              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // RQ25: pivot — Spark's relational pivot operator; the oracle spells it
     // as portable conditional aggregation (same values, same columns).
     QueryDef("rq25_pivot",
