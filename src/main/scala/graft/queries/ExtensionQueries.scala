@@ -1520,6 +1520,47 @@ object ExtensionQueries {
       },
       None),
 
+    // XQ62: corpus snapshot diff — the recrawl change feed. "v2" is derived
+    // deterministically in-query from the documents table (every 13th doc
+    // dropped, every 7th surviving doc edited, a synthetic add per 17th), so
+    // the diff exercises all four statuses and the oracle mirrors the same
+    // derivation. Digest-compare full-outer join: one exchange of 32-byte
+    // hashes, O(delta) downstream.
+    QueryDef("xq62_snapshot_diff",
+      (s, d) => {
+        val v1 = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val kept = v1.where(col("doc_id") % 13 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [edited]")))
+              .otherwise(col("text")).as("text"))
+        val added = v1.where(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            concat(lit("new revision of "), col("doc_id").cast("string")).as("text"))
+        val v2 = kept.unionByName(added)
+        graft.operators.SnapshotDiff.diff(v1, v2, "doc_id", "text")
+          .groupBy("status")
+          .agg(count(lit(1)).as("n"), min(col("id")).as("first_id"),
+            max(col("id")).as("last_id"))
+          .orderBy("status")
+      },
+      Some("""WITH v1 AS (SELECT doc_id, text FROM documents),
+             |kept AS (SELECT doc_id,
+             |           CASE WHEN doc_id % 7 = 0 THEN text || ' [edited]' ELSE text END AS text
+             |         FROM v1 WHERE doc_id % 13 <> 0),
+             |added AS (SELECT doc_id + 100000 AS doc_id,
+             |            'new revision of ' || CAST(doc_id AS VARCHAR) AS text
+             |          FROM v1 WHERE doc_id % 17 = 0),
+             |v2 AS (SELECT * FROM kept UNION ALL SELECT * FROM added),
+             |d AS (SELECT COALESCE(a.doc_id, b.doc_id) AS id,
+             |        CASE WHEN a.doc_id IS NULL THEN 'added'
+             |             WHEN b.doc_id IS NULL THEN 'removed'
+             |             WHEN md5(a.text) <> md5(b.text) THEN 'changed'
+             |             ELSE 'unchanged' END AS status
+             |      FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+             |SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+             |       MIN(id) AS first_id, MAX(id) AS last_id
+             |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // XQ16: multimodal feature extraction — mapPartitions over binary
     // payloads with a stubbed decoder; rows-only check (not SQL-expressible).
     QueryDef("xq16_multimodal_features",
