@@ -35,8 +35,16 @@ object Graphs {
     // literal — computing it here would shift every rank by 2e-17 and break
     // the bit-exact contract.
     require(iters >= 1, s"need iters >= 1, got $iters")
+    // Persisted: every iteration re-joins the edge list, and the caller's
+    // edge derivation is often itself a join pipeline (xq60's is the LSH
+    // pair search) — without the persist each iteration would recompute it
+    // from the scan up. Pre-shuffling by src means the per-iteration join
+    // reuses one partitioning instead of re-exchanging the edges each round.
     val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("id")).distinct()
     val withN = nodes.crossJoin(broadcast(nodes.agg(count(lit(1)).as("n_nodes"))))
     var pr = withN.select(col("id"),
