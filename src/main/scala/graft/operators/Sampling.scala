@@ -41,6 +41,29 @@ object Sampling {
     df.where(bucket < threshold)
   }
 
+  /** Leakage-free train/test split: random splits leak near-duplicates
+    * across the boundary (a test doc's near-twin in train inflates eval —
+    * the measured failure behind benchmark contamination findings). The fix:
+    * split by NEAR-DUP GROUP, not by document — connected components from
+    * [[Dedup.dedupGroups]] give each doc its transitive group, and the
+    * md5-bucket split decision is a pure function of the GROUP id, so every
+    * member lands on the same side. RNG-free, repartition-stable, and the
+    * whole assignment is oracle-checkable (xq63).
+    *
+    * `trainFraction` is the literal compared against (not derived as
+    * 1 − testFraction — the float-literal trap [[graft.operators.Graphs]]
+    * documents).
+    */
+  def leakageFreeSplit(docs: DataFrame, textCol: String, idCol: String,
+      trainFraction: Double = 0.9, n: Int = 3): DataFrame = {
+    val groups = Dedup.dedupGroups(docs, textCol, idCol, n)
+    val bucket = expr(
+      "CAST(conv(substr(md5(CAST(label AS STRING)), 1, 4), 16, 10) AS DOUBLE) / 65536.0")
+    groups.select(col("id").as(idCol), col("label").as("group_id"),
+      when(bucket < lit(trainFraction), lit("train")).otherwise(lit("test"))
+        .as("split"))
+  }
+
   /** Sequence packing: assign docs to fixed-capacity training bins by
     * prefix-sum of their token counts in id order —
     * bin = floor(cumulative_start / capacity).

@@ -1561,6 +1561,38 @@ object ExtensionQueries {
              |       MIN(id) AS first_id, MAX(id) AS last_id
              |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // XQ63: leakage-free train/test split — the split decision is a pure
+    // md5 function of the NEAR-DUP GROUP id (xq32's transitive closure), so
+    // a test doc can never have a near-twin in train. Oracle extends the
+    // recursive-walk group SQL with the same bucket rule.
+    QueryDef("xq63_leakage_free_split",
+      (s, d) => Sampling.leakageFreeSplit(Tables.documents(s, d), "text",
+        "doc_id", trainFraction = 0.9)
+        .orderBy("doc_id"),
+      Some(s"""${minhashSigCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+              |bands AS (
+              |  SELECT doc_id, 0 AS band_id, mh1 || '|' || mh2 AS band_key FROM sig
+              |  UNION ALL SELECT doc_id, 1, mh3 || '|' || mh4 FROM sig
+              |  UNION ALL SELECT doc_id, 2, mh5 || '|' || mh6 FROM sig
+              |  UNION ALL SELECT doc_id, 3, mh7 || '|' || mh8 FROM sig),
+              |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |          FROM bands a JOIN bands b
+              |            ON a.band_id = b.band_id AND a.band_key = b.band_key
+              |           AND a.doc_id < b.doc_id),
+              |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+              |walk(id, label) AS (
+              |  SELECT doc_id, doc_id FROM documents
+              |  UNION
+              |  SELECT e.dst, w.label FROM walk w JOIN edges e ON w.id = e.src),
+              |grp AS (SELECT id, CAST(MIN(label) AS BIGINT) AS group_id
+              |        FROM walk GROUP BY id)
+              |SELECT id AS doc_id, group_id,
+              |  CASE WHEN CAST('0x' || substr(md5(CAST(group_id AS VARCHAR)), 1, 4) AS BIGINT)
+              |            / 65536.0 < 0.9
+              |       THEN 'train' ELSE 'test' END AS split
+              |FROM grp ORDER BY doc_id""".stripMargin)),
+
     // XQ16: multimodal feature extraction — mapPartitions over binary
     // payloads with a stubbed decoder; rows-only check (not SQL-expressible).
     QueryDef("xq16_multimodal_features",

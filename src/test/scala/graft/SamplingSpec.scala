@@ -86,4 +86,22 @@ class SamplingSpec extends SparkSpec {
     assert((exact & multi).size >= (exact & single).size)
     assert(single.subsetOf(multi) || multi.size >= single.size)
   }
+
+  test("leakage-free split keeps every near-dup group on one side") {
+    val docs = Tables.documents(spark, sf)
+    val split = Sampling.leakageFreeSplit(docs, "text", "doc_id")
+    // no group straddles the boundary
+    val straddlers = split.groupBy("group_id")
+      .agg(org.apache.spark.sql.functions.countDistinct("split").as("sides"))
+      .where(org.apache.spark.sql.functions.col("sides") > 1)
+    assert(straddlers.count() == 0, "a near-dup group crossed the split")
+    // both sides exist and every doc is assigned
+    assert(split.count() == docs.count())
+    val sides = split.select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(sides == Set("train", "test"))
+    // deterministic under repartition
+    val again = Sampling.leakageFreeSplit(docs.repartition(11), "text", "doc_id")
+    assert(split.orderBy("doc_id").collect().toSeq ==
+      again.orderBy("doc_id").collect().toSeq)
+  }
 }
