@@ -15,6 +15,24 @@ object RelationalQueries {
 
   private def d2(name: String) = col(name).cast(DecimalType(18, 2))
 
+  /** rq31's single source of truth: one dialect-neutral SQL string executed
+    * verbatim by BOTH engines (Spark over registerAll's views, DuckDB over
+    * the same parquet) — the strongest possible statement of SQL-front-door
+    * parity, because there is no translation step to hide behind.
+    */
+  private val SqlParityText: String =
+    """SELECT n.n_name,
+      |  CAST(COUNT(*) AS BIGINT) AS n_items,
+      |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+      |  CASE WHEN COUNT(*) > 1000 THEN 'large' ELSE 'small' END AS bucket
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      |GROUP BY n.n_name
+      |ORDER BY n.n_name""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // RQ1: scan + filter + project — predicate and column pruning reach the
@@ -490,6 +508,17 @@ object RelationalQueries {
               |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
               |    FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS sum_f
               |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // RQ31: SQL-surface parity — ONE dialect-neutral SQL string executed
+    // verbatim by spark.sql (over registerAll's temp views) AND by DuckDB.
+    // The engine's SQL front door, proven by running the identical text in
+    // both engines and hash-matching.
+    QueryDef("rq31_sql_parity",
+      (s, d) => {
+        graft.Tables.registerAll(s, d)
+        s.sql(SqlParityText)
+      },
+      Some(SqlParityText)),
 
     // RQ25: pivot — Spark's relational pivot operator; the oracle spells it
     // as portable conditional aggregation (same values, same columns).

@@ -41,6 +41,22 @@ object TextCorpus {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** CSV reader with the same corrupt-row contract as [[readJsonl]]:
+    * header-driven column binding onto [[documentSchema]], malformed rows
+    * preserved in `_corrupt_record`, multiline quoted fields supported
+    * (multiline + uncompressed costs splittability within a file — shard
+    * counts drive parallelism, same note as gzip JSONL).
+    */
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(documentSchema.add("_corrupt_record", StringType))
+      .option("header", "true")
+      .option("multiLine", "true")
+      .option("escape", "\"")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+
   private val RecordDelim = "\r\n\r\nWARC/1.0\r\n"
 
   /** WARC-lite reader: splits a crawl archive at record boundaries with the

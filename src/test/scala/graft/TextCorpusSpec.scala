@@ -51,6 +51,25 @@ class TextCorpusSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("csv reader binds headers, handles quoted multiline text, keeps corrupt rows") {
+    val dir = tempDir("csv")
+    val csv = Seq(
+      "doc_id,url,text,source",
+      "1,http://a,\"first line\nsecond line\",src0",
+      "2,http://b,\"comma, inside\",src1",
+      "not-a-number,http://c,broken,src2"
+    ).mkString("\n")
+    Files.write(dir.resolve("docs.csv"), csv.getBytes(StandardCharsets.UTF_8))
+    val df = TextCorpus.readCsv(spark, dir.toString).cache()
+    assert(df.count() == 3)
+    assert(df.where(col("_corrupt_record").isNotNull).count() == 1,
+      "the non-numeric doc_id row must be quarantined, not dropped")
+    val t1 = df.where(col("doc_id") === 1).select("text").collect()(0).getString(0)
+    assert(t1 == "first line\nsecond line", s"multiline quoted field broke: $t1")
+    val t2 = df.where(col("doc_id") === 2).select("text").collect()(0).getString(0)
+    assert(t2 == "comma, inside")
+  }
+
   private val warcFixture: String = {
     def record(tpe: String, uri: String, body: String): String = {
       val header = s"WARC/1.0\r\n" +
