@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{TextFunctions, UrlFunctions}
-import graft.operators.{Bpe, Chunking, Decontamination, Dedup, Multimodal, NgramLm, QualityClassifier, Ranking, Redaction, RepeatedNgrams, Sampling, Similarity, TextStats, Vocabulary, ZOrder}
+import graft.operators.{Bpe, Chunking, Cleaning, Decontamination, Dedup, Multimodal, NgramLm, QualityClassifier, Ranking, Redaction, RepeatedNgrams, Sampling, Similarity, TextStats, Vocabulary, ZOrder}
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2.4 XQ* — the LLM-data-pipeline operator surface (north star):
@@ -31,6 +31,59 @@ object ExtensionQueries {
        |  MIN(md5('5'||shingle)) AS mh5, MIN(md5('6'||shingle)) AS mh6,
        |  MIN(md5('7'||shingle)) AS mh7, MIN(md5('8'||shingle)) AS mh8
        |  FROM sh_all GROUP BY doc_id)""".stripMargin
+
+  /** Deterministic multi-line rendering of a document (the corpus itself is
+    * single-line word soup; the xq36 injection pattern): 8-token chunks
+    * become lines with a suffix cycling on (doc_id·31+i) mod 5 — '.', '!',
+    * bare, '- bullet.', '...' — plus an injected JS/cookie boilerplate line
+    * (doc_id%3==0) and a code-brace line (doc_id%7==0), so the C4/Gopher
+    * rules have every shape to fire on. Spelled identically in [[linedCte]].
+    */
+  private def linedText: org.apache.spark.sql.Column = {
+    val toks = split(col("text"), " ")
+    val nChunks = ceil(size(toks).cast("double") / 8.0d).cast("int")
+    val body = transform(sequence(lit(0), nChunks - 1), i => {
+      val chunk = array_join(slice(toks, i * 8 + 1, lit(8)), " ")
+      val m = (col("doc_id") * 31 + i.cast("long")) % 5
+      when(m === 0, concat(chunk, lit(".")))
+        .when(m === 1, concat(chunk, lit("!")))
+        .when(m === 2, chunk)
+        .when(m === 3, concat(lit("- "), chunk, lit(".")))
+        .otherwise(concat(chunk, lit("...")))
+    })
+    val withBoiler = when(col("doc_id") % 3 === 0,
+      concat(array(
+        lit("please enable javascript and accept our cookie policy.")), body))
+      .otherwise(body)
+    val withBrace = when(col("doc_id") % 7 === 0,
+      concat(withBoiler, array(lit("function f() { return 0; }"))))
+      .otherwise(withBoiler)
+    array_join(withBrace, "\n")
+  }
+
+  /** DuckDB twin of [[linedText]] as a `lines(doc_id, pos, line)` CTE chain
+    * (the injected lines sort before/after the body via sentinel positions —
+    * only relative order matters to reassembly).
+    */
+  private val linedCte =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |chunks AS (SELECT doc_id, i,
+      |        array_to_string(list_slice(w, i*8 + 1, i*8 + 8), ' ') AS chunk,
+      |        (doc_id*31 + i) % 5 AS m
+      |      FROM t, UNNEST(generate_series(0,
+      |             CAST(ceil(len(w) / 8.0) AS BIGINT) - 1)) AS u(i)),
+      |body AS (SELECT doc_id, i AS pos,
+      |        CASE m WHEN 0 THEN chunk || '.' WHEN 1 THEN chunk || '!'
+      |               WHEN 2 THEN chunk WHEN 3 THEN '- ' || chunk || '.'
+      |               ELSE chunk || '...' END AS line FROM chunks),
+      |lines AS (SELECT * FROM body
+      |      UNION ALL
+      |      SELECT doc_id, -1,
+      |        'please enable javascript and accept our cookie policy.'
+      |      FROM documents WHERE doc_id % 3 = 0
+      |      UNION ALL
+      |      SELECT doc_id, 2000000000, 'function f() { return 0; }'
+      |      FROM documents WHERE doc_id % 7 = 0)""".stripMargin
 
   /** DuckDB cosine between two DOUBLE[] expressions — same IEEE op sequence
     * as VectorFunctions.cosine (sequential dot, sqrt norms, one divide).
@@ -1592,6 +1645,98 @@ object ExtensionQueries {
               |            / 65536.0 < 0.9
               |       THEN 'train' ELSE 'test' END AS split
               |FROM grp ORDER BY doc_id""".stripMargin)),
+
+    // XQ64: C4 line-level cleaning (Raffel et al. 2020 §2.2) — the corpus
+    // is single-line word soup, so a deterministic multi-line rendering is
+    // derived in-query (the xq36 injection pattern: structure the rules can
+    // fire on, spelled identically in the oracle) and Cleaning.c4LineFilter
+    // prunes it: prose lines survive, boilerplate/code/short lines go, docs
+    // reassemble in original order, thin docs drop entirely.
+    QueryDef("xq64_c4_line_filter",
+      (s, d) => Cleaning.c4LineFilter(
+        Tables.documents(s, d).select(col("doc_id"), linedText.as("text")),
+        "text", "doc_id")
+        .orderBy("doc_id"),
+      Some(s"""$linedCte,
+              |kept AS (SELECT doc_id, pos, line FROM lines
+              |         WHERE right(line, 1) IN ('.', '!', '?', '"')
+              |           AND len(string_split(line, ' ')) >= 5
+              |           AND position('{' IN line) = 0
+              |           AND position('javascript' IN lower(line)) = 0
+              |           AND position('cookie policy' IN lower(line)) = 0
+              |           AND position('lorem ipsum' IN lower(line)) = 0
+              |           AND position('privacy policy' IN lower(line)) = 0
+              |           AND position('terms of use' IN lower(line)) = 0),
+              |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines
+              |        FROM lines GROUP BY 1),
+              |reb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+              |          string_agg(line, chr(10) ORDER BY pos) AS clean_text
+              |        FROM kept GROUP BY 1)
+              |SELECT tot.doc_id, n_lines, n_kept, clean_text
+              |FROM tot JOIN reb USING (doc_id)
+              |WHERE n_kept >= 2 ORDER BY tot.doc_id""".stripMargin)),
+
+    // XQ65: Gopher quality rules (Rae et al. 2021, table A1) over the same
+    // derived multi-line docs — per-rule 0/1 flags stay visible beside the
+    // raw statistics (pipelines tune thresholds by seeing which rule fires).
+    QueryDef("xq65_gopher_rules",
+      (s, d) => Cleaning.gopherRules(
+        Tables.documents(s, d).select(col("doc_id"), linedText.as("text")),
+        "text", "doc_id")
+        .orderBy("doc_id"),
+      Some {
+        val stopList = Cleaning.gopherStopwords.map(w => s"'$w'").mkString(", ")
+        s"""$linedCte,
+           |lined AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+           |          FROM lines GROUP BY doc_id),
+           |f AS (SELECT doc_id,
+           |        string_split(replace(text, chr(10), ' '), ' ') AS words,
+           |        string_split(text, chr(10)) AS ls, text
+           |      FROM lined),
+           |stat AS (SELECT doc_id,
+           |    CAST(len(words) AS BIGINT) AS n_words,
+           |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |           list_transform(words, x -> CAST(len(x) AS BIGINT))),
+           |         (a, b) -> a + b) AS BIGINT) AS sum_wl,
+           |    CAST(len(text) - len(replace(text, '#', '')) AS BIGINT) AS n_hash,
+           |    CAST((len(text) - len(replace(text, '...', ''))) / 3 AS BIGINT) AS n_ell,
+           |    CAST(len(ls) AS BIGINT) AS n_lines,
+           |    CAST(len(list_filter(ls, l -> l LIKE '- %' OR l LIKE '• %')) AS BIGINT) AS n_bullet,
+           |    CAST(len(list_filter(ls, l -> l LIKE '%...')) AS BIGINT) AS n_ell_line,
+           |    CAST(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+           |    CAST(len(list_filter(words, x -> list_contains([$stopList], lower(x)))) AS BIGINT) AS n_stop
+           |  FROM f),
+           |r AS (SELECT doc_id, n_words,
+           |    CAST(sum_wl AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
+           |    CAST(n_hash + n_ell AS DOUBLE) / CAST(n_words AS DOUBLE) AS symbol_ratio,
+           |    n_stop,
+           |    CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END AS r_word_count,
+           |    CASE WHEN CAST(sum_wl AS DOUBLE) / CAST(n_words AS DOUBLE) >= 3.0
+           |          AND CAST(sum_wl AS DOUBLE) / CAST(n_words AS DOUBLE) <= 10.0
+           |         THEN 1 ELSE 0 END AS r_word_len,
+           |    CASE WHEN CAST(n_hash + n_ell AS DOUBLE) / CAST(n_words AS DOUBLE) < 0.1
+           |         THEN 1 ELSE 0 END AS r_symbol,
+           |    CASE WHEN CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE) <= 0.9
+           |         THEN 1 ELSE 0 END AS r_bullet,
+           |    CASE WHEN CAST(n_ell_line AS DOUBLE) / CAST(n_lines AS DOUBLE) <= 0.3
+           |         THEN 1 ELSE 0 END AS r_ellipsis,
+           |    CASE WHEN CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.8
+           |         THEN 1 ELSE 0 END AS r_alpha,
+           |    CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS r_stop
+           |  FROM stat)
+           |SELECT doc_id, n_words, mean_word_len, symbol_ratio, n_stop,
+           |  CAST(r_word_count AS BIGINT) AS r_word_count,
+           |  CAST(r_word_len AS BIGINT) AS r_word_len,
+           |  CAST(r_symbol AS BIGINT) AS r_symbol,
+           |  CAST(r_bullet AS BIGINT) AS r_bullet,
+           |  CAST(r_ellipsis AS BIGINT) AS r_ellipsis,
+           |  CAST(r_alpha AS BIGINT) AS r_alpha,
+           |  CAST(r_stop AS BIGINT) AS r_stop,
+           |  CAST(CASE WHEN r_word_count + r_word_len + r_symbol + r_bullet
+           |                 + r_ellipsis + r_alpha + r_stop = 7
+           |            THEN 1 ELSE 0 END AS BIGINT) AS pass
+           |FROM r ORDER BY doc_id""".stripMargin
+      }),
 
     // XQ16: multimodal feature extraction — mapPartitions over binary
     // payloads with a stubbed decoder; rows-only check (not SQL-expressible).
