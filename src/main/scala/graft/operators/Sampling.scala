@@ -113,6 +113,49 @@ object Sampling {
       .drop("_pid", "_offset", "_k")
   }
 
+  /** Exact distributed NTILE — curriculum/quantile bucketing (order the
+    * corpus by a difficulty signal, cut it into k equal tiles) without the
+    * single-task global window `ntile(k) OVER (ORDER BY ...)` compiles to.
+    *
+    * Global rank comes from the same two-pass range-partitioned prefix sum
+    * as [[packSequences]]; the bucket is then the SQL-standard NTILE
+    * assignment: with q = N div k and r = N mod k, the first r buckets take
+    * q+1 rows and the rest q. (The tempting closed form floor(rank·k/N)
+    * is NOT ntile — at N=8, k=5 it deals sizes 2,2,1,2,1 against ntile's
+    * 2,2,2,1,1 — so the piecewise definition is spelled out.)
+    *
+    * Ties are broken by idCol, making the assignment total, deterministic,
+    * and repartition-stable. Output: input columns + `bucket` (1-based).
+    */
+  def ntileExact(df: DataFrame, orderCols: Seq[String], idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val spark = df.sparkSession
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val ord = (orderCols :+ idCol).map(col)
+    val parts = df.repartitionByRange(nPart, ord: _*)
+      .withColumn("_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val offsetWin = Window.orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val counts = parts.groupBy(col("_pid")).agg(count(lit(1)).as("_pn"))
+    val offsets = counts
+      .select(col("_pid"),
+        coalesce(sum(col("_pn")).over(offsetWin), lit(0L)).as("_offset"))
+      .crossJoin(broadcast(counts.agg(sum(col("_pn")).as("_n"))))
+    val localWin = Window.partitionBy(col("_pid")).orderBy(ord: _*)
+    parts.join(broadcast(offsets), "_pid")
+      .withColumn("_rank0",
+        col("_offset") + row_number().over(localWin).cast("long") - 1L)
+      .withColumn("_q", expr(s"_n div $k"))
+      .withColumn("_r", col("_n") % k)
+      .withColumn("_cut", (col("_q") + 1L) * col("_r"))
+      .withColumn("bucket",
+        when(col("_rank0") < col("_cut"), expr("_rank0 div (_q + 1)"))
+          .otherwise(col("_r") + expr("(_rank0 - _cut) div _q")) + lit(1L))
+      .drop("_pid", "_offset", "_n", "_rank0", "_q", "_r", "_cut")
+  }
+
   def packSequences(df: DataFrame, idCol: String, sizeCol: String,
       capacity: Long): DataFrame = {
     val spark = df.sparkSession

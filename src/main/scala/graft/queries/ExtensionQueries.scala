@@ -1738,6 +1738,24 @@ object ExtensionQueries {
            |FROM r ORDER BY doc_id""".stripMargin
       }),
 
+    // XQ66: curriculum bucketing — exact NTILE over the whole corpus by a
+    // difficulty signal (token count; length curricula are the standard
+    // first cut) WITHOUT the single-task global window ntile() compiles to:
+    // rank via the two-pass distributed prefix sum, then the SQL-standard
+    // piecewise tile assignment. Oracle is DuckDB's native ntile().
+    QueryDef("xq66_curriculum_ntile",
+      (s, d) => Sampling.ntileExact(
+        Tables.documents(s, d).select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens")),
+        Seq("n_tokens"), "doc_id", k = 8)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents)
+             |SELECT doc_id, n_tokens,
+             |  CAST(ntile(8) OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS bucket
+             |FROM t ORDER BY doc_id""".stripMargin)),
+
     // XQ16: multimodal feature extraction — mapPartitions over binary
     // payloads with a stubbed decoder; rows-only check (not SQL-expressible).
     QueryDef("xq16_multimodal_features",

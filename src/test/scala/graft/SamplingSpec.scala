@@ -75,6 +75,38 @@ class SamplingSpec extends SparkSpec {
     assert(again == kept.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("ntileExact equals a sequential NTILE for awkward N/k splits") {
+    // N=8, k=5 is the case where floor(rank*k/N) diverges from SQL NTILE
+    // (2,2,1,2,1 vs the standard 2,2,2,1,1) — pin the standard behavior.
+    val df = (1L to 8L).map(i => (i, i * 7 % 5)).toDF("id", "v")
+    for (k <- Seq(1, 3, 5, 8, 11)) {
+      val got = Sampling.ntileExact(df, Seq("v"), "id", k)
+        .orderBy("v", "id").select("bucket").as[Long].collect().toSeq
+      val n = 8
+      val q = n / k; val r = n % k
+      val expected = (0 until n).map { r0 =>
+        if (r0 < (q + 1) * r) r0 / (q + 1) + 1 else r + (r0 - (q + 1) * r) / q + 1
+      }.map(_.toLong)
+      assert(got == expected, s"k=$k")
+      // tile sizes differ by at most 1 and larger tiles come first
+      val sizes = got.groupBy(identity).toSeq.sortBy(_._1).map(_._2.size)
+      assert(sizes.reverse == sizes.sorted, s"k=$k sizes $sizes")
+    }
+  }
+
+  test("ntileExact is repartition-stable and covers every row on real docs") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+    val a = Sampling.ntileExact(docs, Seq("n"), "doc_id", 8)
+      .orderBy("doc_id").collect().toSeq
+    val b = Sampling.ntileExact(docs.repartition(13), Seq("n"), "doc_id", 8)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+    assert(a.size == docs.count())
+    val sizes = a.groupBy(_.getLong(2)).values.map(_.size).toSeq
+    assert(sizes.max - sizes.min <= 1, s"uneven tiles: $sizes")
+  }
+
   test("multiprobe LSH recall >= single-probe recall") {
     val emb = Tables.embeddings(spark, sf)
     val exact = Similarity.bruteForceTopK(emb, "embedding", "vec_id", 0L, 10)
