@@ -169,6 +169,27 @@ object Dedup {
     labels
   }
 
+  /** Soft dedup: instead of DROPPING near-duplicates, down-weight them —
+    * every doc gets training weight 1/|its transitive near-dup group|, so
+    * each group contributes exactly unit mass to the training mix (the
+    * "duplication count as sampling weight" alternative to hard removal;
+    * keeps rare-but-duplicated content represented without over-counting).
+    *
+    * Output: (idCol, group_id, group_size, weight) with
+    * Σ weight = #groups by construction. weight = 1/long is a single IEEE
+    * divide of exact integers — bit-identical cross-engine. Cost on top of
+    * [[dedupGroups]]: one group-keyed count + one key-only join.
+    */
+  def softDedupWeights(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3): DataFrame = {
+    val g = dedupGroups(docs, textCol, idCol, n)
+    val sizes = g.groupBy(col("label")).agg(count(lit(1)).as("group_size"))
+    g.join(sizes, "label")
+      .select(col("id").as(idCol), col("label").as("group_id"),
+        col("group_size"),
+        (lit(1.0d) / col("group_size").cast("double")).as("weight"))
+  }
+
   /** 60-bit SimHash over whitespace tokens. Token hash = first 15 hex chars
     * of md5 as an unsigned 60-bit integer (portable: DuckDB casts
     * '0x'||hex). Signature bit b is set iff the majority of token hashes

@@ -32,6 +32,30 @@ object ExtensionQueries {
        |  MIN(md5('7'||shingle)) AS mh7, MIN(md5('8'||shingle)) AS mh8
        |  FROM sh_all GROUP BY doc_id)""".stripMargin
 
+  /** DuckDB twin of Dedup.dedupGroups (shared by xq63/xq67): LSH band
+    * pairs → symmetric edges → recursive min-label walk → per-doc transitive
+    * group id in `grp(id, group_id)`.
+    */
+  private val dedupGroupsCte =
+    s"""${minhashSigCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |bands AS (
+       |  SELECT doc_id, 0 AS band_id, mh1 || '|' || mh2 AS band_key FROM sig
+       |  UNION ALL SELECT doc_id, 1, mh3 || '|' || mh4 FROM sig
+       |  UNION ALL SELECT doc_id, 2, mh5 || '|' || mh6 FROM sig
+       |  UNION ALL SELECT doc_id, 3, mh7 || '|' || mh8 FROM sig),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM bands a JOIN bands b
+       |            ON a.band_id = b.band_id AND a.band_key = b.band_key
+       |           AND a.doc_id < b.doc_id),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |walk(id, label) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, w.label FROM walk w JOIN edges e ON w.id = e.src),
+       |grp AS (SELECT id, CAST(MIN(label) AS BIGINT) AS group_id
+       |        FROM walk GROUP BY id)""".stripMargin
+
   /** Deterministic multi-line rendering of a document (the corpus itself is
     * single-line word soup; the xq36 injection pattern): 8-token chunks
     * become lines with a suffix cycling on (doc_id·31+i) mod 5 — '.', '!',
@@ -1622,24 +1646,7 @@ object ExtensionQueries {
       (s, d) => Sampling.leakageFreeSplit(Tables.documents(s, d), "text",
         "doc_id", trainFraction = 0.9)
         .orderBy("doc_id"),
-      Some(s"""${minhashSigCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-              |bands AS (
-              |  SELECT doc_id, 0 AS band_id, mh1 || '|' || mh2 AS band_key FROM sig
-              |  UNION ALL SELECT doc_id, 1, mh3 || '|' || mh4 FROM sig
-              |  UNION ALL SELECT doc_id, 2, mh5 || '|' || mh6 FROM sig
-              |  UNION ALL SELECT doc_id, 3, mh7 || '|' || mh8 FROM sig),
-              |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              |          FROM bands a JOIN bands b
-              |            ON a.band_id = b.band_id AND a.band_key = b.band_key
-              |           AND a.doc_id < b.doc_id),
-              |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-              |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-              |walk(id, label) AS (
-              |  SELECT doc_id, doc_id FROM documents
-              |  UNION
-              |  SELECT e.dst, w.label FROM walk w JOIN edges e ON w.id = e.src),
-              |grp AS (SELECT id, CAST(MIN(label) AS BIGINT) AS group_id
-              |        FROM walk GROUP BY id)
+      Some(s"""$dedupGroupsCte
               |SELECT id AS doc_id, group_id,
               |  CASE WHEN CAST('0x' || substr(md5(CAST(group_id AS VARCHAR)), 1, 4) AS BIGINT)
               |            / 65536.0 < 0.9
@@ -1755,6 +1762,21 @@ object ExtensionQueries {
              |SELECT doc_id, n_tokens,
              |  CAST(ntile(8) OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS bucket
              |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // XQ67: soft dedup — down-weight near-duplicates instead of dropping
+    // them: weight = 1/|transitive near-dup group|, so every group carries
+    // unit training mass (the sampling-weight alternative to xq21's hard
+    // removal). Oracle extends the shared recursive-walk group CTE.
+    QueryDef("xq67_soft_dedup_weights",
+      (s, d) => Dedup.softDedupWeights(Tables.documents(s, d), "text",
+        "doc_id")
+        .orderBy("doc_id"),
+      Some(s"""$dedupGroupsCte,
+              |sz AS (SELECT group_id, CAST(COUNT(*) AS BIGINT) AS group_size
+              |       FROM grp GROUP BY 1)
+              |SELECT grp.id AS doc_id, grp.group_id, sz.group_size,
+              |       CAST(1 AS DOUBLE) / CAST(sz.group_size AS DOUBLE) AS weight
+              |FROM grp JOIN sz USING (group_id) ORDER BY doc_id""".stripMargin)),
 
     // XQ16: multimodal feature extraction — mapPartitions over binary
     // payloads with a stubbed decoder; rows-only check (not SQL-expressible).

@@ -169,4 +169,20 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(dropped == batchIds -- incr)
   }
+
+  test("soft dedup weights: unit mass per group, singletons weigh 1.0") {
+    val docs = Tables.documents(spark, sf)
+    val w = Dedup.softDedupWeights(docs, "text", "doc_id").collect()
+    assert(w.length == docs.count())
+    // every member of a group shares the size, and weight * size == 1
+    assert(w.forall(r => r.getDouble(3) == 1.0d / r.getLong(2)))
+    // total mass == number of groups (each group contributes exactly 1)
+    val nGroups = w.map(_.getLong(1)).distinct.length
+    val mass = w.map(_.getDouble(3)).sum
+    assert(math.abs(mass - nGroups) < 1e-9, s"mass $mass vs $nGroups groups")
+    // weights agree with the hard-dedup group structure
+    val groups = Dedup.dedupGroups(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w.forall(r => groups(r.getLong(0)) == r.getLong(1)))
+  }
 }
