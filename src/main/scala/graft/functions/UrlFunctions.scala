@@ -37,6 +37,24 @@ object UrlFunctions {
     regexp_replace(noSlash, "\\?$", "")
   }
 
+  /** Registrable host of a URL — the key for domain-level corpus policy
+    * (blocklists, per-domain caps/stats): scheme stripped, everything from
+    * the first `/ : ? #` on stripped, lowercased, `www.` prefix dropped.
+    * Schemeless input is treated as starting at the host.
+    */
+  def hostOf(u: Column): Column = {
+    val noScheme = regexp_replace(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    val host = regexp_replace(noScheme, "[/:?#].*$", "")
+    regexp_replace(lower(host), "^www\\.", "")
+  }
+
+  /** DuckDB twin of [[hostOf]]. */
+  def oracleHostOf(e: String): String = {
+    val noScheme = s"regexp_replace($e, '^[a-zA-Z][a-zA-Z0-9+.-]*://', '')"
+    val host = s"regexp_replace($noScheme, '[/:?#].*$$', '')"
+    s"regexp_replace(lower($host), '^www\\.', '')"
+  }
+
   /** DuckDB twin of [[canonicalizeUrl]] — the same step sequence as nested
     * RE2 `regexp_replace` calls (`\n` group syntax, explicit 'g' where a
     * pattern can match more than once), applied to SQL expression `e`.

@@ -1778,6 +1778,48 @@ object ExtensionQueries {
               |       CAST(1 AS DOUBLE) / CAST(sz.group_size AS DOUBLE) AS weight
               |FROM grp JOIN sz USING (group_id) ORDER BY doc_id""".stripMargin)),
 
+    // XQ68: domain blocklist + per-domain corpus stats (the RefinedWeb/UT1
+    // pattern: domain-level policy before any content filtering). URLs are
+    // derived in-query (xq37 pattern), keyed by UrlFunctions.hostOf, the
+    // blocklist applied as a broadcast ANTI join (a real UT1 list is ~4M
+    // rows — still broadcast range; beyond that the same anti-join shuffles
+    // and AQE picks the strategy), then one per-domain aggregation pass.
+    QueryDef("xq68_domain_blocklist",
+      (s, d) => {
+        import s.implicits._
+        val host0 = concat(col("source"), lit(".Example.COM"))
+        val path = concat(lit("/page/"), (col("doc_id") % 50).cast("string"))
+        val url = when(col("doc_id") % 2 === 0,
+            concat(lit("HTTPS://WWW."), host0, path))
+          .otherwise(concat(lit("http://"), host0, lit(":8080"), path))
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars"),
+            UrlFunctions.hostOf(url).as("domain"))
+        val block = Seq("src3.example.com", "src7.example.com",
+          "src13.example.com").toDF("domain")
+        docs.join(broadcast(block), Seq("domain"), "left_anti")
+          .groupBy("domain")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            min(col("doc_id")).as("first_doc"))
+          .orderBy("domain")
+      },
+      Some {
+        val oUrl =
+          """CASE WHEN doc_id % 2 = 0
+            |  THEN 'HTTPS://WWW.' || source || '.Example.COM' || '/page/' || CAST(doc_id % 50 AS VARCHAR)
+            |  ELSE 'http://' || source || '.Example.COM' || ':8080' || '/page/' || CAST(doc_id % 50 AS VARCHAR)
+            |END""".stripMargin
+        s"""WITH u AS (SELECT doc_id, n_chars, $oUrl AS url FROM documents),
+           |h AS (SELECT doc_id, n_chars, ${UrlFunctions.oracleHostOf("url")} AS domain FROM u),
+           |b AS (SELECT * FROM (VALUES ('src3.example.com'), ('src7.example.com'),
+           |                            ('src13.example.com')) AS t(domain))
+           |SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars, MIN(doc_id) AS first_doc
+           |FROM h WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.domain = h.domain)
+           |GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
     // XQ16: multimodal feature extraction — mapPartitions over binary
     // payloads with a stubbed decoder; rows-only check (not SQL-expressible).
     QueryDef("xq16_multimodal_features",

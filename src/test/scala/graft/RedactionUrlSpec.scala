@@ -54,6 +54,19 @@ class RedactionUrlSpec extends SparkSpec {
     assert(canon("https://h.com/p?a=1&utm_medium=m&b=2") == "https://h.com/p?a=1&b=2")
   }
 
+  private def host(u: String): String = {
+    import spark.implicits._
+    Seq(u).toDF("u").select(UrlFunctions.hostOf(col("u"))).collect().head.getString(0)
+  }
+
+  test("hostOf: scheme, port, path, query, fragment and www all stripped") {
+    assert(host("HTTPS://WWW.Host.COM:443/A/B?q=1#f") == "host.com")
+    assert(host("http://sub.example.org/x") == "sub.example.org")
+    assert(host("ftp+ssh://Weird.Scheme.net:21") == "weird.scheme.net")
+    assert(host("example.com/path") == "example.com")
+    assert(host("www.example.com") == "example.com")
+  }
+
   test("url: idempotent on already-canonical input") {
     val u = "https://host.com/a/b?x=1&y=2"
     assert(canon(u) == u)
