@@ -32,12 +32,11 @@ object ExtensionQueries {
        |  MIN(md5('7'||shingle)) AS mh7, MIN(md5('8'||shingle)) AS mh8
        |  FROM sh_all GROUP BY doc_id)""".stripMargin
 
-  /** DuckDB twin of Dedup.dedupGroups (shared by xq63/xq67): LSH band
-    * pairs → symmetric edges → recursive min-label walk → per-doc transitive
-    * group id in `grp(id, group_id)`.
+  /** DuckDB twin of Dedup.minhashCandidatePairs (xq67/xq69): signatures →
+    * band keys → distinct candidate pairs in `pairs(doc_a, doc_b)`, a < b.
     */
-  private val dedupGroupsCte =
-    s"""${minhashSigCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+  private val lshPairsCte =
+    s"""$minhashSigCte,
        |bands AS (
        |  SELECT doc_id, 0 AS band_id, mh1 || '|' || mh2 AS band_key FROM sig
        |  UNION ALL SELECT doc_id, 1, mh3 || '|' || mh4 FROM sig
@@ -46,7 +45,14 @@ object ExtensionQueries {
        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |          FROM bands a JOIN bands b
        |            ON a.band_id = b.band_id AND a.band_key = b.band_key
-       |           AND a.doc_id < b.doc_id),
+       |           AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** DuckDB twin of Dedup.dedupGroups (shared by xq63/xq67): LSH band
+    * pairs → symmetric edges → recursive min-label walk → per-doc transitive
+    * group id in `grp(id, group_id)`.
+    */
+  private val dedupGroupsCte =
+    s"""${lshPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
        |walk(id, label) AS (
@@ -1819,6 +1825,40 @@ object ExtensionQueries {
            |FROM h WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.domain = h.domain)
            |GROUP BY 1 ORDER BY 1""".stripMargin
       }),
+
+    // XQ69: triangle counting + local clustering over the LSH candidate
+    // graph — distinguishes tight near-dup communities (clustering → 1)
+    // from incidental similarity chains. Exactly-once oriented wedge
+    // enumeration, no product; oracle mirrors the joins over the shared
+    // pairs CTE.
+    QueryDef("xq69_triangle_count",
+      (s, d) => graft.operators.Graphs.triangleCounts(
+        Dedup.minhashCandidatePairs(Tables.documents(s, d), "text",
+          "doc_id"), "doc_a", "doc_b")
+        .select(col("id").as("doc_id"), col("degree"), col("triangles"),
+          col("clustering"))
+        .orderBy("doc_id"),
+      Some(s"""$lshPairsCte,
+              |tri AS (SELECT e1.doc_a AS x, e1.doc_b AS y, e2.doc_b AS z
+              |        FROM pairs e1 JOIN pairs e2 ON e1.doc_b = e2.doc_a
+              |        WHERE EXISTS (SELECT 1 FROM pairs e3
+              |                      WHERE e3.doc_a = e1.doc_a
+              |                        AND e3.doc_b = e2.doc_b)),
+              |n AS (SELECT doc_a AS id FROM pairs
+              |      UNION ALL SELECT doc_b FROM pairs),
+              |deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS degree
+              |        FROM n GROUP BY 1),
+              |tn AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS triangles FROM
+              |        (SELECT x AS id FROM tri
+              |         UNION ALL SELECT y FROM tri
+              |         UNION ALL SELECT z FROM tri) GROUP BY 1)
+              |SELECT deg.id AS doc_id, degree,
+              |  COALESCE(triangles, 0) AS triangles,
+              |  CASE WHEN degree >= 2
+              |       THEN CAST(COALESCE(triangles, 0) * 2 AS DOUBLE)
+              |            / CAST(degree * (degree - 1) AS DOUBLE)
+              |       ELSE 0.0 END AS clustering
+              |FROM deg LEFT JOIN tn USING (id) ORDER BY doc_id""".stripMargin)),
 
     // XQ16: multimodal feature extraction — mapPartitions over binary
     // payloads with a stubbed decoder; rows-only check (not SQL-expressible).

@@ -39,4 +39,23 @@ class GraphsSpec extends SparkSpec {
     val b = Graphs.pageRank(edges.repartition(7), iters = 4).orderBy("id").collect().toSeq
     assert(a == b, "quantized contributions must make ranks partition-independent")
   }
+
+  test("triangle counts: K4 plus a pendant vertex, hand-checked") {
+    // K4 on {1,2,3,4}: every node sits in C(3,2)=3 triangles, clustering 1.
+    // Node 5 hangs off node 1: degree 1, no triangles, clustering 0.
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L)).toDF("a", "b")
+    val got = Graphs.triangleCounts(pairs).orderBy("id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 4L, 3L, 0.5), (2L, 3L, 3L, 1.0),
+      (3L, 3L, 3L, 1.0), (4L, 3L, 3L, 1.0), (5L, 1L, 0L, 0.0)))
+  }
+
+  test("triangle counts: a path has none; plan stays product-free") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val tc = Graphs.triangleCounts(pairs)
+    assert(tc.collect().forall(_.getLong(2) == 0L))
+    val plan = tc.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"product in plan:\n$plan")
+  }
 }
