@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{TextFunctions, UrlFunctions}
-import graft.operators.{Bpe, Chunking, Cleaning, Decontamination, Dedup, Multimodal, NgramLm, QualityClassifier, Ranking, Redaction, RepeatedNgrams, Sampling, Similarity, TextStats, Vocabulary, ZOrder}
+import graft.operators.{Bpe, Chunking, Cleaning, Decontamination, Dedup, Dsir, Multimodal, NgramLm, QualityClassifier, Ranking, Redaction, RepeatedNgrams, Sampling, Similarity, TextStats, Vocabulary, ZOrder}
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2.4 XQ* — the LLM-data-pipeline operator surface (north star):
@@ -1859,6 +1859,41 @@ object ExtensionQueries {
               |            / CAST(degree * (degree - 1) AS DOUBLE)
               |       ELSE 0.0 END AS clustering
               |FROM deg LEFT JOIN tn USING (id) ORDER BY doc_id""".stripMargin)),
+
+    // XQ70: DSIR importance resampling (Xie et al. 2023) — hashed-unigram
+    // log-likelihood ratio of the src0 target split vs the whole crawl,
+    // per-token quantized to 1e-6 nats (order-free integer doc sums), top
+    // 100 docs selected by weight. The src0 target convention follows
+    // xq48/xq59.
+    QueryDef("xq70_dsir_select",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dsir.select(docs, docs.where(col("source") === "src0"),
+          "text", "doc_id", take = 100, nBuckets = 1024)
+      },
+      Some("""WITH tok AS (SELECT doc_id, source,
+             |        unnest(string_split(text, ' ')) AS tok FROM documents),
+             |b AS (SELECT doc_id, source,
+             |        CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 1024 AS bucket
+             |      FROM tok),
+             |rc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cr FROM b GROUP BY 1),
+             |tc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS ct
+             |       FROM b WHERE source = 'src0' GROUP BY 1),
+             |nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS nr FROM b),
+             |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt
+             |       FROM b WHERE source = 'src0'),
+             |lw AS (SELECT rc.bucket,
+             |        CAST(floor((ln((COALESCE(tc.ct, 0) + 1)
+             |                       / CAST(nt.nt + 1024 AS DOUBLE))
+             |                  - ln((rc.cr + 1)
+             |                       / CAST(nr.nr + 1024 AS DOUBLE)))
+             |               * 1000000.0 + 0.5) AS BIGINT) AS lw_q
+             |       FROM rc LEFT JOIN tc USING (bucket), nr, nt),
+             |d AS (SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+             |        CAST(SUM(lw_q) AS BIGINT) AS w_q
+             |      FROM b JOIN lw USING (bucket) GROUP BY 1)
+             |SELECT doc_id, n_tok, w_q, CAST(w_q AS DOUBLE) / 1000000.0 AS logw
+             |FROM d ORDER BY w_q DESC, doc_id LIMIT 100""".stripMargin)),
 
     // XQ16: multimodal feature extraction — mapPartitions over binary
     // payloads with a stubbed decoder; rows-only check (not SQL-expressible).
