@@ -364,6 +364,38 @@ object Dedup {
       .where(col("cosine") >= minCosine)
   }
 
+  /** Blocked fuzzy-match pairs — the entity-resolution shape (titles, names,
+    * product descriptions): every (doc_a, doc_b) whose match keys are within
+    * `maxDist` Levenshtein edits, found WITHOUT the all-pairs product.
+    *
+    * The match key is the lowercased first `keyLen` chars (edit distance on
+    * full documents is O(len²) per pair and meaningless for long text; short
+    * normalized keys are the standard ER practice). Candidate generation is
+    * standard BLOCKING: only pairs sharing the first `blockLen` chars are
+    * compared — a deterministic equi-join on the block key, so the only wide
+    * exchange is shuffle-on-block and hot blocks are ordinary join skew
+    * (AQE's skew split applies). Pairs whose edits fall inside the block
+    * prefix are missed by construction — the documented recall trade-off of
+    * blocking; choose `blockLen` per key distribution.
+    *
+    * Levenshtein (unit-cost insert/delete/substitute) is identical in Spark
+    * and DuckDB, so results are oracle-exact.
+    */
+  def fuzzyDedupPairs(docs: DataFrame, textCol: String, idCol: String,
+      keyLen: Int = 40, blockLen: Int = 8, maxDist: Int = 8): DataFrame = {
+    require(blockLen <= keyLen, s"blockLen $blockLen must be <= keyLen $keyLen")
+    val keyed = docs.select(col(idCol),
+        lower(substring(col(textCol), 1, keyLen)).as("key"))
+      .withColumn("block", substring(col("key"), 1, blockLen))
+    val a = keyed.select(col(idCol).as("doc_a"), col("key").as("key_a"), col("block"))
+    val b = keyed.select(col(idCol).as("doc_b"), col("key").as("key_b"), col("block"))
+    a.join(b, "block")
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("key_a"), col("key_b")).cast("long").as("edit_dist"))
+      .where(col("edit_dist") <= maxDist)
+  }
+
   /** Paragraph-level dedup (CCNet/RefinedWeb-style boilerplate removal):
     * split each document into non-overlapping `paraWords`-token paragraphs,
     * drop every paragraph that occurs in >= `minDocs` DISTINCT documents

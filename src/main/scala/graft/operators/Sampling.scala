@@ -157,7 +157,22 @@ object Sampling {
   }
 
   def packSequences(df: DataFrame, idCol: String, sizeCol: String,
-      capacity: Long): DataFrame = {
+      capacity: Long): DataFrame =
+    prefixSum(df, idCol, sizeCol)
+      .select(col(idCol), col(sizeCol),
+        floor(col("cum_start").cast("double") / capacity)
+          .cast("long").as("bin"))
+
+  /** Global running total of `sizeCol` in `idCol` order — every row gets its
+    * exclusive start (`cum_start`) and inclusive end (`cum_end`) position in
+    * the concatenated stream. The primitive under [[packSequences]] and
+    * [[contextWindows]], computed as the two-pass range-partitioned prefix
+    * sum (see the class note above packSequences): range-partition by id,
+    * prefix-sum the per-partition totals (metadata scale), per-partition
+    * cumsum + broadcast offset. No single-partition stage touches row-scale
+    * data.
+    */
+  def prefixSum(df: DataFrame, idCol: String, sizeCol: String): DataFrame = {
     val spark = df.sparkSession
     val nPart = spark.sessionState.conf.numShufflePartitions
     // Persisted so the partition ids seen by the totals pass and the cumsum
@@ -176,8 +191,68 @@ object Sampling {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     parts.join(broadcast(offsets), "_pid")
       .withColumn("cum_end", col("_offset") + sum(col(sizeCol)).over(localWin))
-      .select(col(idCol), col(sizeCol),
-        floor((col("cum_end") - col(sizeCol)).cast("double") / capacity)
-          .cast("long").as("bin"))
+      .withColumn("cum_start", col("cum_end") - col(sizeCol))
+      .drop("_pid", "_offset")
+  }
+
+  /** Fixed-size context windows over the GLOBAL concatenated token stream —
+    * the GPT-style pretraining prep where documents are concatenated in id
+    * order and the stream is cut every `windowSize` tokens, windows crossing
+    * document boundaries (contrast [[packSequences]], which never splits a
+    * document). Output: one row per (doc, window) overlap with the token
+    * count the doc contributes to that window; Σ n_tokens per doc = the
+    * doc's size, Σ n_tokens per window = windowSize (except the last).
+    *
+    * Built on [[prefixSum]]: a doc spanning [cum_start, cum_end) explodes
+    * into its ceil(span/windowSize) <= 2 + size/windowSize windows — a
+    * narrow generate, no further shuffle. Zero-size docs contribute no row.
+    */
+  def contextWindows(df: DataFrame, idCol: String, sizeCol: String,
+      windowSize: Long): DataFrame = {
+    require(windowSize >= 1, s"need windowSize >= 1, got $windowSize")
+    prefixSum(df, idCol, sizeCol)
+      .where(col(sizeCol) > 0L)
+      .select(col(idCol), col("cum_start"), col("cum_end"),
+        explode(sequence(
+          expr(s"cum_start div $windowSize"),
+          expr(s"(cum_end - 1) div $windowSize"))).as("window_id"))
+      .select(col(idCol), col("window_id"),
+        (least(col("cum_end"), (col("window_id") + 1L) * windowSize) -
+          greatest(col("cum_start"), col("window_id") * windowSize))
+          .as("n_tokens"))
+  }
+
+  /** Temperature-based stratum resampling — the multilingual/source-mix
+    * upsampling rule (mBERT/XLM-R style): stratum i with n_i docs gets a
+    * share proportional to n_i^alpha, so alpha < 1 flattens the distribution
+    * toward low-resource strata (alpha = 1 is proportional, alpha = 0
+    * uniform). Each stratum then contributes its `target` docs chosen in
+    * (md5(id), id) order — deterministic, RNG-free, repartition-stable.
+    *
+    * Targets are computed in EXACT integer arithmetic so the assignment is
+    * reproducible cross-engine: s_i = floor(n_i^alpha · 10^6) (for
+    * alpha = 0.5 that is IEEE sqrt — correctly rounded in every engine),
+    * target_i = (total · s_i) div (Σ s_j). Σ target_i <= total (floor); the
+    * remainder is deliberately NOT redistributed — determinism over hitting
+    * the total exactly. One count shuffle + a broadcast of #strata rows +
+    * one stratum-keyed window pass.
+    */
+  def temperatureMix(df: DataFrame, strataCol: String, idCol: String,
+      total: Long, alpha: Double = 0.5): DataFrame = {
+    require(total >= 0, s"need total >= 0, got $total")
+    val nPow =
+      if (alpha == 0.5) sqrt(col("_n").cast("double"))
+      else pow(col("_n").cast("double"), lit(alpha))
+    val scaled = df.groupBy(col(strataCol)).agg(count(lit(1)).as("_n"))
+      .withColumn("_s", floor(nPow * lit(1e6d)).cast("long"))
+    val targets = scaled
+      .crossJoin(broadcast(scaled.agg(sum(col("_s")).as("_stot"))))
+      .select(col(strataCol), expr(s"($total * _s) div _stot").as("target"))
+    val rk = Window.partitionBy(col(strataCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.join(broadcast(targets), strataCol)
+      .withColumn("_rk", row_number().over(rk).cast("long"))
+      .where(col("_rk") <= col("target"))
+      .drop("_rk")
   }
 }

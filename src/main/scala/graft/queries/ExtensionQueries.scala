@@ -1895,6 +1895,94 @@ object ExtensionQueries {
              |SELECT doc_id, n_tok, w_q, CAST(w_q AS DOUBLE) / 1000000.0 AS logw
              |FROM d ORDER BY w_q DESC, doc_id LIMIT 100""".stripMargin)),
 
+    // XQ71: blocked fuzzy dedup — edit-distance near-match pairs on a
+    // normalized key prefix, candidates from prefix blocking (the standard
+    // entity-resolution shape: equi-join on the block, levenshtein verified
+    // in-block, never an all-pairs product). Levenshtein is identical in
+    // both engines, so pairs + distances are hash-exact.
+    QueryDef("xq71_fuzzy_dedup",
+      (s, d) => Dedup.fuzzyDedupPairs(Tables.documents(s, d), "text",
+        "doc_id", keyLen = 40, blockLen = 8, maxDist = 8)
+        .orderBy("doc_a", "doc_b"),
+      Some("""WITH k AS (SELECT doc_id, lower(substr(text, 1, 40)) AS key
+             |           FROM documents)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |       CAST(levenshtein(a.key, b.key) AS BIGINT) AS edit_dist
+             |FROM k a JOIN k b
+             |  ON substr(a.key, 1, 8) = substr(b.key, 1, 8)
+             | AND a.doc_id < b.doc_id
+             |WHERE levenshtein(a.key, b.key) <= 8
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // XQ72: temperature-based language resampling (alpha = 0.5) — the
+    // multilingual upsampling rule: each language's share ∝ n^alpha, so
+    // low-resource langs are upweighted vs their raw proportion. Targets in
+    // exact integer arithmetic (floor(sqrt·1e6) scale, integer div), member
+    // selection in (md5(id), id) order — deterministic and oracle-exact.
+    QueryDef("xq72_temperature_mix",
+      (s, d) => Sampling.temperatureMix(
+        Tables.documents(s, d).select("doc_id", "lang"), "lang", "doc_id",
+        total = 200L, alpha = 0.5)
+        .orderBy("lang", "doc_id"),
+      Some("""WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+             |           FROM documents GROUP BY 1),
+             |s AS (SELECT lang,
+             |        CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS sq
+             |      FROM c),
+             |tot AS (SELECT SUM(sq) AS stot FROM s),
+             |t AS (SELECT lang, CAST((200 * sq) // stot AS BIGINT) AS target
+             |      FROM s, tot),
+             |r AS (SELECT doc_id, lang,
+             |        ROW_NUMBER() OVER (PARTITION BY lang
+             |            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+             |      FROM documents)
+             |SELECT r.doc_id, r.lang, t.target
+             |FROM r JOIN t USING (lang) WHERE rk <= target
+             |ORDER BY lang, doc_id""".stripMargin)),
+
+    // XQ73: global context windows — documents concatenated in id order and
+    // cut every 512 tokens, windows CROSSING doc boundaries (the GPT-style
+    // pretraining prep; xq29's packing never splits a doc). One row per
+    // (doc, window) overlap; built on the distributed prefix sum, the
+    // explode is narrow. Oracle spells the same arithmetic over a sequential
+    // window cumsum.
+    QueryDef("xq73_context_windows",
+      (s, d) => Sampling.contextWindows(
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", windowSize = 512L)
+        .orderBy("doc_id", "window_id"),
+      Some("""WITH t AS (SELECT doc_id,
+             |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+             |p AS (SELECT doc_id, n,
+             |        CAST(SUM(n) OVER (ORDER BY doc_id
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ce
+             |      FROM t),
+             |q AS (SELECT doc_id, n, ce - n AS cs, ce FROM p WHERE n > 0)
+             |SELECT doc_id, w AS window_id,
+             |  CAST(LEAST(ce, (w + 1) * 512) - GREATEST(cs, w * 512) AS BIGINT) AS n_tokens
+             |FROM q, UNNEST(generate_series(cs // 512, (ce - 1) // 512)) AS u(w)
+             |ORDER BY doc_id, window_id""".stripMargin)),
+
+    // XQ74: near-dup group-size histogram — the corpus-health report over
+    // the transitive dedup groups: how much of the corpus sits in clusters
+    // of each size (the number a curation run reports before/after dedup).
+    QueryDef("xq74_dup_group_histogram",
+      (s, d) => Dedup.dedupGroups(Tables.documents(s, d), "text", "doc_id")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("group_size"))
+        .groupBy(col("group_size"))
+        .agg(count(lit(1)).as("n_groups"),
+          (col("group_size") * count(lit(1))).as("n_docs"))
+        .orderBy("group_size"),
+      Some(s"""$dedupGroupsCte,
+              |sz AS (SELECT group_id, CAST(COUNT(*) AS BIGINT) AS group_size
+              |       FROM grp GROUP BY 1)
+              |SELECT group_size, CAST(COUNT(*) AS BIGINT) AS n_groups,
+              |       CAST(group_size * COUNT(*) AS BIGINT) AS n_docs
+              |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // XQ16: multimodal feature extraction — mapPartitions over binary
     // payloads with a stubbed decoder; rows-only check (not SQL-expressible).
     QueryDef("xq16_multimodal_features",

@@ -520,6 +520,100 @@ object RelationalQueries {
       },
       Some(SqlParityText)),
 
+    // RQ32: RANGE-frame window — the value-range moving aggregate (a 30-day
+    // trailing revenue window per customer). ROWS frames (rq16) count rows;
+    // RANGE frames bound the ORDER-BY value itself, so same-day orders
+    // always share a frame regardless of row order — the deterministic
+    // choice for time windows. Ordered by an integer epoch-day so the frame
+    // bound is portable (DuckDB's INTERVAL RANGE and Spark's rangeBetween
+    // agree trivially on integers).
+    QueryDef("rq32_range_frame",
+      (s, d) => {
+        val epoch = lit("1970-01-01").cast("date")
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+          .rangeBetween(-30L, 0L)
+        Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"),
+            datediff(col("o_orderdate").cast("date"), epoch).cast("long").as("day"),
+            d2("o_totalprice").as("p"))
+          .select(col("o_custkey"), col("o_orderkey"), col("day"),
+            sum(col("p")).over(w).cast("double").as("moving_30d"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""WITH o AS (SELECT o_custkey, o_orderkey,
+             |        CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+             |        CAST(o_totalprice AS DECIMAL(18,2)) AS p
+             |      FROM orders)
+             |SELECT o_custkey, o_orderkey, day,
+             |  CAST(SUM(p) OVER (PARTITION BY o_custkey ORDER BY day
+             |       RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_30d
+             |FROM o ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // RQ33: TPC-H Q3 (shipping priority) — the classic selective 3-way join
+    // + top-k by aggregated revenue. Both date filters reach their parquet
+    // scans as pushed predicates; the top-10 is TakeOrderedAndProject over
+    // the aggregated (not raw) rows.
+    QueryDef("rq33_tpch_q3",
+      (s, d) => {
+        val cutoff = to_timestamp(lit("1998-03-15"))
+        val rev = d2("l_extendedprice") * (lit(1) - col("l_discount").cast(DecimalType(4, 2)))
+        Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
+          .join(Tables.orders(s, d).where(col("o_orderdate") < cutoff),
+            col("c_custkey") === col("o_custkey"))
+          .join(Tables.lineitem(s, d).where(col("l_shipdate") > cutoff),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("l_orderkey"),
+            col("o_orderdate").cast("date").as("o_orderdate"),
+            col("o_orderpriority"))
+          .agg(sum(rev).cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey,
+             |  CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+             |FROM customer
+             |JOIN orders   ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1998-03-15'
+             |  AND l_shipdate  > TIMESTAMP '1998-03-15'
+             |GROUP BY 1, 2, 3
+             |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin)),
+
+    // RQ34: TPC-H Q10 (returned-item report) — one-quarter returned-line
+    // revenue per customer, top 20. The customer/nation dimensions join
+    // AFTER the selective lineitem/orders aggregation feed; nation is the
+    // only always-broadcast side.
+    QueryDef("rq34_tpch_q10",
+      (s, d) => {
+        val rev = d2("l_extendedprice") * (lit(1) - col("l_discount").cast(DecimalType(4, 2)))
+        Tables.customer(s, d)
+          .join(Tables.orders(s, d)
+              .where(col("o_orderdate") >= to_timestamp(lit("1997-10-01")) &&
+                col("o_orderdate") < to_timestamp(lit("1998-01-01"))),
+            col("c_custkey") === col("o_custkey"))
+          .join(Tables.lineitem(s, d).where(col("l_returnflag") === "R"),
+            col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(Tables.nation(s, d)),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+          .agg(sum(rev).cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal, n_name,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+             |FROM customer
+             |JOIN orders   ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |JOIN nation   ON c_nationkey = n_nationkey
+             |WHERE o_orderdate >= TIMESTAMP '1997-10-01'
+             |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+             |  AND l_returnflag = 'R'
+             |GROUP BY 1, 2, 3, 4
+             |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+
     // RQ25: pivot — Spark's relational pivot operator; the oracle spells it
     // as portable conditional aggregation (same values, same columns).
     QueryDef("rq25_pivot",

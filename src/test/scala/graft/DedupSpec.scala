@@ -137,6 +137,41 @@ class DedupSpec extends SparkSpec {
       s"bucketed near-dup must not plan a cartesian product:\n$plan")
   }
 
+  test("fuzzy dedup == in-block naive pairs, no product, blocking caveat holds") {
+    val real = Tables.documents(spark, sf)
+    val blocked = Dedup.fuzzyDedupPairs(real, "text", "doc_id",
+      keyLen = 40, blockLen = 8, maxDist = 8)
+    // Reference: the naive same-block levenshtein over an explicit product
+    // (spec scale only) — the blocked equi-join must find exactly these.
+    val k = real.select(col("doc_id"),
+      lower(substring(col("text"), 1, 40)).as("key"))
+    val naive = k.toDF("doc_a", "key_a")
+      .crossJoin(k.toDF("doc_b", "key_b"))
+      .where(col("doc_a") < col("doc_b") &&
+        substring(col("key_a"), 1, 8) === substring(col("key_b"), 1, 8) &&
+        levenshtein(col("key_a"), col("key_b")) <= 8)
+      .select(col("doc_a"), col("doc_b"))
+    assert(blocked.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet ==
+      naive.as[(Long, Long)].collect().toSet)
+    assert(blocked.count() > 0, "corpus has fuzzy matches; zero is a regression")
+    val plan = blocked.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"blocked fuzzy dedup must not plan a product:\n$plan")
+    // The documented blocking trade-off: one edit INSIDE the block prefix
+    // hides a pair; the same edit outside the prefix is found.
+    val tiny = Seq(
+      (1L, "alpha bravo charlie delta"),
+      (2L, "alpha bravo charlie delt"),   // edit past the block prefix: found
+      (3L, "Xlpha bravo charlie delta")   // edit in char 1: different block
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.fuzzyDedupPairs(tiny, "text", "doc_id",
+      keyLen = 40, blockLen = 8, maxDist = 8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "suffix edit must be found")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "prefix edit lands in another block (the documented recall caveat)")
+  }
+
   test("ivf topk is a subset-quality approximation of brute force") {
     val emb = Tables.embeddings(spark, sf)
     val exact = Similarity.bruteForceTopK(emb, "embedding", "vec_id", 0L, 10)

@@ -107,6 +107,68 @@ class SamplingSpec extends SparkSpec {
     assert(sizes.max - sizes.min <= 1, s"uneven tiles: $sizes")
   }
 
+  test("context windows: window totals, per-doc coverage, sequential equality") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+    val w = 512L
+    val got = Sampling.contextWindows(docs, "doc_id", "n", w)
+      .orderBy("doc_id", "window_id").as[(Long, Long, Long)].collect().toSeq
+    // Every window except the last is exactly full.
+    val byWindow = got.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val lastWindow = byWindow.keys.max
+    byWindow.foreach { case (win, tot) =>
+      if (win != lastWindow) assert(tot == w, s"window $win holds $tot tokens")
+      else assert(tot <= w && tot > 0, s"last window holds $tot")
+    }
+    // Every doc's tokens are fully assigned.
+    val byDoc = got.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val sizes = docs.as[(Long, Long)].collect().toMap
+    sizes.foreach { case (id, n) =>
+      assert(byDoc.getOrElse(id, 0L) == n, s"doc $id covered wrong")
+    }
+    // Sequential single-threaded reference.
+    var cum = 0L
+    val expected = docs.orderBy("doc_id").as[(Long, Long)].collect().toSeq
+      .flatMap { case (id, n) =>
+        val start = cum; cum += n
+        (start / w to (cum - 1) / w).map { win =>
+          (id, win, math.min(cum, (win + 1) * w) - math.max(start, win * w))
+        }
+      }
+    assert(got == expected)
+    // Repartition-stable.
+    val again = Sampling.contextWindows(docs.repartition(9), "doc_id", "n", w)
+      .orderBy("doc_id", "window_id").as[(Long, Long, Long)].collect().toSeq
+    assert(again == got)
+  }
+
+  test("temperature mix: integer targets, upweighted tail, deterministic") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang")
+    val total = 200L
+    val got = Sampling.temperatureMix(docs, "lang", "doc_id", total, alpha = 0.5)
+    val counts = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Expected targets from the same exact integer arithmetic.
+    val s = counts.view.mapValues(n => math.floor(math.sqrt(n.toDouble) * 1e6).toLong).toMap
+    val stot = s.values.sum
+    val expTargets = s.view.mapValues(v => total * v / stot).toMap
+    val gotBy = got.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotBy == expTargets.filter(_._2 > 0))
+    assert(gotBy.values.sum <= total)
+    // alpha < 1 flattens: the head stratum's sample share sits below its
+    // corpus share, the smallest stratum's above.
+    val (head, tail) = (counts.maxBy(_._2)._1, counts.minBy(_._2)._1)
+    val corpusN = counts.values.sum.toDouble
+    val sampleN = gotBy.values.sum.toDouble
+    assert(gotBy(head) / sampleN < counts(head) / corpusN, "head not downweighted")
+    assert(gotBy(tail) / sampleN > counts(tail) / corpusN, "tail not upweighted")
+    // Deterministic under repartition.
+    val again = Sampling.temperatureMix(docs.repartition(7), "lang", "doc_id",
+      total, alpha = 0.5).select("doc_id").as[Long].collect().toSet
+    assert(again == got.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("multiprobe LSH recall >= single-probe recall") {
     val emb = Tables.embeddings(spark, sf)
     val exact = Similarity.bruteForceTopK(emb, "embedding", "vec_id", 0L, 10)
