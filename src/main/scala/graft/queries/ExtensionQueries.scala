@@ -1983,6 +1983,47 @@ object ExtensionQueries {
               |       CAST(group_size * COUNT(*) AS BIGINT) AS n_docs
               |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // XQ75: shifted-content dedup via content-defined chunking — doc pairs
+    // sharing >= 2 CDC chunks. Boundaries are content-local (trailing
+    // 4-gram hash mod 16), so shared runs realign after insertions and the
+    // chunk-hash equi-join sees shifted duplication that fixed/positional
+    // chunking (xq38's paragraphs) misses. Oracle spells the identical
+    // boundary rule over a lag window.
+    QueryDef("xq75_cdc_shifted_dedup",
+      (s, d) => {
+        val ch = Chunking.cdcChunks(Tables.documents(s, d), "text", "doc_id",
+          window = 4, avgSize = 16)
+          .select(col("doc_id"), col("chunk_hash")).distinct()
+        ch.toDF("doc_a", "h").join(ch.toDF("doc_b", "h"), "h")
+          .where(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b")
+          .agg(count(lit(1)).as("n_shared"))
+          .where(col("n_shared") >= 2)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |tok AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, w[i] AS tok
+             |        FROM t, UNNEST(generate_series(1, len(w))) AS u(i)),
+             |m AS (SELECT doc_id, pos, tok,
+             |        CASE WHEN pos >= 3 AND
+             |          CAST('0x' || substr(md5(lag(tok, 3) OVER dw || ' ' ||
+             |            lag(tok, 2) OVER dw || ' ' || lag(tok, 1) OVER dw ||
+             |            ' ' || tok), 1, 15) AS BIGINT) % 16 = 0
+             |        THEN 1 ELSE 0 END AS mark
+             |      FROM tok WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+             |c AS (SELECT doc_id, pos, tok,
+             |        COALESCE(SUM(mark) OVER (PARTITION BY doc_id ORDER BY pos
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+             |      FROM m),
+             |ch AS (SELECT doc_id, chunk_idx,
+             |         md5(string_agg(tok, ' ' ORDER BY pos)) AS h
+             |       FROM c GROUP BY 1, 2),
+             |d AS (SELECT DISTINCT doc_id, h FROM ch)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |       CAST(COUNT(*) AS BIGINT) AS n_shared
+             |FROM d a JOIN d b ON a.h = b.h AND a.doc_id < b.doc_id
+             |GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY 1, 2""".stripMargin)),
+
     // XQ16: multimodal feature extraction — mapPartitions over binary
     // payloads with a stubbed decoder; rows-only check (not SQL-expressible).
     QueryDef("xq16_multimodal_features",

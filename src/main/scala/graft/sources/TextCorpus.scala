@@ -41,6 +41,17 @@ object TextCorpus {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** ORC round trip — the columnar interchange format beside parquet
+    * (native Spark source: predicate pushdown, column pruning, splittable
+    * stripes; schema travels with the file, so arrays/binary/nested columns
+    * survive unlike CSV/JSONL).
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** CSV reader with the same corrupt-row contract as [[readJsonl]]:
     * header-driven column binding onto [[documentSchema]], malformed rows
     * preserved in `_corrupt_record`, multiline quoted fields supported

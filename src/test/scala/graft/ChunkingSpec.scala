@@ -20,6 +20,44 @@ class ChunkingSpec extends SparkSpec {
       (2L, 0L, "a b c", 3L)))
   }
 
+  test("cdc chunks reconstruct the doc and realign after an insertion") {
+    val base = (1 to 200).map(i => s"w${i * 7 % 53}").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, "inserted " + base) // one leading token shifts every position
+    ).toDF("doc_id", "text")
+    val chunks = Chunking.cdcChunks(docs, "text", "doc_id",
+      window = 4, avgSize = 16)
+    // Reassembly: in-order concatenation is the original text; token
+    // counts cover the doc exactly.
+    val byDoc = chunks.orderBy("doc_id", "chunk_idx")
+      .select("doc_id", "chunk_text", "n_tokens")
+      .as[(Long, String, Long)].collect().groupBy(_._1)
+    assert(byDoc(1L).map(_._2).mkString(" ") == base)
+    assert(byDoc(2L).map(_._2).mkString(" ") == "inserted " + base)
+    assert(byDoc(1L).map(_._3).sum == 200L)
+    // Content-defined realignment: the shifted twin shares most chunk
+    // hashes with the original; positional chunking shares none.
+    val h1 = chunks.where(col("doc_id") === 1L)
+      .select("chunk_hash").as[String].collect().toSet
+    val h2 = chunks.where(col("doc_id") === 2L)
+      .select("chunk_hash").as[String].collect().toSet
+    val shared = (h1 & h2).size
+    assert(shared >= 2, s"CDC must realign after the insertion, shared=$shared")
+    val fixed1 = Chunking.chunk(docs.where(col("doc_id") === 1L), "text",
+      "doc_id", size = 16, overlap = 0).select("chunk_text").as[String].collect().toSet
+    val fixed2 = Chunking.chunk(docs.where(col("doc_id") === 2L), "text",
+      "doc_id", size = 16, overlap = 0).select("chunk_text").as[String].collect().toSet
+    assert((fixed1 & fixed2).size < shared,
+      "fixed-size chunking must lose alignment that CDC keeps")
+    // Deterministic under repartition.
+    val again = Chunking.cdcChunks(docs.repartition(5), "text", "doc_id",
+      window = 4, avgSize = 16)
+      .orderBy("doc_id", "chunk_idx").select("chunk_hash").as[String].collect().toSeq
+    assert(again == chunks.orderBy("doc_id", "chunk_idx")
+      .select("chunk_hash").as[String].collect().toSeq)
+  }
+
   test("chunks reconstruct the document (stride-aligned concatenation)") {
     val docs = Tables.documents(spark, sf).limit(50)
     val size = 16

@@ -51,6 +51,24 @@ class TextCorpusSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("orc round trip preserves schema incl. array and binary columns") {
+    val dir = tempDir("orcrt")
+    // Embeddings exercise what text formats cannot carry: a float array —
+    // plus a derived binary column.
+    val emb = Tables.embeddings(spark, sf)
+      .withColumn("payload",
+        org.apache.spark.sql.functions.to_binary(
+          org.apache.spark.sql.functions.md5(
+            org.apache.spark.sql.functions.col("vec_id").cast("string")),
+          org.apache.spark.sql.functions.lit("hex")))
+    TextCorpus.writeOrc(emb, dir.resolve("out").toString)
+    val back = TextCorpus.readOrc(spark, dir.resolve("out").toString)
+    assert(back.schema == emb.schema, "ORC must round-trip the exact schema")
+    val a = back.orderBy("vec_id").collect().toSeq
+    val b = emb.orderBy("vec_id").collect().toSeq
+    assert(a == b)
+  }
+
   test("csv reader binds headers, handles quoted multiline text, keeps corrupt rows") {
     val dir = tempDir("csv")
     val csv = Seq(
