@@ -15,6 +15,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.local(cpus, "graft-bench")
+    // local-iteration aid (same contract as Verify): GRAFT_ONLY=xq32,...
+    // restricts the run; the driver never sets it.
+    val only = sys.env.get("GRAFT_ONLY").map(_.split(",").toSet)
+    val defs = SparkEntry.allDefs.filter(q => only.forall(_.contains(q.name)))
 
     // Full materialization through the noop sink: unlike count(), Catalyst
     // cannot prune away the measured computation (count() would skip e.g.
@@ -26,7 +30,7 @@ object Bench {
     // codegen + JIT compilation is out of the measured runs — measured
     // numbers are steady-state, which is what a long-lived session delivers.
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.allDefs.foreach { q =>
+    defs.foreach { q =>
       try materialize(q.run(spark, warmDir)) catch { case _: Throwable => () } }
 
     // Two full measured rounds, per-query min: round 1 doubles as at-scale
@@ -35,14 +39,14 @@ object Bench {
     // first-run noise from the C2 compile backlog otherwise.
     // A failed query records -1, NOT its time-to-failure — a broken query
     // must be distinguishable from a fast one in the emitted JSON.
-    def timeAll(): Seq[(String, Double)] = SparkEntry.allDefs.map { q =>
+    def timeAll(): Seq[(String, Double)] = defs.map { q =>
       val t0 = System.nanoTime()
       val ok = try { materialize(q.run(spark, sfDir)); true }
         catch { case _: Throwable => false }
       q.name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val rounds = Seq(timeAll(), timeAll())
-    val results = SparkEntry.allDefs.map(_.name).map { n =>
+    val results = defs.map(_.name).map { n =>
       val valid = rounds.map(_.toMap.apply(n)).filter(_ >= 0)
       n -> (if (valid.nonEmpty) valid.min else -1.0)
     }

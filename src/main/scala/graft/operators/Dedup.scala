@@ -145,7 +145,11 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = docs.select(col(idCol).as("id"))
+    // Only vertices OF THE PAIR GRAPH can ever change labels — at corpus
+    // scale near-dup components cover a small fraction of documents, so the
+    // loop iterates over the graph's vertex set only and the (unchanged)
+    // singleton majority is attached by one final join, labeling itself.
+    var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var changed = 1L
@@ -166,7 +170,9 @@ object Dedup {
     }
     require(changed == 0,
       s"dedupGroups did not converge within $maxIter rounds")
-    labels
+    docs.select(col(idCol).as("id"))
+      .join(labels.withColumnRenamed("label", "_glabel"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("_glabel"), col("id")).as("label"))
   }
 
   /** Soft dedup: instead of DROPPING near-duplicates, down-weight them —
