@@ -278,6 +278,45 @@ object Dedup {
       .withColumnRenamed(idCol, "doc_id").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    intersectionCounts(sh, maxDf)
+      .join(counts.toDF("doc_a", "na"), "doc_a")
+      .join(counts.toDF("doc_b", "nb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
+          .as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
+  /** Shingle-containment pairs — the ASYMMETRIC near-dup relation Jaccard
+    * misses: containment(A in B) = |A∩B| / |A| is ~1 when a short document
+    * (a quote, an excerpt, a syndicated fragment) sits inside a longer one,
+    * while their Jaccard stays near |A|/|B|. The standard quote/excerpt
+    * detection pass of corpus curation. Same candidate machinery as
+    * [[ngramJaccardPairs]] (co-shingle equi-join, optional df cap); output
+    * keeps both directions so the caller sees which side is the fragment.
+    */
+  def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, minContainment: Double = 0.0, maxDf: Long = 0L): DataFrame = {
+    val sh = Shingles.exploded(docs, textCol, idCol, n)
+      .withColumnRenamed(idCol, "doc_id").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    intersectionCounts(sh, maxDf)
+      .join(counts.toDF("doc_a", "na"), "doc_a")
+      .join(counts.toDF("doc_b", "nb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("c").cast("double") / col("na").cast("double")).as("cont_a_in_b"),
+        (col("c").cast("double") / col("nb").cast("double")).as("cont_b_in_a"))
+      .where(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= minContainment)
+  }
+
+  /** Distinct-shingle intersection counts per candidate pair
+    * (doc_a < doc_b, c = |A∩B|) — the shared engine of
+    * [[ngramJaccardPairs]] and [[containmentPairs]]. `sh` must be the
+    * DISTINCT (doc_id, shingle) set, persisted by the caller (it feeds both
+    * join sides). See ngramJaccardPairs for the maxDf skew-cap contract.
+    */
+  private def intersectionCounts(sh: DataFrame, maxDf: Long): DataFrame = {
     val interCounts =
       if (maxDf > 0L) {
         // Shingle sets partition into cold (df <= maxDf) and hot. The cold
@@ -311,12 +350,6 @@ object Dedup {
           .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
       }
     interCounts
-      .join(counts.toDF("doc_a", "na"), "doc_a")
-      .join(counts.toDF("doc_b", "nb"), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        (col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
-          .as("jaccard"))
-      .where(col("jaccard") >= minJaccard)
   }
 
   /** Embedding-cosine near-dup pairs above a threshold — the scale path:

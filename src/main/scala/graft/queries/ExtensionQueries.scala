@@ -2024,6 +2024,43 @@ object ExtensionQueries {
              |FROM d a JOIN d b ON a.h = b.h AND a.doc_id < b.doc_id
              |GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY 1, 2""".stripMargin)),
 
+    // XQ76: shingle-containment pairs — the ASYMMETRIC relation Jaccard
+    // misses: excerpt docs (tokens 5..28 of every 20th doc, derived
+    // in-query with shifted ids) are fully CONTAINED in their sources
+    // (containment = 1.0) while their Jaccard is tiny. The quote/excerpt/
+    // syndication detection pass; same co-shingle join machinery as xq08.
+    QueryDef("xq76_containment",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val excerpts = Tables.documents(s, d)
+          .where(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 10000L).as("doc_id"),
+            array_join(slice(split(col("text"), " "), 5, 24), " ").as("text"))
+        Dedup.containmentPairs(docs.unionByName(excerpts), "text", "doc_id",
+          n = 3, minContainment = 0.9)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH all_docs AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 10000,
+             |         array_to_string(list_slice(string_split(text, ' '), 5, 28), ' ')
+             |  FROM documents WHERE doc_id % 20 = 0),
+             |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM all_docs),
+             |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+             |       FROM t, UNNEST(generate_series(1, len(w) - 2)) AS u(i)),
+             |na AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+             |c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |        CAST(COUNT(*) AS BIGINT) AS c
+             |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |      GROUP BY 1, 2)
+             |SELECT doc_a, doc_b,
+             |  CAST(c AS DOUBLE) / x.n AS cont_a_in_b,
+             |  CAST(c AS DOUBLE) / y.n AS cont_b_in_a
+             |FROM c JOIN na x ON doc_a = x.doc_id JOIN na y ON doc_b = y.doc_id
+             |WHERE GREATEST(CAST(c AS DOUBLE) / x.n, CAST(c AS DOUBLE) / y.n) >= 0.9
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
     // XQ16: multimodal feature extraction — mapPartitions over binary
     // payloads with a stubbed decoder; rows-only check (not SQL-expressible).
     QueryDef("xq16_multimodal_features",

@@ -614,6 +614,53 @@ object RelationalQueries {
              |GROUP BY 1, 2, 3, 4
              |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
 
+    // RQ35: window-function breadth in one pass — lag/lead (sequence
+    // window), first/last value (running + full frames), rank/dense_rank/
+    // percent_rank/cume_dist (value windows: deterministic under ties
+    // because they depend only on the ORDER-BY value), ntile over a total
+    // order. The full analytic-function surface both engines share.
+    QueryDef("rq35_window_breadth",
+      (s, d) => {
+        val seqW = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val fullW = seqW.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        val priceW = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc)
+        val tiledW = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, d).select(
+          col("o_custkey"), col("o_orderkey"),
+          lag(col("o_totalprice"), 1).over(seqW).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(seqW).as("next_price"),
+          first_value(col("o_orderkey")).over(seqW).as("first_ok"),
+          last_value(col("o_orderkey")).over(fullW).as("last_ok"),
+          rank().over(priceW).cast("long").as("price_rank"),
+          dense_rank().over(priceW).cast("long").as("price_dense"),
+          percent_rank().over(priceW).as("price_prank"),
+          cume_dist().over(priceW).as("price_cume"),
+          ntile(4).over(tiledW).cast("long").as("quartile"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  lag(o_totalprice, 1) OVER seqw AS prev_price,
+             |  lead(o_totalprice, 1) OVER seqw AS next_price,
+             |  first_value(o_orderkey) OVER seqw AS first_ok,
+             |  last_value(o_orderkey) OVER
+             |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ok,
+             |  CAST(rank() OVER pricew AS BIGINT) AS price_rank,
+             |  CAST(dense_rank() OVER pricew AS BIGINT) AS price_dense,
+             |  percent_rank() OVER pricew AS price_prank,
+             |  cume_dist() OVER pricew AS price_cume,
+             |  CAST(ntile(4) OVER
+             |    (PARTITION BY o_custkey
+             |     ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS quartile
+             |FROM orders
+             |WINDOW seqw AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+             |       pricew AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
     // RQ25: pivot — Spark's relational pivot operator; the oracle spells it
     // as portable conditional aggregation (same values, same columns).
     QueryDef("rq25_pivot",

@@ -172,6 +172,22 @@ class DedupSpec extends SparkSpec {
       "prefix edit lands in another block (the documented recall caveat)")
   }
 
+  test("containment finds a contained excerpt that jaccard misses") {
+    val source = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val excerpt = (10 to 20).map(i => s"tok$i").mkString(" ")
+    val corpus = Seq((1L, source), (2L, excerpt),
+      (3L, "entirely unrelated words with zero shared shingles at all here"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(corpus, "text", "doc_id",
+      minContainment = 0.9)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(cont.toSeq == Seq((1L, 2L, 9.0 / 58.0, 1.0)),
+      s"excerpt must be fully contained: ${cont.toSeq}")
+    // The same pair sits far below any useful jaccard threshold.
+    val jac = Dedup.ngramJaccardPairs(corpus, "text", "doc_id", minJaccard = 0.5)
+    assert(jac.count() == 0, "jaccard must miss the asymmetric pair")
+  }
+
   test("ivf topk is a subset-quality approximation of brute force") {
     val emb = Tables.embeddings(spark, sf)
     val exact = Similarity.bruteForceTopK(emb, "embedding", "vec_id", 0L, 10)
