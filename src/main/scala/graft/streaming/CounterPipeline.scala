@@ -41,13 +41,26 @@ object CounterPipeline {
     * 2-line files `ID\n<json>`; `cleanSource` can archive/delete processed
     * files like the reference's post-process delete (`file/aggregator.go:212`).
     */
-  def fromFileDrop(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.format("text")
+  /** `maxFilesPerTrigger` is the rate limit (0 = unlimited): the reference
+    * applies backpressure through its unbuffered channels
+    * (`coordinator.go:38-39`); Spark's equivalent is per-trigger input
+    * bounding — a restart after long downtime then drains the backlog in
+    * bounded micro-batches instead of one giant catch-up batch (the Kafka
+    * twin is `maxOffsetsPerTrigger`).
+    */
+  def fromFileDrop(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    val reader = spark.readStream.format("text")
       .option("wholetext", "true")
-      .load(dir)
+    val limited =
+      if (maxFilesPerTrigger > 0)
+        reader.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      else reader
+    limited.load(dir)
       .select(
         split(col("value"), "\n", 2).getItem(0).as("key"),
         split(col("value"), "\n", 2).getItem(1).as("value"))
+  }
 
   /** Parse → event-ID dedup → fan-out → watermark → daily tumbling window →
     * count + growth. Output columns: (day, counter, n, growth) with

@@ -137,6 +137,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rate limit: backlog drains in bounded micro-batches, same totals") {
+    // The reference backpressures through unbuffered channels; our twin is
+    // per-trigger input bounding. 6 pre-existing .dat files + a limit of 2
+    // must drain as >= 3 bounded batches (never one giant catch-up batch)
+    // while delivering every event exactly once.
+    val dropDir = Files.createTempDirectory("graft-drop").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt-rl").toString
+    val events = (1 to 6).map(i =>
+      event(i.toLong, t(day0, i), "enwiki", "edit"))
+    graft.sources.EventFiles.writeBatch(
+      events.toDF("key", "value"), dropDir)
+    val batches = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+    val messages = CounterPipeline.fromFileDrop(spark, dropDir,
+      maxFilesPerTrigger = 2)
+    val q = messages.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches += b.select("key").collect().map(_.getString(0)).toSeq
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val sizes = batches.map(_.size)
+    assert(batches.size >= 3, s"expected bounded batches, got sizes $sizes")
+    assert(sizes.forall(_ <= 2), s"a batch exceeded the limit: $sizes")
+    assert(batches.flatten.size == 6 && batches.flatten.distinct.size == 6,
+      "every event delivered exactly once across the drained batches")
+  }
+
   test("permissive parse: corrupt events still count toward total") {
     val raw = Seq(
       ("""[{"timestamp":1597491600000}]""", """{"wiki":"enwiki","type":"edit","timestamp":1597491600}"""),
