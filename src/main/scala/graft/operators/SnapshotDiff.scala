@@ -37,4 +37,42 @@ object SnapshotDiff {
     diff(prev, next, idCol, contentCol)
       .groupBy("status").agg(count(lit(1)).as("n"))
       .orderBy("status")
+
+  /** Apply a change feed to a snapshot — the MERGE/upsert that turns
+    * [[diff]]'s output back into the next corpus version: rows in
+    * `upserts` replace same-id base rows (or insert when new), ids in
+    * `deletes` drop out. Two anti-joins + one union, all keyed by id —
+    * O(base + delta) with the usual co-partitioned exchange; no
+    * whole-corpus rewrite logic hides in here (at rest, pair with the
+    * day/partition-scoped dynamic overwrite the CounterPipeline merge
+    * uses, so only touched partitions rewrite).
+    */
+  def applyChanges(base: DataFrame, upserts: DataFrame, deletes: DataFrame,
+      idCol: String): DataFrame =
+    base
+      .join(deletes.select(col(idCol)), Seq(idCol), "left_anti")
+      .join(upserts.select(col(idCol)), Seq(idCol), "left_anti")
+      .unionByName(upserts.join(deletes.select(col(idCol)), Seq(idCol), "left_anti"))
+
+  /** Order-free table digest — one 60-bit fingerprint + row count per
+    * group: XOR of per-row md5 hashes over (id, content). XOR is
+    * commutative/associative and never overflows, so the digest is
+    * independent of row order, partitioning, and engine — equal digests +
+    * equal counts mean replicas/snapshots agree without shipping either
+    * side (the anti-entropy check that fronts [[diff]]; run diff only when
+    * digests disagree). Caveat inherent to XOR: a row appearing an EVEN
+    * number of times cancels out — ids make rows unique here, and the count
+    * catches pure duplications.
+    */
+  def tableDigest(df: DataFrame, idCol: String, contentCol: String,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    val rowHash = expr(
+      s"CAST(conv(substr(md5(concat(CAST($idCol AS STRING), '|', " +
+        s"CAST($contentCol AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+    val withHash = df.withColumn("_rh", rowHash)
+    val aggs = Seq(expr("bit_xor(_rh)").as("digest"),
+      count(lit(1)).as("n_rows"))
+    if (groupCols.isEmpty) withHash.agg(aggs.head, aggs.tail: _*)
+    else withHash.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 }

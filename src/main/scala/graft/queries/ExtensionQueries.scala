@@ -2061,6 +2061,59 @@ object ExtensionQueries {
              |WHERE GREATEST(CAST(c AS DOUBLE) / x.n, CAST(c AS DOUBLE) / y.n) >= 0.9
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // XQ77: order-free per-source table digest — XOR of per-row md5s + row
+    // count per source shard: equal digests mean replicas/snapshots agree
+    // without shipping content (the anti-entropy check fronting xq62's
+    // diff). XOR is partition-, order-, and engine-independent.
+    QueryDef("xq77_table_digest",
+      (s, d) => graft.operators.SnapshotDiff.tableDigest(
+        Tables.documents(s, d), "doc_id", "text", groupCols = Seq("source"))
+        .orderBy("source"),
+      Some("""SELECT source,
+             |  bit_xor(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15) AS BIGINT)) AS digest,
+             |  CAST(COUNT(*) AS BIGINT) AS n_rows
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // XQ78: apply a change feed (MERGE/upsert) — the write-back that turns
+    // xq62's diff into the next corpus version: in-query derived updates
+    // (every 10th doc gets a v2 body), inserts (every 25th doc re-crawled
+    // under a new id) and deletes (every 17th doc taken down; deletes win
+    // over updates). Result summarized per source with xq77's order-free
+    // digest, so the check pins the exact applied contents.
+    QueryDef("xq78_apply_changes",
+      (s, d) => {
+        val base = Tables.documents(s, d)
+        val upserts = base.where(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), concat(lit("v2 "), col("text")).as("text"),
+            col("lang"), col("source"), (col("n_chars") + 3L).as("n_chars"))
+          .unionByName(base.where(col("doc_id") % 25 === 0)
+            .select((col("doc_id") + 20000L).as("doc_id"), col("text"),
+              col("lang"), col("source"), col("n_chars")))
+        val deletes = base.where(col("doc_id") % 17 === 0).select("doc_id")
+        graft.operators.SnapshotDiff.tableDigest(
+          graft.operators.SnapshotDiff.applyChanges(base, upserts, deletes, "doc_id"),
+          "doc_id", "text", groupCols = Seq("source"))
+          .orderBy("source")
+      },
+      Some("""WITH base AS (SELECT doc_id, text, lang, source, n_chars FROM documents),
+             |ups AS (
+             |  SELECT doc_id, 'v2 ' || text AS text, lang, source, n_chars + 3 AS n_chars
+             |  FROM base WHERE doc_id % 10 = 0
+             |  UNION ALL
+             |  SELECT doc_id + 20000, text, lang, source, n_chars
+             |  FROM base WHERE doc_id % 25 = 0),
+             |del AS (SELECT doc_id FROM base WHERE doc_id % 17 = 0),
+             |applied AS (
+             |  SELECT * FROM base
+             |  WHERE doc_id NOT IN (SELECT doc_id FROM del)
+             |    AND doc_id NOT IN (SELECT doc_id FROM ups)
+             |  UNION ALL
+             |  SELECT * FROM ups WHERE doc_id NOT IN (SELECT doc_id FROM del))
+             |SELECT source,
+             |  bit_xor(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15) AS BIGINT)) AS digest,
+             |  CAST(COUNT(*) AS BIGINT) AS n_rows
+             |FROM applied GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // XQ16: multimodal feature extraction — mapPartitions over binary
     // payloads with a stubbed decoder; rows-only check (not SQL-expressible).
     QueryDef("xq16_multimodal_features",

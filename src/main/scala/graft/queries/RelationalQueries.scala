@@ -661,6 +661,117 @@ object RelationalQueries {
              |       pricew AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC)
              |ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
+    // RQ36: date-spine gap filling — the calendar scaffold every reporting
+    // pipeline builds: a generated day spine left-joined against the daily
+    // aggregate so missing days appear as explicit zeros (a GROUP BY alone
+    // silently drops them). sequence()/generate_series is the portable
+    // spine in both engines; the spine is metadata-scale (#days), the
+    // aggregate side is one grouping pass.
+    QueryDef("rq36_date_spine",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val daily = o.groupBy(col("o_orderdate").cast("date").as("d"))
+          .agg(count(lit(1)).as("n"))
+        val spine = o.agg(min(col("o_orderdate").cast("date")).as("lo"),
+            max(col("o_orderdate").cast("date")).as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"),
+            expr("interval 1 day"))).as("d"))
+        spine.join(daily, Seq("d"), "left")
+          .select(col("d"), coalesce(col("n"), lit(0L)).as("n"))
+          .orderBy("d")
+      },
+      Some("""WITH b AS (SELECT MIN(CAST(o_orderdate AS DATE)) AS lo,
+             |               MAX(CAST(o_orderdate AS DATE)) AS hi FROM orders),
+             |spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+             |          FROM b),
+             |daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+             |                 CAST(COUNT(*) AS BIGINT) AS n
+             |          FROM orders GROUP BY 1)
+             |SELECT spine.d AS d, COALESCE(daily.n, 0) AS n
+             |FROM spine LEFT JOIN daily ON spine.d = daily.d
+             |ORDER BY spine.d""".stripMargin)),
+
+    // RQ37: correlation from exact moments — corr()/covar over doubles is
+    // accumulation-order-dependent (not reproducible across engines, or
+    // even across partitionings within one engine); the portable form
+    // aggregates the five moments as EXACT decimals and assembles Pearson r
+    // with one identical IEEE expression tree at the end. The same pattern
+    // as xq59's drift moments, here as the relational-surface statement.
+    QueryDef("rq37_exact_corr",
+      (s, d) => {
+        val x = d2("l_quantity")
+        val y = d2("l_extendedprice")
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).cast("double").as("n"),
+            sum(x).cast("double").as("sx"),
+            sum(y).cast("double").as("sy"),
+            sum(x * y).cast("double").as("sxy"),
+            sum(x * x).cast("double").as("sxx"),
+            sum(y * y).cast("double").as("syy"))
+          .select(col("l_returnflag"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+                sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+              .as("corr_qty_price"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH m AS (SELECT l_returnflag,
+             |    CAST(COUNT(*) AS DOUBLE) AS n,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l_returnflag,
+             |  (n * sxy - sx * sy) /
+             |  (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+             |FROM m ORDER BY l_returnflag""".stripMargin)),
+
+    // RQ38: ordered string aggregation (LISTAGG/string_agg) — the report
+    // column "orders in date order, comma-joined". Spark spells it portably
+    // as sort-structs-then-join (collect_list alone has no deterministic
+    // order); DuckDB as string_agg(... ORDER BY). Same strings, hash-exact.
+    QueryDef("rq38_string_agg",
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"),
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("o_orderdate"), col("o_orderkey")))),
+              x => x.getField("o_orderkey").cast("string")),
+            ",").as("order_seq"))
+        .orderBy("o_custkey"),
+      Some("""SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
+             |  string_agg(CAST(o_orderkey AS VARCHAR), ','
+             |             ORDER BY o_orderdate, o_orderkey) AS order_seq
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // RQ39: JSON extraction functions — the semi-structured column path
+    // (events.props carries a JSON payload, per the reference's open
+    // additionalProperties event schema): extract a nested field, cast,
+    // filter and aggregate on it. Spark get_json_object ≙ DuckDB
+    // json_extract_string.
+    QueryDef("rq39_json_funcs",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          expr("count_if(k > 50)").as("n_big"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(COUNT(*) FILTER (WHERE k > 50) AS BIGINT) AS n_big,
+             |  CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+             |FROM (SELECT event_type,
+             |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             |      FROM events)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // RQ25: pivot — Spark's relational pivot operator; the oracle spells it
     // as portable conditional aggregation (same values, same columns).
     QueryDef("rq25_pivot",
