@@ -152,6 +152,33 @@ object Similarity {
         max(col("_sim")).as("max_sim"))
   }
 
+  /** Hard-negative mining — the retrieval-training data prep (DPR/contrastive
+    * recipe): for each anchor, the most-similar vectors with a DIFFERENT
+    * label are the "hard negatives" (near in embedding space, wrong by
+    * label) that make contrastive training informative; random negatives
+    * are too easy. Anchors = min id per label (deterministic). Anchors
+    * broadcast (cardinality = #labels, fixed), one corpus scan computes
+    * every anchor×candidate cosine, top-k per anchor via an anchor-keyed
+    * window — the multi-query generalization of [[bruteForceTopK]]; swap
+    * the scan for [[ivfTopK]]'s pruned probe when anchors grow.
+    */
+  def hardNegatives(emb: DataFrame, vecCol: String, idCol: String,
+      labelCol: String, k: Int): DataFrame = {
+    val anchors = emb.groupBy(col(labelCol).as("_albl"))
+      .agg(min(col(idCol)).as("anchor_id"))
+    val av = anchors.join(
+      emb.select(col(idCol).as("anchor_id"), col(vecCol).as("_av")), "anchor_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("anchor_id"))
+      .orderBy(col("sim").desc, col(idCol))
+    emb.select(col(idCol), col(labelCol), col(vecCol))
+      .join(broadcast(av), col(labelCol) =!= col("_albl"))
+      .select(col("anchor_id"), col(idCol),
+        VectorFunctions.cosine(col(vecCol), col("_av")).as("sim"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+  }
+
   /** The corpus [[semDedup]] keeps: everything not flagged as removed. */
   def semDedupSurvivors(emb: DataFrame, vecCol: String, idCol: String,
       k: Int, iters: Int, threshold: Double): DataFrame =

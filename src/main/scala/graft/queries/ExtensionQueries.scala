@@ -2114,6 +2114,30 @@ object ExtensionQueries {
              |  CAST(COUNT(*) AS BIGINT) AS n_rows
              |FROM applied GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // XQ79: hard-negative mining — for each per-label anchor, the top-5
+    // most-similar vectors with a DIFFERENT label (the contrastive-training
+    // negatives that matter). Anchors broadcast; one scan; anchor-keyed
+    // window top-k. Cosines bit-exact via the shared IEEE sequence.
+    QueryDef("xq79_hard_negatives",
+      (s, d) => Similarity.hardNegatives(
+        Tables.embeddings(s, d), "embedding", "vec_id", "label", k = 5)
+        .orderBy("anchor_id", "rk"),
+      Some(s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+              |          FROM embeddings),
+              |anch AS (SELECT label AS albl, MIN(vec_id) AS anchor_id
+              |         FROM e GROUP BY 1),
+              |av AS (SELECT a.albl, a.anchor_id, e.v AS avv
+              |       FROM anch a JOIN e ON e.vec_id = a.anchor_id),
+              |p AS (SELECT av.anchor_id, e.vec_id,
+              |        ${oCos("e.v", "av.avv")} AS sim
+              |      FROM av, e WHERE e.label <> av.albl),
+              |r AS (SELECT anchor_id, vec_id, sim,
+              |        CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id
+              |            ORDER BY sim DESC, vec_id) AS BIGINT) AS rk
+              |      FROM p)
+              |SELECT anchor_id, vec_id, sim, rk FROM r WHERE rk <= 5
+              |ORDER BY anchor_id, rk""".stripMargin)),
+
     // XQ16: multimodal feature extraction — mapPartitions over binary
     // payloads with a stubbed decoder; rows-only check (not SQL-expressible).
     QueryDef("xq16_multimodal_features",

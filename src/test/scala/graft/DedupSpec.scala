@@ -188,6 +188,27 @@ class DedupSpec extends SparkSpec {
     assert(jac.count() == 0, "jaccard must miss the asymmetric pair")
   }
 
+  test("hard negatives: wrong-label only, correctly ranked, k per anchor") {
+    val emb = Tables.embeddings(spark, sf)
+    val got = Similarity.hardNegatives(emb, "embedding", "vec_id", "label", 5)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    val labels = emb.select("vec_id", "label")
+      .as[(Long, Long)].collect().toMap
+    val anchors = labels.groupBy(_._2).map { case (l, m) => l -> m.keys.min }
+    // exactly k rows per anchor; no negative shares its anchor's label
+    val byAnchor = got.groupBy(_._1)
+    assert(byAnchor.keySet == anchors.values.toSet)
+    byAnchor.foreach { case (aid, rows) =>
+      assert(rows.size == 5 && rows.map(_._4).sorted == Seq(1L, 2L, 3L, 4L, 5L))
+      rows.foreach { case (_, vid, _, _) =>
+        assert(labels(vid) != labels(aid), s"negative $vid shares label of $aid")
+      }
+      // ranked by sim desc
+      val sims = rows.sortBy(_._4).map(_._3)
+      assert(sims == sims.sorted.reverse)
+    }
+  }
+
   test("ivf topk is a subset-quality approximation of brute force") {
     val emb = Tables.embeddings(spark, sf)
     val exact = Similarity.bruteForceTopK(emb, "embedding", "vec_id", 0L, 10)
