@@ -41,6 +41,16 @@ object TextCorpus {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** Schema-evolution read over parquet snapshot generations — a corpus
+    * re-crawled for months gains columns (quality scores, license tags);
+    * `mergeSchema` unions the footer schemas across all files so old files
+    * surface the new columns as nulls. One flag, not a migration job; the
+    * cost (footer-schema union at planning) is per-FILE metadata, safe at
+    * 100 TB if file counts follow the compaction targets.
+    */
+  def readParquetEvolved(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+
   /** ORC round trip — the columnar interchange format beside parquet
     * (native Spark source: predicate pushdown, column pruning, splittable
     * stripes; schema travels with the file, so arrays/binary/nested columns

@@ -51,6 +51,27 @@ class TextCorpusSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("schema evolution: merged read surfaces new columns, old rows null") {
+    val dir = tempDir("evolve")
+    val v1 = dir.resolve("v1").toString
+    val v2 = dir.resolve("v2").toString
+    import spark.implicits._
+    Seq((1L, "old doc")).toDF("doc_id", "text")
+      .write.parquet(v1)
+    Seq((2L, "new doc", 0.9)).toDF("doc_id", "text", "quality")
+      .write.parquet(v2)
+    val merged = TextCorpus.readParquetEvolved(spark, v1, v2)
+    assert(merged.columns.toSet == Set("doc_id", "text", "quality"))
+    val rows = merged.orderBy("doc_id")
+      .select("doc_id", "quality").collect()
+    assert(rows(0).isNullAt(1), "pre-evolution rows carry null for new cols")
+    assert(rows(1).getDouble(1) == 0.9)
+    // A plain read without the flag binds one file's schema — the trap the
+    // helper exists to close.
+    val plain = spark.read.parquet(v1, v2)
+    assert(plain.columns.toSet.subsetOf(Set("doc_id", "text", "quality")))
+  }
+
   test("orc round trip preserves schema incl. array and binary columns") {
     val dir = tempDir("orcrt")
     // Embeddings exercise what text formats cannot carry: a float array —
