@@ -32,6 +32,78 @@ object QualityClassifier {
     spark.range(nBuckets).select(col("id").as("bucket"),
       ((col("id") * 37L + 11L) % 1999L - 999L).as("w_m"))
 
+  /** The hashed unigram+bigram count features of a corpus:
+    * (idCol, bucket, c). Shared by [[score]]-style inference and
+    * [[trainLogistic]].
+    */
+  def hashedCounts(docs: DataFrame, textCol: String, idCol: String,
+      nBuckets: Int): DataFrame = {
+    val unigrams = docs.select(col(idCol),
+      explode(split(col(textCol), " ")).as("feat"))
+    val bigrams = Shingles.exploded(docs, textCol, idCol, n = 2)
+      .select(col(idCol), col("shingle").as("feat"))
+    unigrams.union(bigrams)
+      .select(col(idCol), bucketOf(col("feat"), nBuckets))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** In-engine training of the quality classifier — full-batch logistic
+    * regression by gradient descent over the hashed count features (the
+    * CCNet recipe's TRAINER: label a target split positive, the crawl
+    * negative, fit a linear gate). Everything a cluster does per iteration
+    * is two bucket/doc-keyed aggregations; the weight vector is nBuckets
+    * rows, broadcast each round.
+    *
+    * Cross-engine determinism (the xq48 ln recipe applied to exp): weights
+    * live in exact integer MICRO-units; the per-doc sigmoid error is
+    * quantized to 1e-6 — floor((σ(margin) − y)·1e6 + 0.5) — BEFORE entering
+    * the per-bucket integer gradient sum, so every aggregation is order-free
+    * integer arithmetic and the engine-specific ULP of exp() is absorbed by
+    * the quantization. The update is one shared IEEE expression:
+    * w −= floor(lr · grad / nDocs + 0.5).
+    *
+    * Iterations are few and bounded, so frames chain with a persist on the
+    * (reused-every-round) feature table only — no lineage cut (the
+    * dedupGroups localCheckpoint lesson cuts the other way here: measured
+    * on the bounded trainers, checkpoint jobs cost more than the plan
+    * growth they avoid).
+    *
+    * `labels` must carry (idCol, y ∈ {0,1}). Returns (bucket, w_u
+    * micro-weights, weight) for all nBuckets buckets.
+    */
+  def trainLogistic(docs: DataFrame, textCol: String, idCol: String,
+      labels: DataFrame, nBuckets: Int = 64, iters: Int = 3,
+      lr: Double = 0.1): DataFrame = {
+    require(iters >= 1 && nBuckets >= 1, s"bad iters=$iters nBuckets=$nBuckets")
+    val spark = docs.sparkSession
+    val feats = hashedCounts(docs, textCol, idCol, nBuckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val labs = labels.select(col(idCol), col("y").cast("long").as("y"))
+    val nDocs = docs.count()
+    var w = spark.range(nBuckets)
+      .select(col("id").as("bucket"), lit(0L).as("w_u"))
+    for (_ <- 1 to iters) {
+      val margins = feats.join(broadcast(w), "bucket")
+        .groupBy(col(idCol))
+        .agg(sum(col("c") * col("w_u")).as("margin_u"))
+        .join(labs, idCol)
+      val errs = margins.select(col(idCol),
+        floor((lit(1.0) / (lit(1.0) +
+          exp(-(col("margin_u").cast("double") / lit(1e6)))) -
+          col("y").cast("double")) * lit(1e6) + lit(0.5)).cast("long").as("e"))
+      val grads = feats.join(errs, idCol)
+        .groupBy("bucket").agg(sum(col("c") * col("e")).as("grad"))
+      w = w.join(grads, Seq("bucket"), "left")
+        .select(col("bucket"),
+          (col("w_u") - floor(lit(lr) *
+            coalesce(col("grad"), lit(0L)).cast("double") / lit(nDocs.toDouble) +
+            lit(0.5)).cast("long")).as("w_u"))
+    }
+    w.select(col("bucket"), col("w_u"),
+      (col("w_u").cast("double") / lit(1e6)).as("weight"))
+  }
+
   /** Per-doc margin over unigram + bigram hashed features:
     * (doc, n_feats, margin_m = Σ w_m, score = margin_m/1000/n_feats,
     * label = keep iff score > 0). Empty docs have no features and are

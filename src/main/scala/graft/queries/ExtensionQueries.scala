@@ -2138,6 +2138,56 @@ object ExtensionQueries {
               |SELECT anchor_id, vec_id, sim, rk FROM r WHERE rk <= 5
               |ORDER BY anchor_id, rk""".stripMargin)),
 
+    // XQ80: in-engine classifier TRAINING — full-batch logistic regression
+    // over hashed unigram+bigram counts, src0 as the positive target and
+    // the rest of the crawl negative (the CCNet trainer beside xq49's
+    // inference). 3 unrolled GD iterations; per-doc sigmoid errors
+    // quantized to 1e-6 before the integer gradient sums, so the learned
+    // micro-weight vector is bit-identical cross-engine.
+    QueryDef("xq80_train_classifier",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        QualityClassifier.trainLogistic(docs, "text", "doc_id",
+          docs.select(col("doc_id"),
+            when(col("source") === "src0", 1L).otherwise(0L).as("y")),
+          nBuckets = 64, iters = 3, lr = 0.1)
+          .orderBy("bucket")
+      },
+      Some {
+        val iterCtes = (1 to 3).map { i =>
+          s"""m$i AS (SELECT f.doc_id, SUM(f.c * w.w_u) AS margin
+             |      FROM feat f JOIN w${i - 1} w USING (bucket) GROUP BY 1),
+             |e$i AS (SELECT m.doc_id,
+             |        CAST(floor((1.0 / (1.0 + exp(-(CAST(m.margin AS DOUBLE) / 1000000.0)))
+             |               - CAST(l.y AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS e
+             |      FROM m$i m JOIN lab l USING (doc_id)),
+             |g$i AS (SELECT f.bucket, SUM(f.c * e.e) AS grad
+             |      FROM feat f JOIN e$i e USING (doc_id) GROUP BY 1),
+             |w$i AS (SELECT w.bucket,
+             |        w.w_u - CAST(floor(0.1 * CAST(COALESCE(g.grad, 0) AS DOUBLE)
+             |                           / nn.n + 0.5) AS BIGINT) AS w_u
+             |      FROM w${i - 1} w LEFT JOIN g$i g USING (bucket), nn)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH u AS (SELECT doc_id, unnest(string_split(text, ' ')) AS feat
+           |          FROM documents),
+           |t2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |b2 AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS feat
+           |       FROM t2, UNNEST(generate_series(1, len(w) - 1)) AS u(i)),
+           |f0 AS (SELECT * FROM u UNION ALL SELECT * FROM b2),
+           |feat AS (SELECT doc_id,
+           |           CAST('0x' || substr(md5(feat), 1, 15) AS BIGINT) % 64 AS bucket,
+           |           CAST(COUNT(*) AS BIGINT) AS c
+           |         FROM f0 GROUP BY 1, 2),
+           |lab AS (SELECT doc_id, CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS y
+           |        FROM documents),
+           |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+           |w0 AS (SELECT CAST(range AS BIGINT) AS bucket, CAST(0 AS BIGINT) AS w_u
+           |       FROM range(64)),
+           |$iterCtes
+           |SELECT bucket, w_u, CAST(w_u AS DOUBLE) / 1000000.0 AS weight
+           |FROM w3 ORDER BY bucket""".stripMargin
+      }),
+
     // XQ16: multimodal feature extraction — mapPartitions over binary
     // payloads with a stubbed decoder; rows-only check (not SQL-expressible).
     QueryDef("xq16_multimodal_features",

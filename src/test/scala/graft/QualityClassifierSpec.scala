@@ -39,4 +39,36 @@ class QualityClassifierSpec extends SparkSpec {
     val b = QualityClassifier.score(corpus.repartition(9), "text", "doc_id", w, 256)
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  test("trainLogistic separates a separable corpus and is deterministic") {
+    // Disjoint vocabularies: positives say only good-words, negatives only
+    // bad-words -> every good-word bucket must go positive, bad negative.
+    val corpus = ((1 to 10).map(i => (i.toLong, "good fine great", 1L)) ++
+      (11 to 20).map(i => (i.toLong, "spam junk noise", 0L)))
+      .toDF("doc_id", "text", "y")
+    val labels = corpus.select(col("doc_id"), col("y"))
+    val w = QualityClassifier.trainLogistic(corpus, "text", "doc_id",
+      labels, nBuckets = 64, iters = 5, lr = 0.5)
+    val wm = w.select("bucket", "w_u").as[(Long, Long)].collect().toMap
+    def bucket(f: String): Long = corpus.sparkSession.range(1)
+      .select(QualityClassifier.bucketOf(lit(f), 64)).head().getLong(0)
+    Seq("good", "fine", "great", "good fine").foreach { f =>
+      assert(wm(bucket(f)) > 0L, s"positive-class feature '$f' must gain weight")
+    }
+    Seq("spam", "junk", "noise", "spam junk").foreach { f =>
+      assert(wm(bucket(f)) < 0L, s"negative-class feature '$f' must lose weight")
+    }
+    // Trained weights classify the training set perfectly via the margin.
+    val feats = QualityClassifier.hashedCounts(corpus, "text", "doc_id", 64)
+    val margins = feats.join(w, "bucket")
+      .groupBy("doc_id").agg(sum(col("c") * col("w_u")).as("m"))
+      .join(labels, "doc_id")
+      .select(col("y"), (col("m") > 0L).as("pred")).collect()
+    margins.foreach(r => assert((r.getLong(0) == 1L) == r.getBoolean(1)))
+    // Deterministic under repartition.
+    val again = QualityClassifier.trainLogistic(corpus.repartition(7), "text",
+      "doc_id", labels, nBuckets = 64, iters = 5, lr = 0.5)
+      .select("bucket", "w_u").as[(Long, Long)].collect().toMap
+    assert(again == wm)
+  }
 }
