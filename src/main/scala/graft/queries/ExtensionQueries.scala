@@ -62,6 +62,43 @@ object ExtensionQueries {
        |grp AS (SELECT id, CAST(MIN(label) AS BIGINT) AS group_id
        |        FROM walk GROUP BY id)""".stripMargin
 
+  /** DuckDB twin of QualityClassifier.trainLogistic (xq80/xq81): hashed
+    * unigram+bigram counts, src0-positive labels, 3 unrolled GD iterations
+    * with 1e-6-quantized sigmoid errors; ends at weight table `w3`.
+    */
+  private val classifierTrainCte: String = {
+    val iterCtes = (1 to 3).map { i =>
+      s"""m$i AS (SELECT f.doc_id, SUM(f.c * w.w_u) AS margin
+         |      FROM feat f JOIN w${i - 1} w USING (bucket) GROUP BY 1),
+         |e$i AS (SELECT m.doc_id,
+         |        CAST(floor((1.0 / (1.0 + exp(-(CAST(m.margin AS DOUBLE) / 1000000.0)))
+         |               - CAST(l.y AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS e
+         |      FROM m$i m JOIN lab l USING (doc_id)),
+         |g$i AS (SELECT f.bucket, SUM(f.c * e.e) AS grad
+         |      FROM feat f JOIN e$i e USING (doc_id) GROUP BY 1),
+         |w$i AS (SELECT w.bucket,
+         |        w.w_u - CAST(floor(0.1 * CAST(COALESCE(g.grad, 0) AS DOUBLE)
+         |                           / nn.n + 0.5) AS BIGINT) AS w_u
+         |      FROM w${i - 1} w LEFT JOIN g$i g USING (bucket), nn)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH u AS (SELECT doc_id, unnest(string_split(text, ' ')) AS feat
+       |          FROM documents),
+       |t2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |b2 AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS feat
+       |       FROM t2, UNNEST(generate_series(1, len(w) - 1)) AS u(i)),
+       |f0 AS (SELECT * FROM u UNION ALL SELECT * FROM b2),
+       |feat AS (SELECT doc_id,
+       |           CAST('0x' || substr(md5(feat), 1, 15) AS BIGINT) % 64 AS bucket,
+       |           CAST(COUNT(*) AS BIGINT) AS c
+       |         FROM f0 GROUP BY 1, 2),
+       |lab AS (SELECT doc_id, CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS y
+       |        FROM documents),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+       |w0 AS (SELECT CAST(range AS BIGINT) AS bucket, CAST(0 AS BIGINT) AS w_u
+       |       FROM range(64)),
+       |$iterCtes""".stripMargin
+  }
+
   /** Deterministic multi-line rendering of a document (the corpus itself is
     * single-line word soup; the xq36 injection pattern): 8-token chunks
     * become lines with a suffix cycling on (doc_id·31+i) mod 5 — '.', '!',
@@ -2153,40 +2190,43 @@ object ExtensionQueries {
           nBuckets = 64, iters = 3, lr = 0.1)
           .orderBy("bucket")
       },
-      Some {
-        val iterCtes = (1 to 3).map { i =>
-          s"""m$i AS (SELECT f.doc_id, SUM(f.c * w.w_u) AS margin
-             |      FROM feat f JOIN w${i - 1} w USING (bucket) GROUP BY 1),
-             |e$i AS (SELECT m.doc_id,
-             |        CAST(floor((1.0 / (1.0 + exp(-(CAST(m.margin AS DOUBLE) / 1000000.0)))
-             |               - CAST(l.y AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS e
-             |      FROM m$i m JOIN lab l USING (doc_id)),
-             |g$i AS (SELECT f.bucket, SUM(f.c * e.e) AS grad
-             |      FROM feat f JOIN e$i e USING (doc_id) GROUP BY 1),
-             |w$i AS (SELECT w.bucket,
-             |        w.w_u - CAST(floor(0.1 * CAST(COALESCE(g.grad, 0) AS DOUBLE)
-             |                           / nn.n + 0.5) AS BIGINT) AS w_u
-             |      FROM w${i - 1} w LEFT JOIN g$i g USING (bucket), nn)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH u AS (SELECT doc_id, unnest(string_split(text, ' ')) AS feat
-           |          FROM documents),
-           |t2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-           |b2 AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS feat
-           |       FROM t2, UNNEST(generate_series(1, len(w) - 1)) AS u(i)),
-           |f0 AS (SELECT * FROM u UNION ALL SELECT * FROM b2),
-           |feat AS (SELECT doc_id,
-           |           CAST('0x' || substr(md5(feat), 1, 15) AS BIGINT) % 64 AS bucket,
-           |           CAST(COUNT(*) AS BIGINT) AS c
-           |         FROM f0 GROUP BY 1, 2),
-           |lab AS (SELECT doc_id, CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS y
-           |        FROM documents),
-           |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
-           |w0 AS (SELECT CAST(range AS BIGINT) AS bucket, CAST(0 AS BIGINT) AS w_u
-           |       FROM range(64)),
-           |$iterCtes
-           |SELECT bucket, w_u, CAST(w_u AS DOUBLE) / 1000000.0 AS weight
-           |FROM w3 ORDER BY bucket""".stripMargin
-      }),
+      Some(s"""$classifierTrainCte
+              |SELECT bucket, w_u, CAST(w_u AS DOUBLE) / 1000000.0 AS weight
+              |FROM w3 ORDER BY bucket""".stripMargin)),
+
+    // XQ81: train → apply, one program — the full model-based quality gate:
+    // xq80's GD-trained weights immediately score the same corpus, top 50
+    // docs by trained margin (exact integer micro-units, so the ranking is
+    // total and engine-independent). Honest outcome on THIS corpus: the
+    // synthetic sources share one vocabulary, so no hashed-word signal
+    // separates src0 and the trained gate converges to the class prior
+    // (all margins negative, majority class) rather than overfitting hash
+    // noise — the learns-real-signal claim lives in the spec's separable
+    // corpus; this query pins the composed pipeline's exact arithmetic.
+    QueryDef("xq81_train_apply",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val w = QualityClassifier.trainLogistic(docs, "text", "doc_id",
+          docs.select(col("doc_id"),
+            when(col("source") === "src0", 1L).otherwise(0L).as("y")),
+          nBuckets = 64, iters = 3, lr = 0.1)
+        QualityClassifier.hashedCounts(docs, "text", "doc_id", 64)
+          .join(broadcast(w.select("bucket", "w_u")), "bucket")
+          .groupBy("doc_id")
+          .agg(sum(col("c") * col("w_u")).as("margin_u"))
+          .join(docs.select("doc_id", "source"), "doc_id")
+          .select(col("doc_id"), col("source"), col("margin_u"),
+            when(col("margin_u") > 0L, lit("keep")).otherwise(lit("drop"))
+              .as("label"))
+          .orderBy(col("margin_u").desc, col("doc_id")).limit(50)
+      },
+      Some(s"""$classifierTrainCte,
+              |sc AS (SELECT f.doc_id, CAST(SUM(f.c * w.w_u) AS BIGINT) AS margin_u
+              |       FROM feat f JOIN w3 w USING (bucket) GROUP BY 1)
+              |SELECT sc.doc_id, d.source, sc.margin_u,
+              |       CASE WHEN sc.margin_u > 0 THEN 'keep' ELSE 'drop' END AS label
+              |FROM sc JOIN documents d USING (doc_id)
+              |ORDER BY margin_u DESC, doc_id LIMIT 50""".stripMargin)),
 
     // XQ16: multimodal feature extraction — mapPartitions over binary
     // payloads with a stubbed decoder; rows-only check (not SQL-expressible).
