@@ -222,6 +222,31 @@ object Sampling {
           .as("n_tokens"))
   }
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES): row i
+    * gets key = -ln(u_i)/w_i with u_i uniform in (0,1); the m SMALLEST keys
+    * are a weighted sample without replacement — one scan + a top-m, no
+    * sequential reservoir. Here u_i derives from md5(id) (deterministic,
+    * repartition-stable, engine-portable) and the key is quantized to 1e-9
+    * with an id tie-break so selection is total-ordered and identical
+    * cross-engine despite ln()'s engine ULP. Weights must be > 0.
+    *
+    * The quality-weighted subsample stage of corpus curation ("sample 10%
+    * favoring high-quality docs") — weights compose with the quality
+    * scores (xq11/xq48/xq49) or soft-dedup weights (xq67).
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      m: Int): DataFrame = {
+    // u in (0,1): 12 hex chars of md5 -> [0, 2^48) scaled, +1 ulp-ish
+    // offset so u > 0 and ln is finite.
+    val u = (expr(s"CAST(conv(substr(md5(CAST($idCol AS STRING)), 1, 12), 16, 10) AS DOUBLE)") +
+      lit(0.5d)) / lit(281474976710656.0d) // 2^48
+    val key = floor((-log(u) / col(weightCol).cast("double")) * lit(1e9d) + lit(0.5d))
+      .cast("long")
+    df.withColumn("es_key", key)
+      .orderBy(col("es_key"), col(idCol))
+      .limit(m)
+  }
+
   /** Temperature-based stratum resampling — the multilingual/source-mix
     * upsampling rule (mBERT/XLM-R style): stratum i with n_i docs gets a
     * share proportional to n_i^alpha, so alpha < 1 flattens the distribution

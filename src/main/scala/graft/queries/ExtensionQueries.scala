@@ -2228,6 +2228,24 @@ object ExtensionQueries {
               |FROM sc JOIN documents d USING (doc_id)
               |ORDER BY margin_u DESC, doc_id LIMIT 50""".stripMargin)),
 
+    // XQ82: weighted sampling without replacement (Efraimidis–Spirakis) —
+    // 100 docs drawn favoring length (w = n_chars): key = -ln(u)/w from a
+    // deterministic md5 uniform, smallest-m selected. One scan + top-m, no
+    // sequential reservoir; 1e-9 key quantization + id tie-break make the
+    // selection engine-exact through ln().
+    QueryDef("xq82_weighted_sample",
+      (s, d) => Sampling.weightedSample(
+        Tables.documents(s, d).select("doc_id", "n_chars"),
+        "doc_id", "n_chars", m = 100)
+        .orderBy("es_key", "doc_id"),
+      Some("""WITH k AS (SELECT doc_id, n_chars,
+             |    CAST(floor(-ln((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) AS DOUBLE) + 0.5)
+             |                   / 281474976710656.0)
+             |               / CAST(n_chars AS DOUBLE) * 1000000000.0 + 0.5) AS BIGINT) AS es_key
+             |  FROM documents)
+             |SELECT doc_id, n_chars, es_key FROM k
+             |ORDER BY es_key, doc_id LIMIT 100""".stripMargin)),
+
     // XQ16: multimodal feature extraction — mapPartitions over binary
     // payloads with a stubbed decoder; rows-only check (not SQL-expressible).
     QueryDef("xq16_multimodal_features",

@@ -169,6 +169,22 @@ class SamplingSpec extends SparkSpec {
     assert(again == got.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("weighted sample favors heavy rows and is repartition-stable") {
+    // Two weight classes: heavy rows 100x the weight of light rows must
+    // dominate a small sample from a 50/50 population.
+    val rows = (1L to 1000L).map(i => (i, if (i <= 500) 1000L else 10L))
+      .toDF("id", "w")
+    val got = Sampling.weightedSample(rows, "id", "w", m = 100)
+      .select("id").as[Long].collect().toSet
+    val heavy = got.count(_ <= 500)
+    assert(heavy >= 85, s"heavy rows must dominate, got $heavy/100")
+    // Without replacement: distinct ids, exactly m of them.
+    assert(got.size == 100)
+    val again = Sampling.weightedSample(rows.repartition(7), "id", "w", m = 100)
+      .select("id").as[Long].collect().toSet
+    assert(again == got)
+  }
+
   test("multiprobe LSH recall >= single-probe recall") {
     val emb = Tables.embeddings(spark, sf)
     val exact = Similarity.bruteForceTopK(emb, "embedding", "vec_id", 0L, 10)

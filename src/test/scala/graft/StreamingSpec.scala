@@ -167,6 +167,44 @@ class StreamingSpec extends SparkSpec {
       "every event delivered exactly once across the drained batches")
   }
 
+  test("complete-mode leaderboard: sorted top-k maintained across batches") {
+    // The dashboard's live top-k as a CONTINUOUS query: complete output
+    // mode is the one mode that permits sorting+limit in streaming; each
+    // trigger re-emits the whole (tiny: k rows) leaderboard.
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, String)]
+    val counts = CounterDerivation.explodeRecentchange(
+      Recentchange.parse(stream.toDF().toDF("key", "value")))
+      .groupBy("counter").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("counter")).limit(3)
+    val q = counts.writeStream
+      .outputMode("complete")
+      .format("memory").queryName("leaderboard")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      stream.addData(
+        event(1, t(day0, 1), "enwiki", "edit"),
+        event(2, t(day0, 2), "enwiki", "edit"),
+        event(3, t(day0, 3), "dewiki", "new"))
+      q.processAllAvailable()
+      val round1 = spark.table("leaderboard")
+        .as[(String, Long)].collect().toSeq
+      assert(round1.head == (("total", 3L)))
+      assert(round1.map(_._1).take(3) == Seq("total", "type_edit", "wiki_enwiki"))
+      // A later batch reorders the board: dewiki overtakes enwiki.
+      stream.addData(
+        event(4, t(day0, 4), "dewiki", "new"),
+        event(5, t(day0, 5), "dewiki", "new"),
+        event(6, t(day0, 6), "dewiki", "new"))
+      q.processAllAvailable()
+      val round2 = spark.table("leaderboard")
+        .as[(String, Long)].collect().toSeq
+      assert(round2.head == (("total", 6L)))
+      assert(round2.contains(("type_new", 4L)), s"got $round2")
+    } finally q.stop()
+  }
+
   test("permissive parse: corrupt events still count toward total") {
     val raw = Seq(
       ("""[{"timestamp":1597491600000}]""", """{"wiki":"enwiki","type":"edit","timestamp":1597491600}"""),
