@@ -695,12 +695,17 @@ object RelationalQueries {
     // accumulation-order-dependent (not reproducible across engines, or
     // even across partitionings within one engine); the portable form
     // aggregates the five moments as EXACT decimals and assembles Pearson r
-    // with one identical IEEE expression tree at the end. The same pattern
-    // as xq59's drift moments, here as the relational-surface statement.
+    // with one shared IEEE expression tree. One residual ULP source
+    // remains — DuckDB's DECIMAL→DOUBLE cast is not always correctly
+    // rounded (division by 10^scale in floating point) — so the final r is
+    // quantized to 1e-12 with the house floor(+0.5) pattern, absorbing it.
     QueryDef("rq37_exact_corr",
       (s, d) => {
         val x = d2("l_quantity")
         val y = d2("l_extendedprice")
+        val corr = (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy")))
         Tables.lineitem(s, d)
           .groupBy("l_returnflag")
           .agg(count(lit(1)).cast("double").as("n"),
@@ -710,9 +715,7 @@ object RelationalQueries {
             sum(x * x).cast("double").as("sxx"),
             sum(y * y).cast("double").as("syy"))
           .select(col("l_returnflag"),
-            ((col("n") * col("sxy") - col("sx") * col("sy")) /
-              (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-                sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+            (floor(corr * lit(1e12d) + lit(0.5d)) / lit(1e12d))
               .as("corr_qty_price"))
           .orderBy("l_returnflag")
       },
@@ -725,8 +728,9 @@ object RelationalQueries {
              |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
              |  FROM lineitem GROUP BY 1)
              |SELECT l_returnflag,
-             |  (n * sxy - sx * sy) /
-             |  (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+             |  floor((n * sxy - sx * sy) /
+             |        (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+             |        * 1000000000000.0 + 0.5) / 1000000000000.0 AS corr_qty_price
              |FROM m ORDER BY l_returnflag""".stripMargin)),
 
     // RQ38: ordered string aggregation (LISTAGG/string_agg) — the report
