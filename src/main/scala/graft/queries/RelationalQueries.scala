@@ -776,6 +776,133 @@ object RelationalQueries {
              |      FROM events)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // RQ40: TPC-H Q4 shape (order-priority checking) — quarter of orders
+    // with EXISTS a slow lineitem (shipped > 90 days after order date),
+    // counted per priority. Semi-join, never a row multiplier.
+    QueryDef("rq40_tpch_q4",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .where(col("o_orderdate") >= to_timestamp(lit("1997-01-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1997-04-01")))
+        val slow = Tables.lineitem(s, d)
+          .join(o.select("o_orderkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+          .where(col("l_shipdate") >
+            col("o_orderdate") + expr("interval 90 days"))
+          .select(col("l_orderkey"))
+        o.join(slow, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+             |FROM orders o
+             |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+             |  AND o_orderdate <  TIMESTAMP '1997-04-01'
+             |  AND EXISTS (SELECT 1 FROM lineitem l
+             |              WHERE l.l_orderkey = o.o_orderkey
+             |                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // RQ41: TPC-H Q6 (forecasting revenue change) — the pure scan-side
+    // query: every predicate pushes to the parquet scan, one exact-decimal
+    // aggregate comes back.
+    QueryDef("rq41_tpch_q6",
+      (s, d) => Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")) &&
+          col("l_discount").cast(DecimalType(4, 2)).between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(sum(d2("l_extendedprice") * col("l_discount").cast(DecimalType(4, 2)))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n")),
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             |                * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+             |       CAST(COUNT(*) AS BIGINT) AS n
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+             |  AND CAST(l_discount AS DECIMAL(4,2)) BETWEEN 0.05 AND 0.07
+             |  AND l_quantity < 24""".stripMargin)),
+
+    // RQ42: TPC-H Q12 shape (priority-class shipping report) — lineitem ⋈
+    // orders, CASE-bucketed counts per ship year (the testdata carries no
+    // shipmode; order priority plays its role).
+    QueryDef("rq42_tpch_q12",
+      (s, d) => Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(year(col("l_shipdate")).cast("long").as("ship_year"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy("ship_year"),
+      Some("""SELECT CAST(YEAR(l_shipdate) AS BIGINT) AS ship_year,
+             |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // RQ43: TPC-H Q14 (promotion effect) — conditional revenue share. The
+    // final percentage is a double ratio of two exact decimals; quantized
+    // to 1e-12 (the rq37 lesson: DuckDB's decimal→double cast can be off
+    // by an ulp).
+    QueryDef("rq43_tpch_q14",
+      (s, d) => {
+        val rev = d2("l_extendedprice") * (lit(1) - col("l_discount").cast(DecimalType(4, 2)))
+        Tables.lineitem(s, d)
+          .where(col("l_shipdate") >= to_timestamp(lit("1997-09-01")) &&
+            col("l_shipdate") < to_timestamp(lit("1997-10-01")))
+          .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+          .agg(
+            sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0))).as("_p"),
+            sum(rev).as("_t"))
+          .select(
+            (floor(lit(100.0d) * col("_p").cast("double") / col("_t").cast("double")
+              * lit(1e12d) + lit(0.5d)) / lit(1e12d)).as("promo_revenue_pct"))
+      },
+      Some("""SELECT floor(100.0 *
+             |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+             |       THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+             |       ELSE 0 END) AS DOUBLE)
+             |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             |  * 1000000000000.0 + 0.5) / 1000000000000.0 AS promo_revenue_pct
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+             |  AND l_shipdate <  TIMESTAMP '1997-10-01'""".stripMargin)),
+
+    // RQ44: TPC-H Q19 (discounted revenue) — the disjunctive-predicate
+    // classic: three OR-blocks over (brand, size range, quantity range).
+    // Catalyst extracts the common l_partkey join and pushes the residual
+    // disjunction; no plan explosion.
+    QueryDef("rq44_tpch_q19",
+      (s, d) => {
+        val rev = d2("l_extendedprice") * (lit(1) - col("l_discount").cast(DecimalType(4, 2)))
+        val block = (col("p_brand") === "Brand#11" &&
+            col("p_size").between(1, 15) && col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#22" &&
+            col("p_size").between(1, 25) && col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#33" &&
+            col("p_size").between(1, 35) && col("l_quantity").between(20, 30))
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+          .where(block)
+          .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n"))
+      },
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             |                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+             |       CAST(COUNT(*) AS BIGINT) AS n
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+             |       AND l_quantity BETWEEN 1 AND 11)
+             |   OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25
+             |       AND l_quantity BETWEEN 10 AND 20)
+             |   OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 35
+             |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
+
     // RQ25: pivot — Spark's relational pivot operator; the oracle spells it
     // as portable conditional aggregation (same values, same columns).
     QueryDef("rq25_pivot",
