@@ -903,6 +903,88 @@ object RelationalQueries {
              |   OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 35
              |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
 
+    // RQ45: correlated scalar subquery (TPC-H Q2's shape) — parts priced at
+    // their brand's minimum. Spark decorrelates to a join against the
+    // per-brand aggregate; rq17 covers the uncorrelated scalar case.
+    QueryDef("rq45_correlated_subquery",
+      (s, d) => {
+        val p = Tables.part(s, d)
+        val minByBrand = p.groupBy(col("p_brand").as("_b"))
+          .agg(min(col("p_retailprice")).as("_minp"))
+        p.join(broadcast(minByBrand),
+            col("p_brand") === col("_b") && col("p_retailprice") === col("_minp"))
+          .select("p_partkey", "p_brand", "p_retailprice")
+          .orderBy("p_brand", "p_partkey")
+      },
+      Some("""SELECT p_partkey, p_brand, p_retailprice
+             |FROM part p
+             |WHERE p_retailprice = (SELECT MIN(p2.p_retailprice) FROM part p2
+             |                       WHERE p2.p_brand = p.p_brand)
+             |ORDER BY p_brand, p_partkey""".stripMargin)),
+
+    // RQ46: TPC-H Q15 (top supplier) — quarter revenue per supplier, then
+    // the supplier(s) AT the maximum (tie-safe, unlike a LIMIT 1). The
+    // revenue relation is computed once and compared against its own max —
+    // exact decimal revenue so the equality is well-defined cross-engine.
+    QueryDef("rq46_tpch_q15",
+      (s, d) => {
+        val rev = Tables.lineitem(s, d)
+          .where(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+            col("l_shipdate") < to_timestamp(lit("1997-04-01")))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(d2("l_extendedprice") * (lit(1) - col("l_discount").cast(DecimalType(4, 2))))
+            .as("_revd"))
+        val maxRev = rev.agg(max(col("_revd")).as("_maxd"))
+        rev.crossJoin(broadcast(maxRev))
+          .where(col("_revd") === col("_maxd"))
+          .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            col("_revd").cast("double").as("total_revenue"))
+          .orderBy("s_suppkey")
+      },
+      Some("""WITH revenue AS (
+             |  SELECT l_suppkey AS supplier_no,
+             |         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             |             * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total_rev
+             |  FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             |    AND l_shipdate <  TIMESTAMP '1997-04-01'
+             |  GROUP BY 1)
+             |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+             |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+             |WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    // RQ47: TPC-H Q22 shape (global-customer sentiment) — per-nation count
+    // and balance of above-global-average-balance customers with no URGENT
+    // order: a scalar subquery feeding a filter, an anti-join, one
+    // grouping. (The unfiltered "no orders at all" form is EMPTY on this
+    // data — every high-balance customer has ordered — which would make
+    // the check vacuous, the same trap rq08 documents.)
+    QueryDef("rq47_tpch_q22",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val avgBal = c.where(col("c_acctbal") > 0)
+          .agg((sum(d2("c_acctbal")).cast("double") / count(lit(1))).as("_avg"))
+        c.crossJoin(broadcast(avgBal))
+          .where(col("c_acctbal").cast(DecimalType(18, 2)).cast("double") > col("_avg"))
+          .join(Tables.orders(s, d).where(col("o_orderpriority") === "1-URGENT"),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+          .orderBy("c_nationkey")
+      },
+      Some(s"""SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+              |       ${oSum("c_acctbal")} AS totacctbal
+              |FROM customer c
+              |WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) >
+              |      (SELECT ${QueryDef.oAvg("c_acctbal")}
+              |       FROM customer WHERE c_acctbal > 0)
+              |  AND NOT EXISTS (SELECT 1 FROM orders o
+              |                  WHERE o.o_custkey = c.c_custkey
+              |                    AND o.o_orderpriority = '1-URGENT')
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // RQ25: pivot — Spark's relational pivot operator; the oracle spells it
     // as portable conditional aggregation (same values, same columns).
     QueryDef("rq25_pivot",
