@@ -2246,6 +2246,90 @@ object ExtensionQueries {
              |SELECT doc_id, n_chars, es_key FROM k
              |ORDER BY es_key, doc_id LIMIT 100""".stripMargin)),
 
+    // XQ83: sketch-accuracy report — for every LSH candidate pair, the
+    // MinHash Jaccard ESTIMATE (fraction of agreeing signature slots)
+    // against the exact co-shingle Jaccard, with absolute error. The
+    // quantified answer to "how much does the sketch lie?" that sizes
+    // banding parameters; all deterministic, so fully oracle-exact.
+    QueryDef("xq83_minhash_accuracy",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val sig = Dedup.minhashSignatures(docs, "text", "doc_id")
+        val est = (1 to Dedup.MinhashK)
+          .map(k => when(col(s"a_mh$k") === col(s"b_mh$k"), 1).otherwise(0))
+          .reduce(_ + _).cast("double") / lit(Dedup.MinhashK.toDouble)
+        val sa = sig.select(col("doc_id").as("doc_a") +:
+          (1 to Dedup.MinhashK).map(k => col(s"mh$k").as(s"a_mh$k")): _*)
+        val sb = sig.select(col("doc_id").as("doc_b") +:
+          (1 to Dedup.MinhashK).map(k => col(s"mh$k").as(s"b_mh$k")): _*)
+        Dedup.minhashCandidatePairs(docs, "text", "doc_id")
+          .join(Dedup.ngramJaccardPairs(docs, "text", "doc_id"),
+            Seq("doc_a", "doc_b"))
+          .join(sa, "doc_a").join(sb, "doc_b")
+          .select(col("doc_a"), col("doc_b"), est.as("est_jaccard"),
+            col("jaccard").as("exact_jaccard"),
+            abs(est - col("jaccard")).as("abs_err"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""$lshPairsCte,
+              |js AS (SELECT DISTINCT doc_id, shingle FROM sh_all),
+              |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM js GROUP BY 1),
+              |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |            CAST(COUNT(*) AS BIGINT) AS c
+              |          FROM js a JOIN js b
+              |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |          GROUP BY 1, 2)
+              |SELECT p.doc_a AS doc_a, p.doc_b AS doc_b,
+              |  (${(1 to 8).map(k => s"CASE WHEN sa.mh$k = sb.mh$k THEN 1 ELSE 0 END")
+                   .mkString(" + ")}) / 8.0 AS est_jaccard,
+              |  CAST(i.c AS DOUBLE) / (ca.n + cb.n - i.c) AS exact_jaccard,
+              |  ABS((${(1 to 8).map(k => s"CASE WHEN sa.mh$k = sb.mh$k THEN 1 ELSE 0 END")
+                   .mkString(" + ")}) / 8.0
+              |      - CAST(i.c AS DOUBLE) / (ca.n + cb.n - i.c)) AS abs_err
+              |FROM pairs p
+              |JOIN sig sa ON p.doc_a = sa.doc_id
+              |JOIN sig sb ON p.doc_b = sb.doc_id
+              |JOIN inter i ON p.doc_a = i.doc_a AND p.doc_b = i.doc_b
+              |JOIN cnt ca ON p.doc_a = ca.doc_id
+              |JOIN cnt cb ON p.doc_b = cb.doc_id
+              |ORDER BY p.doc_a, p.doc_b""".stripMargin)),
+
+    // XQ84: cluster-balanced (diversity) sampling — k docs per embedding
+    // cluster in deterministic md5 order: the data-selection pattern that
+    // keeps a subsample covering the whole embedding space instead of its
+    // densest mode. Pure composition: kmeansFit -> assignToCentroids ->
+    // stratifiedDeterministic, all previously-proven pieces.
+    QueryDef("xq84_cluster_sample",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cents = Similarity.kmeansFit(emb, "embedding", "vec_id",
+          k = 8, iters = 2)
+          .groupBy("cluster")
+          .agg(transform(
+            array_sort(collect_list(struct(col("dim"), col("centroid_val")))),
+            x => x.getField("centroid_val")).as("cvec"))
+        val assigned = Similarity.assignToCentroids(emb, "embedding", "vec_id",
+          cents).select("vec_id", "cluster")
+        Sampling.stratifiedDeterministic(assigned, "cluster", "vec_id", k = 5)
+          .orderBy("cluster", "vec_id")
+      },
+      Some(s"""${kmeansCtes(k = 8, iters = 2)},
+              |cf AS (SELECT cluster,
+              |         list(CAST(s AS DOUBLE) / (1000000.0 * cnt) ORDER BY dim) AS cvec
+              |       FROM s2 GROUP BY 1),
+              |af AS (SELECT e.vec_id, c.cluster, ${oCos("e.v", "c.cvec")} AS csim
+              |       FROM e, cf c),
+              |mf AS (SELECT vec_id, MAX(csim) AS ms FROM af GROUP BY 1),
+              |gf AS (SELECT a.vec_id, MIN(a.cluster) AS cluster
+              |       FROM af a JOIN mf m ON a.vec_id = m.vec_id AND a.csim = m.ms
+              |       GROUP BY 1),
+              |r AS (SELECT vec_id, cluster,
+              |        ROW_NUMBER() OVER (PARTITION BY cluster
+              |            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+              |      FROM gf)
+              |SELECT vec_id, cluster FROM r WHERE rk <= 5
+              |ORDER BY cluster, vec_id""".stripMargin)),
+
     // XQ16: multimodal feature extraction — mapPartitions over binary
     // payloads with a stubbed decoder; rows-only check (not SQL-expressible).
     QueryDef("xq16_multimodal_features",
