@@ -2330,6 +2330,51 @@ object ExtensionQueries {
               |SELECT vec_id, cluster FROM r WHERE rk <= 5
               |ORDER BY cluster, vec_id""".stripMargin)),
 
+    // XQ85: split-leakage report — the measured case for xq63: count
+    // near-dup candidate pairs straddling the train/test boundary under a
+    // naive per-document md5 split vs the group-aware leakage-free split.
+    // The group split is zero BY CONSTRUCTION; the naive split leaks —
+    // this query puts the number on it.
+    QueryDef("xq85_split_leakage",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.minhashCandidatePairs(docs, "text", "doc_id")
+        val bucket = expr(
+          "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS DOUBLE) / 65536.0")
+        val naive = docs.select(col("doc_id"),
+          when(bucket < 0.9, lit("train")).otherwise(lit("test")).as("split"))
+        val grouped = Sampling.leakageFreeSplit(docs, "text", "doc_id")
+          .select(col("doc_id"), col("split"))
+        def crossPairs(split: org.apache.spark.sql.DataFrame, name: String) =
+          pairs
+            .join(split.toDF("doc_a", "split_a"), "doc_a")
+            .join(split.toDF("doc_b", "split_b"), "doc_b")
+            .where(col("split_a") =!= col("split_b"))
+            .agg(lit(name).as("method"), count(lit(1)).as("n_cross_pairs"))
+        crossPairs(naive, "naive_per_doc")
+          .unionByName(crossPairs(grouped, "group_aware"))
+          .orderBy("method")
+      },
+      Some(s"""$dedupGroupsCte,
+              |naive AS (SELECT doc_id,
+              |    CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) / 65536.0 < 0.9
+              |         THEN 'train' ELSE 'test' END AS split
+              |  FROM documents),
+              |ga AS (SELECT id AS doc_id,
+              |    CASE WHEN CAST('0x' || substr(md5(CAST(group_id AS VARCHAR)), 1, 4) AS BIGINT) / 65536.0 < 0.9
+              |         THEN 'train' ELSE 'test' END AS split
+              |  FROM grp)
+              |SELECT 'group_aware' AS method, CAST(COUNT(*) AS BIGINT) AS n_cross_pairs
+              |FROM pairs p JOIN ga a ON p.doc_a = a.doc_id
+              |             JOIN ga b ON p.doc_b = b.doc_id
+              |WHERE a.split <> b.split
+              |UNION ALL
+              |SELECT 'naive_per_doc', CAST(COUNT(*) AS BIGINT)
+              |FROM pairs p JOIN naive a ON p.doc_a = a.doc_id
+              |             JOIN naive b ON p.doc_b = b.doc_id
+              |WHERE a.split <> b.split
+              |ORDER BY method""".stripMargin)),
+
     // XQ16: multimodal feature extraction — mapPartitions over binary
     // payloads with a stubbed decoder; rows-only check (not SQL-expressible).
     QueryDef("xq16_multimodal_features",
