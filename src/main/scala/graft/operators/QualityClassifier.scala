@@ -63,11 +63,11 @@ object QualityClassifier {
     * the quantization. The update is one shared IEEE expression:
     * w −= floor(lr · grad / nDocs + 0.5).
     *
-    * Iterations are few and bounded, so frames chain with a persist on the
-    * (reused-every-round) feature table only — no lineage cut (the
-    * dedupGroups localCheckpoint lesson cuts the other way here: measured
-    * on the bounded trainers, checkpoint jobs cost more than the plan
-    * growth they avoid).
+    * The per-round weight frame is localCheckpointed (64 rows — free):
+    * unlike the k-means trainers (where bounded-round cuts cost more than
+    * they saved), each GD round's weights feed TWO broadcast joins whose
+    * materialization re-executes the whole nested chain — cutting the
+    * lineage halved the measured training time (5.3 s -> 2.4 s at sf0.1).
     *
     * `labels` must carry (idCol, y ∈ {0,1}). Returns (bucket, w_u
     * micro-weights, weight) for all nBuckets buckets.
@@ -99,6 +99,7 @@ object QualityClassifier {
           (col("w_u") - floor(lit(lr) *
             coalesce(col("grad"), lit(0L)).cast("double") / lit(nDocs.toDouble) +
             lit(0.5)).cast("long")).as("w_u"))
+        .localCheckpoint()
     }
     w.select(col("bucket"), col("w_u"),
       (col("w_u").cast("double") / lit(1e6)).as("weight"))
