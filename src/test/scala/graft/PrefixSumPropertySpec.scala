@@ -61,6 +61,33 @@ class PrefixSumPropertySpec extends SparkSpec {
     }
   }
 
+  test("cdc chunks reassemble any random corpus exactly") {
+    (1 to 3).foreach { trial =>
+      val gen = for {
+        n <- Gen.choose(1, 12)
+        texts <- Gen.listOfN(n, for {
+          len <- Gen.choose(1, 120)
+          toks <- Gen.listOfN(len, Gen.choose(0, 40).map(i => s"w$i"))
+        } yield toks.mkString(" "))
+      } yield texts
+      val texts = gen.apply(Gen.Parameters.default, Seed(trial + 900L)).get
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text").repartition(3)
+      val chunks = graft.operators.Chunking.cdcChunks(docs, "text", "doc_id",
+        window = 4, avgSize = 8)
+        .orderBy("doc_id", "chunk_idx")
+        .select("doc_id", "chunk_text", "n_tokens")
+        .as[(Long, String, Long)].collect().toSeq
+      val byDoc = chunks.groupBy(_._1)
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val parts = byDoc(i.toLong)
+        assert(parts.map(_._2).mkString(" ") == t, s"trial $trial doc $i")
+        assert(parts.map(_._3).sum == t.split(" ", -1).length.toLong)
+        assert(parts.forall(_._3 > 0))
+      }
+    }
+  }
+
   test("temperature mix: targets sum <= total, alpha=1 ~ proportional") {
     (1 to 3).foreach { trial =>
       val gen = for {
