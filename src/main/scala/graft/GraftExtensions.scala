@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.VectorDot
+import graft.expressions.{Md5Prefix60, TokenFoldHash, VectorDot}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -18,5 +18,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VectorDot(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_md5p60"),
+      new ExpressionInfo(classOf[Md5Prefix60].getName, "graft_md5p60"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Md5Prefix60(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("token_fold_hash"),
+      new ExpressionInfo(classOf[TokenFoldHash].getName, "token_fold_hash"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        TokenFoldHash(exprs.head)))
   }
 }

@@ -63,7 +63,7 @@ object Chunking {
     val marked = toks.withColumn("gram", gram)
       .withColumn("mark",
         when(col("pos") >= (window - 1) &&
-          expr(s"CAST(conv(substr(md5(gram), 1, 15), 16, 10) AS BIGINT) % $avgSize") === 0L,
+          expr(s"graft_md5p60(gram) % $avgSize") === 0L,
           1L).otherwise(0L))
     // chunk of token i = number of cuts strictly before i
     val cuts = org.apache.spark.sql.expressions.Window

@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
 object CountMin {
 
   private def bucket(termCol: String, r: Int, w: Int) =
-    expr(s"CAST(conv(substr(md5(concat('cms$r:', $termCol)), 1, 15), 16, 10) AS BIGINT) % $w")
+    expr(s"graft_md5p60(concat('cms$r:', $termCol)) % $w")
 
   /** The d×w sketch table (r, b, c) over `termCol` occurrences. */
   def sketch(df: DataFrame, termCol: String, d: Int, w: Int): DataFrame =

@@ -30,20 +30,24 @@ object Dedup {
   val MinhashK = 8
   val BandSize = 2
 
-  /** MinHash signatures: one row per doc with `mh1..mhK` columns.
-    * md5(seed || shingle) acts as the random permutation; lexicographic
-    * order on the hex digest is engine-portable (plain ASCII compare).
+  /** MinHash signatures: one row per doc with `mh1..mhK` LONG columns.
+    * The 60-bit md5 prefix of (seed || shingle) acts as the random
+    * permutation; min over the unsigned long is engine-portable (DuckDB
+    * twin: `MIN(CAST('0x' || substr(md5(seed||shingle), 1, 15) AS BIGINT))`).
     *
-    * Plan shape: explode shingles once, then K codegen'd md5s per shingle
-    * and a single grouped min — keeps the md5 hot loop out of interpreted
-    * higher-order lambdas (was ~50x slower as `array_min(transform(...))`).
-    * Docs with fewer than n tokens produce no row.
+    * Plan shape: explode shingles once, then K native codegen'd
+    * [[graft.expressions.Md5Prefix60]] hashes per shingle and a single
+    * grouped min. Round 3 moved this from hex-string mins (md5() + 32-char
+    * string alloc + lexicographic compares per shingle·K) to long mins —
+    * the dominant cost of every minhash consumer (xq05/xq06/xq21/xq42...,
+    * the 9x-class BENCH_r02 tail).
     */
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3): DataFrame = {
     val exploded = Shingles.exploded(docs, textCol, idCol, n)
     val aggs = (1 to MinhashK).map(k =>
-      min(md5(concat(lit(k.toString), col("shingle")))).as(s"mh$k"))
+      min(graft.expressions.Md5Prefix60(
+        concat(lit(k.toString), col("shingle")))).as(s"mh$k"))
     exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -212,7 +216,7 @@ object Dedup {
   val SimhashBits = 60
 
   def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val tokHash = expr(s"CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)")
+    val tokHash = expr(s"graft_md5p60(tok)")
     docs
       .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
       .select(col(idCol), tokHash.as("h"))

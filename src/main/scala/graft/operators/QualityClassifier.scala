@@ -21,9 +21,11 @@ import org.apache.spark.sql.functions._
   */
 object QualityClassifier {
 
-  /** Portable feature bucket: 60-bit md5 prefix mod nBuckets. */
+  /** Portable feature bucket: 60-bit md5 prefix mod nBuckets (native
+    * [[graft.expressions.Md5Prefix60]] — same value, no hex/conv detour).
+    */
   def bucketOf(c: Column, nBuckets: Int): Column =
-    (conv(substring(md5(c), 1, 15), 16, 10).cast("long") % nBuckets).as("bucket")
+    (graft.expressions.Md5Prefix60(c) % nBuckets).as("bucket")
 
   /** Deterministic stand-in weight table (bucket, w_m) — milli-weights in
     * [-999, 999] from a small affine hash of the bucket id.

@@ -34,7 +34,7 @@ object Sampling {
       fractions: Map[String, Double],
       defaultFraction: Double = 0.0): DataFrame = {
     val bucket = expr(
-      s"CAST(conv(substr(md5(CAST($idCol AS STRING)), 1, 4), 16, 10) AS DOUBLE) / 65536.0")
+      s"CAST(shiftright(graft_md5p60(CAST($idCol AS STRING)), 44) AS DOUBLE) / 65536.0")
     val threshold = fractions.toSeq.sortBy(_._1).foldLeft(lit(defaultFraction)) {
       case (acc, (s, f)) => when(col(sourceCol) === s, lit(f)).otherwise(acc)
     }
@@ -58,7 +58,7 @@ object Sampling {
       trainFraction: Double = 0.9, n: Int = 3): DataFrame = {
     val groups = Dedup.dedupGroups(docs, textCol, idCol, n)
     val bucket = expr(
-      "CAST(conv(substr(md5(CAST(label AS STRING)), 1, 4), 16, 10) AS DOUBLE) / 65536.0")
+      "CAST(shiftright(graft_md5p60(CAST(label AS STRING)), 44) AS DOUBLE) / 65536.0")
     groups.select(col("id").as(idCol), col("label").as("group_id"),
       when(bucket < lit(trainFraction), lit("train")).otherwise(lit("test"))
         .as("split"))
@@ -238,7 +238,7 @@ object Sampling {
       m: Int): DataFrame = {
     // u in (0,1): 12 hex chars of md5 -> [0, 2^48) scaled, +1 ulp-ish
     // offset so u > 0 and ln is finite.
-    val u = (expr(s"CAST(conv(substr(md5(CAST($idCol AS STRING)), 1, 12), 16, 10) AS DOUBLE)") +
+    val u = (expr(s"CAST(shiftright(graft_md5p60(CAST($idCol AS STRING)), 12) AS DOUBLE)") +
       lit(0.5d)) / lit(281474976710656.0d) // 2^48
     val key = floor((-log(u) / col(weightCol).cast("double")) * lit(1e9d) + lit(0.5d))
       .cast("long")

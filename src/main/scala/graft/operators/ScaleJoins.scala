@@ -68,8 +68,8 @@ object ScaleJoins {
     require(nBits >= BitsPerWord, s"nBits must be >= $BitsPerWord")
     small.select(col(key).cast("string").as("_k")).distinct()
       .select(explode(array(
-        expr(s"CAST(conv(substr(md5(concat('b1', _k)), 1, 15), 16, 10) AS BIGINT) % $nBits"),
-        expr(s"CAST(conv(substr(md5(concat('b2', _k)), 1, 15), 16, 10) AS BIGINT) % $nBits")))
+        expr(s"graft_md5p60(concat('b1', _k)) % $nBits"),
+        expr(s"graft_md5p60(concat('b2', _k)) % $nBits")))
         .as("_p"))
       .select(floor(col("_p") / BitsPerWord).cast("long").as("word"),
         expr(s"shiftleft(CAST(1 AS BIGINT), CAST(_p % $BitsPerWord AS INT))").as("_m"))
@@ -87,9 +87,9 @@ object ScaleJoins {
     val bm = broadcast(bloomBitmap(small, smallKey, nBits))
     val probed = big
       .withColumn("_p1", expr(
-        s"CAST(conv(substr(md5(concat('b1', CAST($bigKey AS STRING))), 1, 15), 16, 10) AS BIGINT) % $nBits"))
+        s"graft_md5p60(concat('b1', CAST($bigKey AS STRING))) % $nBits"))
       .withColumn("_p2", expr(
-        s"CAST(conv(substr(md5(concat('b2', CAST($bigKey AS STRING))), 1, 15), 16, 10) AS BIGINT) % $nBits"))
+        s"graft_md5p60(concat('b2', CAST($bigKey AS STRING))) % $nBits"))
       .withColumn("_w1", floor(col("_p1") / BitsPerWord).cast("long"))
       .withColumn("_w2", floor(col("_p2") / BitsPerWord).cast("long"))
     probed

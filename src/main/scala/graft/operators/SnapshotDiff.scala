@@ -67,8 +67,8 @@ object SnapshotDiff {
   def tableDigest(df: DataFrame, idCol: String, contentCol: String,
       groupCols: Seq[String] = Nil): DataFrame = {
     val rowHash = expr(
-      s"CAST(conv(substr(md5(concat(CAST($idCol AS STRING), '|', " +
-        s"CAST($contentCol AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+      s"graft_md5p60(concat(CAST($idCol AS STRING), '|', " +
+        s"CAST($contentCol AS STRING)))")
     val withHash = df.withColumn("_rh", rowHash)
     val aggs = Seq(expr("bit_xor(_rh)").as("digest"),
       count(lit(1)).as("n_rows"))

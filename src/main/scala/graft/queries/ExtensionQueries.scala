@@ -23,13 +23,19 @@ object ExtensionQueries {
       |sh_all AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
       |           FROM t, UNNEST(generate_series(1, len(w)-2)) AS u(i))""".stripMargin
 
+  /** 60-bit-long minhash twin of Dedup.minhashSignatures (round 3: hex
+    * strings → unsigned 60-bit longs, mirroring the native Md5Prefix60).
+    */
+  private def mhMin(k: Int) =
+    s"MIN(CAST('0x' || substr(md5('$k'||shingle), 1, 15) AS BIGINT)) AS mh$k"
+
   private val minhashSigCte =
     s"""$shingleCte,
        |sig AS (SELECT doc_id,
-       |  MIN(md5('1'||shingle)) AS mh1, MIN(md5('2'||shingle)) AS mh2,
-       |  MIN(md5('3'||shingle)) AS mh3, MIN(md5('4'||shingle)) AS mh4,
-       |  MIN(md5('5'||shingle)) AS mh5, MIN(md5('6'||shingle)) AS mh6,
-       |  MIN(md5('7'||shingle)) AS mh7, MIN(md5('8'||shingle)) AS mh8
+       |  ${mhMin(1)}, ${mhMin(2)},
+       |  ${mhMin(3)}, ${mhMin(4)},
+       |  ${mhMin(5)}, ${mhMin(6)},
+       |  ${mhMin(7)}, ${mhMin(8)}
        |  FROM sh_all GROUP BY doc_id)""".stripMargin
 
   /** DuckDB twin of Dedup.minhashCandidatePairs (xq67/xq69): signatures →
@@ -549,7 +555,7 @@ object ExtensionQueries {
     // of the id < 0x199A.
     QueryDef("xq18_hash_sample",
       (s, d) => Tables.documents(s, d)
-        .where(expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT)") < 6554L)
+        .where(expr("shiftright(graft_md5p60(CAST(doc_id AS STRING)), 44)") < 6554L)
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id, lang FROM documents
@@ -560,7 +566,7 @@ object ExtensionQueries {
     // (buckets 0-79 train, 80-89 val, 90-99 test).
     QueryDef("xq19_hash_split",
       (s, d) => {
-        val bucket = expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT) % 100")
+        val bucket = expr("shiftright(graft_md5p60(CAST(doc_id AS STRING)), 44) % 100")
         Tables.documents(s, d)
           .select(col("doc_id"),
             when(bucket < 80, "train").when(bucket < 90, "val")
@@ -1047,10 +1053,10 @@ object ExtensionQueries {
               |sh_all AS (SELECT doc_id, source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
               |           FROM t, UNNEST(generate_series(1, len(w)-2)) AS u(i)),
               |sig AS (SELECT doc_id, source,
-              |  MIN(md5('1'||shingle)) AS mh1, MIN(md5('2'||shingle)) AS mh2,
-              |  MIN(md5('3'||shingle)) AS mh3, MIN(md5('4'||shingle)) AS mh4,
-              |  MIN(md5('5'||shingle)) AS mh5, MIN(md5('6'||shingle)) AS mh6,
-              |  MIN(md5('7'||shingle)) AS mh7, MIN(md5('8'||shingle)) AS mh8
+              |  ${mhMin(1)}, ${mhMin(2)},
+              |  ${mhMin(3)}, ${mhMin(4)},
+              |  ${mhMin(5)}, ${mhMin(6)},
+              |  ${mhMin(7)}, ${mhMin(8)}
               |  FROM sh_all GROUP BY doc_id, source),
               |bands AS (
               |  SELECT doc_id, source, 0 AS band_id, mh1 || '|' || mh2 AS band_key FROM sig
@@ -2340,7 +2346,7 @@ object ExtensionQueries {
         val docs = Tables.documents(s, d)
         val pairs = Dedup.minhashCandidatePairs(docs, "text", "doc_id")
         val bucket = expr(
-          "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS DOUBLE) / 65536.0")
+          "CAST(shiftright(graft_md5p60(CAST(doc_id AS STRING)), 44) AS DOUBLE) / 65536.0")
         val naive = docs.select(col("doc_id"),
           when(bucket < 0.9, lit("train")).otherwise(lit("test")).as("split"))
         val grouped = Sampling.leakageFreeSplit(docs, "text", "doc_id")

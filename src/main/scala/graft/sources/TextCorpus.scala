@@ -116,7 +116,7 @@ object TextCorpus {
   def warcToDocuments(warc: DataFrame, source: String): DataFrame =
     warc.where(col("warc_type") === "response" && length(col("target_uri")) > 0)
       .select(
-        expr("CAST(conv(substr(md5(target_uri), 1, 15), 16, 10) AS BIGINT)").as("doc_id"),
+        expr("graft_md5p60(target_uri)").as("doc_id"),
         col("target_uri").as("url"),
         col("body").as("text"),
         lit(source).as("source"))

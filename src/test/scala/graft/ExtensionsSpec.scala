@@ -20,6 +20,32 @@ class ExtensionsSpec extends SparkSpec {
     assert(both.where(col("native") =!= col("hof")).count() == 0)
   }
 
+  test("Md5Prefix60 is bit-identical to the conv(substr(md5)) idiom") {
+    // Random-ish corpus strings + adversarial cases: empty, single space,
+    // multi-byte UTF-8, long text. The old idiom is the proven DuckDB twin,
+    // so value equality here transfers the cross-engine proof.
+    val docs = Tables.documents(spark, sf).select(col("text")).limit(500)
+      .unionAll(Seq("", " ", "héllo wörld", "日本語テキスト", "a" * 10000,
+        "mixed 日本 ascii", "\t\n").toDF("text"))
+    val both = docs.select(
+      graft.expressions.Md5Prefix60(col("text")).as("native"),
+      expr("CAST(conv(substr(md5(text), 1, 15), 16, 10) AS BIGINT)").as("legacy"),
+      expr("shiftright(graft_md5p60(text), 44)").as("native4"),
+      expr("CAST(conv(substr(md5(text), 1, 4), 16, 10) AS BIGINT)").as("legacy4"),
+      expr("shiftright(graft_md5p60(text), 12)").as("native12"),
+      expr("CAST(conv(substr(md5(text), 1, 12), 16, 10) AS BIGINT)").as("legacy12"))
+    assert(both.where(col("native") =!= col("legacy") ||
+      col("native4") =!= col("legacy4") ||
+      col("native12") =!= col("legacy12")).count() == 0)
+    assert(both.where(col("native") < 0L).count() == 0) // unsigned 60-bit
+  }
+
+  test("Md5Prefix60 null propagates; SQL registration works") {
+    val r = Seq(Option("x"), None).toDF("s")
+      .selectExpr("graft_md5p60(s) AS h").collect().map(r => Option(r.get(0)))
+    assert(r(0).isDefined && r(1).isEmpty)
+  }
+
   test("VectorDot null semantics: length mismatch and null element -> null") {
     val df = Seq(
       (Array(1.0f, 2.0f), Array(1.0f)),              // length mismatch
