@@ -44,39 +44,46 @@ object Chunking {
     * avgSize tokens.
     *
     * Output: (idCol, chunk_idx, start_pos, n_tokens, chunk_text, chunk_hash).
-    * Plan: one doc-keyed shuffle feeds two window passes (trailing-gram
-    * hash via lag, then the boundary prefix count) and the chunk regroup —
-    * the same per-doc-ordered shape as Shingles; nothing global, nothing
-    * all-pairs.
+    * Plan (round 3): fully array-based and NARROW — cut positions come from
+    * a `filter(sequence)` over the token array (trailing gram = slice +
+    * array_join, hashed with the native graft_md5p60), chunk spans from the
+    * cut list, then one explode. The previous form paid a doc-keyed shuffle
+    * plus TWO window passes plus a collect_list regroup for what is a pure
+    * per-document computation; this shape is map-only at any scale.
+    *
+    * A cut AFTER token p means token p+1 starts a new chunk, so chunk
+    * starts = 0 :: (cuts + 1), with a trailing cut at the last token
+    * producing no empty chunk (starts are filtered to < n_tokens).
     */
   def cdcChunks(docs: DataFrame, textCol: String, idCol: String,
       window: Int = 4, avgSize: Int = 16): DataFrame = {
     require(window >= 1 && avgSize >= 1,
       s"need window >= 1 and avgSize >= 1, got $window/$avgSize")
-    val dw = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("pos"))
-    val gram = concat_ws(" ",
-      ((window - 1) to 1 by -1).map(k => lag(col("tok"), k).over(dw)) :+ col("tok"): _*)
-    val toks = docs.select(col(idCol),
-      posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
-      .select(col(idCol), col("pos").cast("long").as("pos"), col("tok"))
-    val marked = toks.withColumn("gram", gram)
-      .withColumn("mark",
-        when(col("pos") >= (window - 1) &&
-          expr(s"graft_md5p60(gram) % $avgSize") === 0L,
-          1L).otherwise(0L))
-    // chunk of token i = number of cuts strictly before i
-    val cuts = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("pos"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    marked
-      .withColumn("chunk_idx", coalesce(sum(col("mark")).over(cuts), lit(0L)))
-      .groupBy(col(idCol), col("chunk_idx"))
-      .agg(min(col("pos")).as("start_pos"),
-        count(lit(1)).as("n_tokens"),
-        array_join(
-          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
-            x => x.getField("tok")), " ").as("chunk_text"))
+    val w1 = window - 1
+    val prep = docs
+      .select(col(idCol), split(col(textCol), " ").as("_toks"))
+      .withColumn("_starts", expr(
+        s"""filter(
+           |  concat(array(CAST(0 AS BIGINT)),
+           |         transform(
+           |           filter(if(size(_toks) >= $window,
+           |                     sequence($w1, size(_toks) - 1), array()),
+           |                  p -> graft_md5p60(array_join(
+           |                         slice(_toks, p - $w1 + 1, $window), ' '))
+           |                       % $avgSize = 0),
+           |           p -> CAST(p + 1 AS BIGINT))),
+           |  s -> s < size(_toks))""".stripMargin))
+    prep
+      .select(col(idCol), col("_toks"), col("_starts"),
+        explode(expr("sequence(0, size(_starts) - 1)")).as("_ci"))
+      .select(col(idCol), col("_ci").cast("long").as("chunk_idx"),
+        expr("_starts[_ci]").as("start_pos"),
+        expr("coalesce(get(_starts, CAST(_ci + 1 AS INT)), CAST(size(_toks) AS BIGINT)) - _starts[_ci]")
+          .as("n_tokens"),
+        expr("""array_join(slice(_toks, CAST(_starts[_ci] + 1 AS INT),
+               |  CAST(coalesce(get(_starts, CAST(_ci + 1 AS INT)), CAST(size(_toks) AS BIGINT))
+               |       - _starts[_ci] AS INT)), ' ')""".stripMargin)
+          .as("chunk_text"))
       .withColumn("chunk_hash", md5(col("chunk_text")))
   }
 

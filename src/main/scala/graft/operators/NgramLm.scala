@@ -31,13 +31,20 @@ import org.apache.spark.sql.functions._
   */
 object NgramLm {
 
-  /** (w1, w2) pairs of consecutive tokens per doc. */
-  private def bigrams(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    docs.select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("pos", "w1")))
-      .withColumn("w2", lead(col("w1"), 1).over(w))
-      .where(col("w2").isNotNull)
-  }
+  /** (w1, w2) pairs of consecutive tokens per doc — built from the token
+    * array with a narrow `transform(sequence)` generate (round 3; the old
+    * posexplode + window-`lead` form shuffled and sorted every corpus token
+    * by doc id just to read each token's successor — the same scale-killer
+    * shape Shingles.explodedWithPos dropped).
+    */
+  private def bigrams(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol), split(col(textCol), " ").as("_toks"))
+      .where(size(col("_toks")) >= 2)
+      .select(col(idCol), explode(expr(
+        """transform(sequence(0, size(_toks) - 2),
+          |  i -> struct(_toks[i] AS w1, _toks[i + 1] AS w2))""".stripMargin))
+        .as("_b"))
+      .select(col(idCol), col("_b.w1").as("w1"), col("_b.w2").as("w2"))
 
   /** Train the bigram LM: returns (bigram counts, context counts, V). */
   def fit(train: DataFrame, textCol: String, idCol: String)

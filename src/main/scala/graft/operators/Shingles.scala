@@ -1,18 +1,24 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Bulk word-n-gram shingling: posexplode tokens, then window `lead`s over
-  * (doc, position) build each n-gram — every operator codegen'd, no
-  * interpreted higher-order lambdas (the scalar `TextFunctions.shingles`
-  * form is kept for composition/tests; this is the corpus-scale path).
+/** Bulk word-n-gram shingling: split once into a token array, then build
+  * every n-gram with array ops (`transform(sequence)` + `slice` +
+  * `array_join`) and explode — a NARROW generate, no shuffle at all.
   *
-  * One shuffle keyed by doc id (the window partition); at 100 TB that
-  * exchange is unavoidable for any per-doc ordered computation and the key
-  * space (doc ids) is uniform. Output rows equal the scalar form exploded:
-  * docs shorter than n tokens contribute nothing.
+  * Round 3 replaced the posexplode + per-doc window-`lead` formulation:
+  * that shape shuffled and sorted EVERY TOKEN of the corpus by doc id just
+  * to see each token's n−1 successors, and it dominated every shingle
+  * consumer's bench time (the minhash/jaccard/decontamination tail of
+  * BENCH_r02 — xq05 et al. barely moved when the hash got cheaper because
+  * the exchange was the real cost). The array form sees the whole doc in
+  * one row, so neighbor access is free; at 100 TB it is embarrassingly
+  * parallel map work, and the one doc-keyed exchange the old form paid is
+  * gone. Mirrors the DuckDB oracle's `w[i] || ' ' || w[i+1] ...` list CTE.
+  *
+  * Output rows equal the scalar form exploded: docs shorter than n tokens
+  * contribute nothing; `pos` is the 0-based start position of the shingle.
   */
 object Shingles {
 
@@ -23,14 +29,14 @@ object Shingles {
     * shingle — the span-level operators (contamination spans) need it.
     */
   def explodedWithPos(docs: DataFrame, textCol: String, idCol: String,
-      n: Int = 3): DataFrame = {
-    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val toks = docs.select(col(idCol),
-      posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
-    val leadCols = (1 until n).map(k => lead(col("tok"), k).over(w).as(s"t$k"))
-    toks.select((col(idCol) +: col("pos").cast("long").as("pos") +: col("tok") +: leadCols): _*)
-      .where(col(s"t${n - 1}").isNotNull)
-      .select(col(idCol), col("pos"),
-        concat_ws(" ", col("tok") +: (1 until n).map(k => col(s"t$k")): _*).as("shingle"))
-  }
+      n: Int = 3): DataFrame =
+    docs
+      .select(col(idCol), split(col(textCol), " ").as("_toks"))
+      .where(size(col("_toks")) >= n)
+      .select(col(idCol), explode(expr(
+        s"""transform(sequence(0, size(_toks) - $n),
+           |  i -> struct(CAST(i AS BIGINT) AS pos,
+           |              array_join(slice(_toks, i + 1, $n), ' ') AS shingle))"""
+          .stripMargin)).as("_s"))
+      .select(col(idCol), col("_s.pos").as("pos"), col("_s.shingle").as("shingle"))
 }
