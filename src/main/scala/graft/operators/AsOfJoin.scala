@@ -16,9 +16,11 @@ import org.apache.spark.sql.functions._
   * at equal timestamps (tag 0 < 1), giving `<=` semantics like DuckDB's
   * ASOF JOIN.
   *
-  * Determinism caveat: if several right rows share (key, time), which one
-  * supplies the carried columns is tie-dependent; time-valued outputs are
-  * always deterministic.
+  * Tie determinism: when several right rows share (key, time), the window
+  * additionally orders right rows by the tuple of carried columns, so the
+  * MAX carried tuple wins — a total, repartition-stable rule (round-3 fix;
+  * previously tie-dependent). Carried columns must therefore be orderable
+  * types (no maps), which the Spark analyzer enforces.
   */
 object AsOfJoin {
 
@@ -35,17 +37,21 @@ object AsOfJoin {
     val rKey =
       if (right.schema(rightKey).dataType == keyType) col(rightKey)
       else col(rightKey).cast(keyType)
+    val rordType = right.select(struct(rightCols.map(col): _*)).schema.head.dataType
     val leftStruct = struct(left.columns.map(col): _*).as("_l")
     val lTagged = left.select(
       Seq(col(leftKey).as("_k"), col(leftTime).as("_t"),
-        lit(1).as("_tag"), leftStruct) ++
+        lit(1).as("_tag"), lit(null).cast(rordType).as("_rord"), leftStruct) ++
         rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")): _*)
     val rTagged = right.select(
       Seq(rKey.as("_k"), col(rightTime).cast(
         left.schema(leftTime).dataType).as("_t"),
-        lit(0).as("_tag"), lit(null).cast(lTagged.schema("_l").dataType).as("_l")) ++
+        lit(0).as("_tag"), struct(rightCols.map(col): _*).as("_rord"),
+        lit(null).cast(lTagged.schema("_l").dataType).as("_l")) ++
         rightCols.map(c => col(c).as(s"_r_$c")): _*)
-    val w = Window.partitionBy(col("_k")).orderBy(col("_t"), col("_tag"))
+    // _rord breaks (key, time) ties among right rows; left rows carry null
+    // and already sort after rights at equal _t via _tag.
+    val w = Window.partitionBy(col("_k")).orderBy(col("_t"), col("_tag"), col("_rord"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lTagged.unionByName(rTagged)
       .select(col("_tag") +: col("_l") +:

@@ -144,43 +144,51 @@ object Dedup {
     * (Kiveris et al.) — same join primitive, fewer rounds.
     */
   def dedupGroups(docs: DataFrame, textCol: String, idCol: String,
-      n: Int = 3, maxIter: Int = 25): DataFrame = {
+      n: Int = 3, maxIter: Int = 25,
+      reliableCheckpoints: Boolean = false): DataFrame = {
     val pairs = minhashCandidatePairs(docs, textCol, idCol, n)
-    // localCheckpoint (eager) CUTS LINEAGE, not just caches: an iterative
+    // Checkpointing (eager) CUTS LINEAGE, not just caches: an iterative
     // loop over persisted-only frames keeps the full logical plan and adds
     // ~3 subtree references per round, so Catalyst re-optimizes an
     // exponentially-growing plan each iteration — measured 1.7 s -> 6.2 s
     // PER ROUND by iteration 4 on an 829-edge graph. With the plan cut at
-    // the loop boundary, every round plans O(1) work. (On a multi-node
-    // cluster prefer reliable `checkpoint` — localCheckpoint blocks do not
-    // survive executor loss.)
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
+    // the loop boundary, every round plans O(1) work. localCheckpoint is
+    // the single-JVM default; pass reliableCheckpoints=true on a cluster
+    // (requires spark.sparkContext.setCheckpointDir) so rounds survive
+    // executor loss. Superseded per-round checkpoints are released as soon
+    // as the next round materializes (CheckpointBridge.release) — a
+    // long-lived session accumulates exactly one live label frame.
+    def cut(df: DataFrame): DataFrame =
+      if (reliableCheckpoints) df.checkpoint() else df.localCheckpoint()
+    val edges = cut(pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
     // Only vertices OF THE PAIR GRAPH can ever change labels — at corpus
     // scale near-dup components cover a small fraction of documents, so the
     // loop iterates over the graph's vertex set only and the (unchanged)
     // singleton majority is attached by one final join, labeling itself.
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+    var labels = cut(edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("id").as("src"), col("label").as("src_label")), "src")
         .groupBy(col("dst").as("id")).agg(min(col("src_label")).as("nbr_label"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      val next = cut(labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .localCheckpoint()
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label")))
       changed = next.join(labels.select(col("id"), col("label").as("old")), "id")
         .where(col("label") =!= col("old")).count()
+      org.apache.spark.sql.graftbridge.CheckpointBridge.release(labels)
       labels = next
       iter += 1
     }
     require(changed == 0,
       s"dedupGroups did not converge within $maxIter rounds")
+    // `edges` is not referenced by the returned frame (only the final
+    // labels are), so its checkpoint blocks can go now.
+    org.apache.spark.sql.graftbridge.CheckpointBridge.release(edges)
     docs.select(col(idCol).as("id"))
       .join(labels.withColumnRenamed("label", "_glabel"), Seq("id"), "left")
       .select(col("id"), coalesce(col("_glabel"), col("id")).as("label"))

@@ -65,11 +65,15 @@ object QualityClassifier {
     * the quantization. The update is one shared IEEE expression:
     * w −= floor(lr · grad / nDocs + 0.5).
     *
-    * The per-round weight frame is localCheckpointed (64 rows — free):
-    * unlike the k-means trainers (where bounded-round cuts cost more than
-    * they saved), each GD round's weights feed TWO broadcast joins whose
-    * materialization re-executes the whole nested chain — cutting the
-    * lineage halved the measured training time (5.3 s -> 2.4 s at sf0.1).
+    * The per-round weight frame's lineage is cut by collecting it to the
+    * driver and re-creating a local frame: weight frames are nBuckets rows
+    * (metadata scale — they broadcast every round anyway, so they fit the
+    * driver by construction). This keeps the halved training time the
+    * round-2 localCheckpoint cut delivered (5.3 s -> 2.4 s at sf0.1:
+    * each round's weights feed TWO broadcast joins whose materialization
+    * re-executed the whole nested chain) while leaking no checkpoint
+    * blocks in long-lived sessions (round-2 ADVICE); the feature table's
+    * cache is likewise released before returning.
     *
     * `labels` must carry (idCol, y ∈ {0,1}). Returns (bucket, w_u
     * micro-weights, weight) for all nBuckets buckets.
@@ -96,15 +100,20 @@ object QualityClassifier {
           col("y").cast("double")) * lit(1e6) + lit(0.5)).cast("long").as("e"))
       val grads = feats.join(errs, idCol)
         .groupBy("bucket").agg(sum(col("c") * col("e")).as("grad"))
-      w = w.join(grads, Seq("bucket"), "left")
+      val updated = w.join(grads, Seq("bucket"), "left")
         .select(col("bucket"),
           (col("w_u") - floor(lit(lr) *
             coalesce(col("grad"), lit(0L)).cast("double") / lit(nDocs.toDouble) +
             lit(0.5)).cast("long")).as("w_u"))
-        .localCheckpoint()
+      // nBuckets-row collect: bounded by design (see scaladoc), replaces
+      // the leak-prone per-round localCheckpoint.
+      w = spark.createDataFrame(
+        java.util.Arrays.asList(updated.collect(): _*), updated.schema)
     }
-    w.select(col("bucket"), col("w_u"),
+    val out = w.select(col("bucket"), col("w_u"),
       (col("w_u").cast("double") / lit(1e6)).as("weight"))
+    feats.unpersist()
+    out
   }
 
   /** Per-doc margin over unigram + bigram hashed features:

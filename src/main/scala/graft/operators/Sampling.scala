@@ -242,7 +242,15 @@ object Sampling {
       lit(0.5d)) / lit(281474976710656.0d) // 2^48
     val key = floor((-log(u) / col(weightCol).cast("double")) * lit(1e9d) + lit(0.5d))
       .cast("long")
-    df.withColumn("es_key", key)
+    // Enforce the weight contract instead of silently skewing the sample:
+    // a negative weight would yield a negative key that always wins, a zero
+    // weight a saturated key that never does. raise_error makes a contract
+    // violation loud at the first offending row.
+    df.withColumn("es_key",
+        when(col(weightCol).cast("double") > 0d, key)
+          .otherwise(expr(
+            s"raise_error(concat('weightedSample: non-positive weight in $weightCol: ', " +
+              s"CAST($weightCol AS STRING)))").cast("long")))
       .orderBy(col("es_key"), col(idCol))
       .limit(m)
   }
@@ -270,9 +278,16 @@ object Sampling {
       else pow(col("_n").cast("double"), lit(alpha))
     val scaled = df.groupBy(col(strataCol)).agg(count(lit(1)).as("_n"))
       .withColumn("_s", floor(nPow * lit(1e6d)).cast("long"))
+    // The product runs in DECIMAL(38,0): with large strata (n_i ~ 1e8 →
+    // _s ~ 1e10) and a large total, `total * _s` silently wraps in Long
+    // (non-ANSI) while DuckDB promotes to HUGEINT — a scale-dependent
+    // cross-engine divergence. DECIMAL(38,0) holds any realistic
+    // total·_s (< 1e38) exactly; the quotient is cast back to long.
     val targets = scaled
       .crossJoin(broadcast(scaled.agg(sum(col("_s")).as("_stot"))))
-      .select(col(strataCol), expr(s"($total * _s) div _stot").as("target"))
+      .select(col(strataCol),
+        expr(s"CAST((CAST($total AS DECIMAL(38,0)) * _s) div _stot AS BIGINT)")
+          .as("target"))
     val rk = Window.partitionBy(col(strataCol))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
     df.join(broadcast(targets), strataCol)

@@ -13,3 +13,19 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Lifecycle helper for lineage-cut (checkpointed) frames: iterative
+  * operators that `localCheckpoint` per round would otherwise accumulate
+  * superseded checkpoint blocks for the session lifetime. The checkpointed
+  * RDD sits behind the frame's `LogicalRDD` leaf; releasing it is a
+  * best-effort no-op for any other plan shape.
+  */
+object CheckpointBridge {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.execution.LogicalRDD
+
+  def release(df: DataFrame): Unit = df.queryExecution.logical match {
+    case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+    case _ => ()
+  }
+}

@@ -47,6 +47,24 @@ class AsOfJoinSpec extends SparkSpec {
       "string keys must join per-key, not collapse into one null partition")
   }
 
+  test("equal-timestamp right rows resolve deterministically (max carried tuple)") {
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0, "mkt_a"),
+      (1L, ts("2024-01-01 10:00:00"), 130.0, "mkt_b"), // same (key, time)
+      (1L, ts("2024-01-01 10:00:00"), 130.0, "mkt_a")  // ties on price too
+    ).toDF("sym", "qt", "price", "venue")
+    val trades = Seq((1L, 1L, ts("2024-01-01 10:30:00")))
+      .toDF("trade_id", "sym", "tt")
+    // Max (price, venue) tuple must win, identically on every run and
+    // under any input partitioning.
+    (1 to 3).foreach { _ =>
+      val r = AsOfJoin.lastValueAsOf(trades.repartition(7), quotes.repartition(5),
+        "sym", "sym", "tt", "qt", Seq("price", "venue"))
+        .select("asof_price", "asof_venue").head()
+      assert(r.getDouble(0) == 130.0 && r.getString(1) == "mkt_b")
+    }
+  }
+
   test("as-of join is a single-shuffle plan (no range cross join)") {
     val e = Tables.events(spark, sf).withColumn("cust", col("user_id") + 1)
     val joined = AsOfJoin.lastValueAsOf(e, Tables.orders(spark, sf),

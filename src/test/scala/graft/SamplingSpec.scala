@@ -185,6 +185,32 @@ class SamplingSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("weighted sample fails loudly on non-positive weights") {
+    val bad = Seq((1L, 5L), (2L, -3L), (3L, 2L)).toDF("id", "w")
+    val e = intercept[Exception] {
+      Sampling.weightedSample(bad, "id", "w", m = 2).collect()
+    }
+    assert(e.getMessage.contains("non-positive weight"),
+      s"expected the weight-contract error, got: ${e.getMessage}")
+    val zero = Seq((1L, 5L), (2L, 0L)).toDF("id", "w")
+    intercept[Exception] {
+      Sampling.weightedSample(zero, "id", "w", m = 1).collect()
+    }
+  }
+
+  test("temperature mix targets survive huge totals (no Long wrap)") {
+    // total * _s would overflow Long for totals near 2^63 / _s; the
+    // DECIMAL(38,0) product must keep targets exact and non-negative.
+    val df = (1L to 100L).map(i => (if (i <= 90) "big" else "small", i))
+      .toDF("src", "id")
+    val total = 2000000000000000L // 2e15: wraps in Long against _s ~ 9.5e6
+    val t = Sampling.temperatureMix(df, "src", "id", total, alpha = 0.5)
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    // All 100 rows survive (targets >> n); a wrapped product would have
+    // produced negative targets and dropped everything.
+    assert(t.getOrElse("big", 0L) == 90L && t.getOrElse("small", 0L) == 10L)
+  }
+
   test("multiprobe LSH recall >= single-probe recall") {
     val emb = Tables.embeddings(spark, sf)
     val exact = Similarity.bruteForceTopK(emb, "embedding", "vec_id", 0L, 10)
