@@ -1,17 +1,30 @@
 package graft.operators
 
+import java.io.ByteArrayInputStream
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media as opaque `binary` payloads with typed
   * metadata, processed by batch-shaped partition functions.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked deterministic stub (`fakeDecode`); everything around it —
-  * the schema (payload + metadata struct), the partition-wise batch
-  * processing shape (`mapPartitions` over a typed Dataset, the Scala
-  * analogue of `mapInPandas` batches), and the column pruning — is real and
-  * tested. Swapping `fakeDecode` for a JNI/FFmpeg call changes no plumbing.
+  * Round 3 made the decode step REAL: assets are genuine 24-bit BMP images
+  * (encoded by [[encodeBmp]] — the corpus ships no media, so image payloads
+  * are synthesized from the document bytes, one byte per channel sample)
+  * and [[extractFeatures]] decodes them with the JDK's `javax.imageio`
+  * BMP reader — an actual header parse + pixel decode, not a stub. Because
+  * the BMP pixel layout is transparent (payload byte 3k→Blue, 3k+1→Green,
+  * 3k+2→Red; zero padding), the decoded dimensions and per-channel sums
+  * are independently computable by the DuckDB oracle from the source text,
+  * which makes the decoder's output hash-checkable (xq16).
+  *
+  * Swapping the BMP codec for a JNI/FFmpeg call changes no plumbing: the
+  * schema (payload + typed metadata), the partition-wise batch shape
+  * (`mapPartitions` over a typed Dataset — the Scala analogue of
+  * `mapInPandas` batches, one decoder init per partition), and the column
+  * pruning carry over unchanged.
   */
 object Multimodal {
 
@@ -22,17 +35,23 @@ object Multimodal {
       mime: String,
       n_bytes: Long)
 
-  /** Extracted features per asset (what a decoder/featurizer would emit). */
+  /** Decoded features per asset: real image dimensions and exact integer
+    * per-channel sample sums (n_pixels = width·height; means derive as
+    * sum / n_pixels / 255 and stay FP-free until the caller divides).
+    */
   final case class AssetFeatures(
       doc_id: Long,
       n_bytes: Long,
       width: Int,
       height: Int,
-      channel_means: Array[Double])
+      sum_b: Long,
+      sum_g: Long,
+      sum_r: Long,
+      n_pixels: Long)
 
   /** Build a binary-payload asset table from the documents corpus (UTF-8
     * bytes stand in for encoded media; schema and partitioning are the
-    * point).
+    * point — xq15/xq22 exercise metadata and frame slicing on it).
     */
   def assets(docs: DataFrame): DataFrame =
     docs.select(
@@ -41,24 +60,58 @@ object Multimodal {
       lit("text/plain").as("mime"),
       octet_length(col("text")).cast("long").as("n_bytes"))
 
-  /** STUB decoder: a real pipeline would decode image/audio bytes here.
-    * Deterministic fake: "dimensions" derived from the byte length, channel
-    * means from a rolling byte hash — stable across runs and partitionings.
+  /** Fixed image width: 32 px → 96-byte rows, already 4-byte aligned, so
+    * rows carry no BMP padding and byte k of the source maps to pixel
+    * sample k exactly.
     */
-  private def fakeDecode(payload: Array[Byte]): (Int, Int, Array[Double]) = {
-    val n = payload.length
-    val width = math.max(1, n % 640)
-    val height = math.max(1, (n / 7) % 480)
-    val means = new Array[Double](3)
-    var i = 0
-    var acc = 0L
-    while (i < n) {
-      acc = (acc * 31 + (payload(i) & 0xff)) % 1000003L
-      means(i % 3) += (payload(i) & 0xff).toDouble
-      i += 1
+  val BmpWidth = 32
+  private val RowBytes = BmpWidth * 3
+
+  /** Encode raw bytes as a real 24-bit uncompressed BMP (BITMAPINFOHEADER):
+    * bytes become consecutive B,G,R samples across `BmpWidth`-pixel rows,
+    * zero-padded to fill the last row. Any BMP reader decodes it; the JDK
+    * one does in [[extractFeatures]].
+    */
+  def encodeBmp(raw: Array[Byte]): Array[Byte] = {
+    val height = math.max(1, (raw.length + RowBytes - 1) / RowBytes)
+    val pixelBytes = height * RowBytes
+    val fileSize = 54 + pixelBytes
+    val out = new Array[Byte](fileSize)
+    def put32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte
+      out(off + 1) = ((v >> 8) & 0xFF).toByte
+      out(off + 2) = ((v >> 16) & 0xFF).toByte
+      out(off + 3) = ((v >> 24) & 0xFF).toByte
     }
-    val per = math.max(1.0, n / 3.0)
-    (width, height, means.map(m => m / per / 255.0))
+    // BITMAPFILEHEADER (14 bytes)
+    out(0) = 'B'; out(1) = 'M'
+    put32(2, fileSize)
+    put32(10, 54) // pixel data offset
+    // BITMAPINFOHEADER (40 bytes)
+    put32(14, 40)
+    put32(18, BmpWidth)
+    put32(22, height) // positive: bottom-up rows (flips rows, not channels)
+    out(26) = 1 // planes
+    out(28) = 24 // bpp
+    put32(34, pixelBytes)
+    put32(38, 2835); put32(42, 2835) // 72 dpi
+    System.arraycopy(raw, 0, out, 54, raw.length)
+    out
+  }
+
+  /** The corpus as REAL image assets: text bytes → BMP payloads. The
+    * encode is a per-partition batch map (same shape as the decode side).
+    */
+  def imageAssets(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("raw"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, raw) =>
+        val bmp = encodeBmp(raw)
+        (id, bmp, "image/bmp", bmp.length.toLong)
+      })
+      .toDF("doc_id", "payload", "mime", "n_bytes")
   }
 
   /** Frame sampling: slice every `stride`-th fixed-size window out of the
@@ -80,18 +133,43 @@ object Multimodal {
           .as("frame_bytes"))
   }
 
+  /** REAL decode of one image payload via the JDK ImageIO BMP reader:
+    * header parse, pixel decode, per-channel integer sums.
+    */
+  def decodeImage(payload: Array[Byte]): (Int, Int, Long, Long, Long) = {
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    require(img != null, "undecodable image payload")
+    val (w, h) = (img.getWidth, img.getHeight)
+    var (sb, sg, sr) = (0L, 0L, 0L)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sr += (rgb >> 16) & 0xFF
+        sg += (rgb >> 8) & 0xFF
+        sb += rgb & 0xFF
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, sb, sg, sr)
+  }
+
   /** Partition-wise feature extraction: batch iteration per partition (one
     * decoder init per partition, like a Pandas-UDF batch), typed output.
+    * Input must be image assets (e.g. [[imageAssets]]).
     */
   def extractFeatures(spark: SparkSession, assetsDf: DataFrame): Dataset[AssetFeatures] = {
     import spark.implicits._
     assetsDf.select("doc_id", "payload", "n_bytes")
       .as[(Long, Array[Byte], Long)]
       .mapPartitions { it =>
-        // per-partition init of the (stub) decoder happens here
+        // per-partition decoder setup: ImageIO plugin scan happens once
+        ImageIO.setUseCache(false)
         it.map { case (id, payload, nBytes) =>
-          val (w, h, means) = fakeDecode(payload)
-          AssetFeatures(id, nBytes, w, h, means)
+          val (w, h, sb, sg, sr) = decodeImage(payload)
+          AssetFeatures(id, nBytes, w, h, sb, sg, sr, w.toLong * h)
         }
       }
   }

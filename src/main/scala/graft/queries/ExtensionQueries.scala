@@ -2383,12 +2383,37 @@ object ExtensionQueries {
 
     // XQ16: multimodal feature extraction — mapPartitions over binary
     // payloads with a stubbed decoder; rows-only check (not SQL-expressible).
+    // XQ16: REAL multimodal decode — text bytes → 24-bit BMP (encodeBmp)
+    // → javax.imageio header+pixel decode → dimensions and exact integer
+    // per-channel sums. The BMP layout is transparent (byte 3k→B, 3k+1→G,
+    // 3k+2→R, zero row padding), so DuckDB recomputes every output from
+    // the source characters — the decoder is hash-checked, not stubbed.
     QueryDef("xq16_multimodal_features",
-      (s, d) => Multimodal.extractFeatures(s, Multimodal.assets(Tables.documents(s, d)))
+      (s, d) => Multimodal.extractFeatures(s, Multimodal.imageAssets(Tables.documents(s, d)))
         .toDF()
         .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
-          round(element_at(col("channel_means"), 1), 6).as("mean_r"))
+          col("sum_b"), col("sum_g"), col("sum_r"), col("n_pixels"))
         .orderBy("doc_id"),
-      None)
+      Some(s"""WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+              |u AS (SELECT doc_id, ascii(substr(text, i, 1)) AS v, (i-1) % 3 AS ch
+              |      FROM t, UNNEST(generate_series(1, n)) AS g(i)),
+              |s AS (SELECT doc_id,
+              |        SUM(CASE WHEN ch = 0 THEN v ELSE 0 END) AS sum_b,
+              |        SUM(CASE WHEN ch = 1 THEN v ELSE 0 END) AS sum_g,
+              |        SUM(CASE WHEN ch = 2 THEN v ELSE 0 END) AS sum_r
+              |      FROM u GROUP BY 1),
+              |dims AS (SELECT doc_id, n,
+              |           CAST(GREATEST(CEIL(n / 96.0), 1) AS BIGINT) AS h
+              |         FROM t)
+              |SELECT d.doc_id,
+              |  CAST(54 + 96 * d.h AS BIGINT) AS n_bytes,
+              |  CAST(${Multimodal.BmpWidth} AS INT) AS width,
+              |  CAST(d.h AS INT) AS height,
+              |  CAST(COALESCE(s.sum_b, 0) AS BIGINT) AS sum_b,
+              |  CAST(COALESCE(s.sum_g, 0) AS BIGINT) AS sum_g,
+              |  CAST(COALESCE(s.sum_r, 0) AS BIGINT) AS sum_r,
+              |  CAST(${Multimodal.BmpWidth} * d.h AS BIGINT) AS n_pixels
+              |FROM dims d LEFT JOIN s USING (doc_id)
+              |ORDER BY d.doc_id""".stripMargin))
   )
 }

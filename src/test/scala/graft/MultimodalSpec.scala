@@ -14,12 +14,27 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("feature extraction is deterministic under repartitioning") {
-    val assets = Multimodal.assets(Tables.documents(spark, sf))
+    val assets = Multimodal.imageAssets(Tables.documents(spark, sf))
     val f1 = Multimodal.extractFeatures(spark, assets)
       .toDF().orderBy("doc_id").collect().toSeq
     val f2 = Multimodal.extractFeatures(spark, assets.repartition(13))
       .toDF().orderBy("doc_id").collect().toSeq
     assert(f1.map(_.toString) == f2.map(_.toString))
+  }
+
+  test("BMP round trip: ImageIO decodes dimensions and channel sums exactly") {
+    // Known pattern: bytes 0..199 → B,G,R interleaved, 96-byte rows →
+    // 200 bytes = 3 rows of 32 px (zero-padded tail).
+    val raw = Array.tabulate(200)(i => i.toByte)
+    val bmp = Multimodal.encodeBmp(raw)
+    assert(bmp(0) == 'B'.toByte && bmp(1) == 'M'.toByte)
+    val (w, h, sb, sg, sr) = Multimodal.decodeImage(bmp)
+    assert(w == Multimodal.BmpWidth && h == 3)
+    def expect(ch: Int) = (0 until 200).filter(_ % 3 == ch).map(_.toLong).sum
+    assert(sb == expect(0) && sg == expect(1) && sr == expect(2))
+    // empty payload still yields a decodable 1-row image
+    val (w0, h0, zb, zg, zr) = Multimodal.decodeImage(Multimodal.encodeBmp(Array.empty))
+    assert(w0 == Multimodal.BmpWidth && h0 == 1 && zb + zg + zr == 0L)
   }
 
   test("frame sampling slices the expected windows") {
