@@ -54,7 +54,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":${errors.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    // oracle-only queries (deliberately non-scale plans kept as correctness
+    // proofs for a sketch/scale-path twin) are reported separately so the
+    // headline reflects the plans a production run would use.
+    val oracleOnly = defs.filter(_.oracleOnly).map(_.name).toSet
+    val scaleTotal = results
+      .collect { case (n, v) if v >= 0 && !oracleOnly(n) => v }.sum
+    val ooJson = oracleOnly.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","scale_path_total":$scaleTotal,"oracle_only":$ooJson,"queries":$qs,"errors":${errors.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -6,11 +6,18 @@ import org.apache.spark.sql.types.DecimalType
 
 /** One oracle-checkable query: a Spark DataFrame program plus (where
   * SQL-expressible) the equivalent DuckDB SQL the driver hash-matches.
+  *
+  * `oracleOnly` marks queries kept deliberately in a shape that does NOT
+  * scale (e.g. rq26's exact per-group percentile buffers whole groups) as
+  * the correctness proof for a scale-path twin (rq28's sketch). The bench
+  * reports them separately so the headline number reflects the plans a
+  * 100 TB run would actually use.
   */
 final case class QueryDef(
     name: String,
     run: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    oracleOnly: Boolean = false)
 
 object QueryDef {
   /** Cross-engine determinism helpers (SURVEY §7 risk (a)):

@@ -408,7 +408,10 @@ object RelationalQueries {
       Some("""SELECT l_returnflag,
              |  quantile_cont(l_extendedprice, 0.5) AS median_price,
              |  quantile_cont(l_extendedprice, 0.9) AS p90_price
-             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
+      // Exact percentile buffers whole groups — kept as rq28's oracle
+      // proof, never the 100 TB plan.
+      oracleOnly = true),
 
     // RQ28: sketch percentiles — the at-scale default companion to rq26.
     // Exact `percentile` buffers every group's values (fine as an oracle

@@ -88,6 +88,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("exactly-once under partial failure: crash between partition writes, retry, no double-count") {
+    // foreachBatch gives at-least-once batch EXECUTION; the exactly-once
+    // EFFECT rests on mergeBatch's replace-by-key being idempotent even
+    // when a crash leaves the store PARTIALLY updated (dynamic partition
+    // overwrite commits day directories one by one). Simulate the crash
+    // point exactly: apply the batch to day0 only (as if the process died
+    // before day1's directory swap), then replay the FULL batch — the
+    // retried merge must converge to the clean single-run store, with
+    // nothing counted twice on the already-written day0.
+    val batch = Seq(
+      (day0, "total", 5L, 7L), (day0, "wiki_enwiki", 5L, 7L),
+      (day0 + 1, "total", 2L, 0L), (day0 + 1, "type_new", 2L, 0L)
+    ).toDF("day", "counter", "n", "growth")
+    val prior = Seq( // pre-existing store state from earlier batches
+      (day0, "total", 3L, 2L), (day0, "bot", 1L, 0L),
+      (day0 + 1, "total", 1L, 0L)
+    ).toDF("day", "counter", "n", "growth")
+
+    def freshStore(): String = {
+      val dir = Files.createTempDirectory("graft-crash").toString
+      CounterPipeline.mergeBatch(spark, dir)(prior, 0L)
+      dir
+    }
+    def snapshot(dir: String): Map[(Long, String), (Long, Long)] =
+      spark.read.parquet(dir).select("day", "counter", "n", "growth")
+        .as[(Long, String, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+
+    // clean run: the whole batch applies once
+    val clean = freshStore()
+    CounterPipeline.mergeBatch(spark, clean)(batch, 1L)
+
+    // crashed run: only day0's partition got swapped before the "kill"
+    val crashed = freshStore()
+    CounterPipeline.mergeBatch(spark, crashed)(batch.where(col("day") === day0), 1L)
+    assert(snapshot(crashed)((day0, "total")) == ((5L, 7L)) &&
+      snapshot(crashed)((day0 + 1, "total")) == ((1L, 0L)),
+      "precondition: store must be half-updated after the injected crash")
+    // restart replays the SAME batch in full
+    CounterPipeline.mergeBatch(spark, crashed)(batch, 1L)
+    assert(snapshot(crashed) == snapshot(clean),
+      "retried merge must converge to the clean-run store")
+    // and a further redundant replay stays a fixpoint (no double counts)
+    CounterPipeline.mergeBatch(spark, crashed)(batch, 1L)
+    assert(snapshot(crashed) == snapshot(clean))
+    // untouched keys of rewritten partitions survive the merge
+    assert(snapshot(crashed)((day0, "bot")) == ((1L, 0L)))
+  }
+
   test("streaming aggregation agrees with the batch twin") {
     val tableDir = Files.createTempDirectory("graft-agg2").toString
     val ckpt = Files.createTempDirectory("graft-ckpt2").toString
