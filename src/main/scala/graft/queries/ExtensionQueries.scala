@@ -748,6 +748,7 @@ object ExtensionQueries {
       (s, d) => Dedup.simhashNearDupPairs(
         Tables.documents(s, d), "text", "doc_id", maxHamming = 12)
         .orderBy("doc_a", "doc_b"),
+      oracleOnly = true, oracle =
       Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
              |h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok),1,15)) AS BIGINT) AS h FROM tok),
              |bitsum AS (SELECT doc_id, b,
@@ -2383,6 +2384,34 @@ object ExtensionQueries {
 
     // XQ16: multimodal feature extraction — mapPartitions over binary
     // payloads with a stubbed decoder; rows-only check (not SQL-expressible).
+    // XQ86: production-scale simhash near-dup pairs — 120-bit signatures,
+    // hamming <= 3, 4 pigeonhole bands of 30 bits (Manku-style few/WIDE
+    // bands). Closes the scale cliff the sf1 trendline measured in xq26:
+    // 60-bit/13-band keys have only 16-32 values, so buckets hold N/16 of
+    // the corpus and verification is Θ(N²); 30-bit keys keep candidate
+    // generation linear in N. Oracle: exact O(N²) scan (fine at sf0.01).
+    QueryDef("xq86_simhash_pairs_wide",
+      (s, d) => Dedup.simhashNearDupPairsWide(
+        Tables.documents(s, d), "text", "doc_id")
+        .orderBy("doc_a", "doc_b"),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+             |h AS (SELECT doc_id,
+             |    CAST(('0x' || substr(md5('w0:'||tok),1,15)) AS BIGINT) AS h0,
+             |    CAST(('0x' || substr(md5('w1:'||tok),1,15)) AS BIGINT) AS h1 FROM tok),
+             |bitsum AS (SELECT doc_id, b,
+             |    SUM(CASE WHEN (h0 >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s0,
+             |    SUM(CASE WHEN (h1 >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s1
+             |  FROM h, UNNEST(generate_series(0, 59)) AS u(b) GROUP BY doc_id, b),
+             |sig AS (SELECT doc_id,
+             |    CAST(SUM(CASE WHEN s0 > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sg0,
+             |    CAST(SUM(CASE WHEN s1 > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sg1
+             |  FROM bitsum GROUP BY doc_id)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |       CAST(bit_count(xor(a.sg0, b.sg0)) + bit_count(xor(a.sg1, b.sg1)) AS BIGINT) AS hamming
+             |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.sg0, b.sg0)) + bit_count(xor(a.sg1, b.sg1)) <= 3
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
     // XQ16: REAL multimodal decode — text bytes → 24-bit BMP (encodeBmp)
     // → javax.imageio header+pixel decode → dimensions and exact integer
     // per-channel sums. The BMP layout is transparent (byte 3k→B, 3k+1→G,

@@ -124,6 +124,29 @@ class DedupSpec extends SparkSpec {
       s"banded pair search must not plan a product:\n$plan")
   }
 
+  test("wide simhash (120-bit, 4x30-bit bands) == all-pairs result; exact dups found") {
+    val real = Tables.documents(spark, sf)
+    val banded = Dedup.simhashNearDupPairsWide(real, "text", "doc_id", maxHamming = 3)
+    val sig = Dedup.simhashWide(real, "text", "doc_id")
+    val brute = sig.toDF("doc_a", "a0", "a1")
+      .crossJoin(sig.toDF("doc_b", "b0", "b1"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(bit_count(a0 ^ b0) + bit_count(a1 ^ b1) AS BIGINT)").as("hamming"))
+      .where(col("hamming") <= 3)
+    val gotPairs = banded.as[(Long, Long, Long)].collect().toSet
+    val expPairs = brute.as[(Long, Long, Long)].collect().toSet
+    assert(gotPairs == expPairs,
+      s"4x30-bit pigeonhole banding must be lossless: missing=${expPairs -- gotPairs} extra=${gotPairs -- expPairs}")
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"wide banded pair search must not plan a product:\n$plan")
+    // identical docs have identical 120-bit signatures -> hamming 0 pair
+    val dup = Dedup.simhashNearDupPairsWide(docs, "text", "doc_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(dup.contains((1L, 2L, 0L)), s"exact dup must surface: $dup")
+  }
+
   test("bucketed embedding near-dup: subset of exact, nonzero recall, no product") {
     val emb = Tables.embeddings(spark, sf)
     val bucketed = Dedup.embeddingNearDups(emb, "embedding", "vec_id", 0.25, nPlanes = 4)
