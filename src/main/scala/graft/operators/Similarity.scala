@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`Array[Float]`).
@@ -57,31 +57,47 @@ object Similarity {
     * member drop out (standard Lloyd). Returns
     * (cluster, dim [1-based], centroid_val, n_members).
     */
+  /** Argmax-cosine cluster over LITERAL centroids, as one narrow
+    * projection: an array of (csim, -cluster, cluster) structs, one per
+    * centroid, reduced by `array_max` (struct ordering = max csim,
+    * smallest-cluster tie-break). Centroids are k·dims values — metadata
+    * scale, so baking them into the plan as literals replaces the previous
+    * crossJoin(broadcast) + groupBy-on-the-VECTOR argmax, which paid a k×
+    * row blowup and an exchange that hashed every embedding array per
+    * iteration (round 3; xq41 was 22x DuckDB with that shape).
+    */
+  private def literalArgmax(v: Column, cents: Seq[(Long, Seq[Double])]): Column =
+    array_max(array(cents.map { case (cid, cvec) =>
+      struct(VectorFunctions.cosine(v, typedLit(cvec)).as("csim"),
+        lit(-cid).as("negc"), lit(cid).as("cluster"))
+    }: _*)).getField("cluster")
+
   def kmeansFit(emb: DataFrame, vecCol: String, idCol: String, k: Int,
       iters: Int): DataFrame = {
     require(k > 0 && iters >= 1, s"need k > 0, iters >= 1; got k=$k iters=$iters")
     val e = emb.select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_v"))
-    var cents = e.orderBy("_id").limit(k)
-      .select(col("_id").as("cluster"), col("_v").as("cvec"))
+    // Centroids live driver-side between iterations: k·dims doubles
+    // (metadata scale — they were broadcast every round anyway). The
+    // per-iteration collect is the same bounded class as the BPE argmax.
+    var centLocal: Seq[(Long, Seq[Double])] = e.orderBy("_id").limit(k)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq)).toIndexedSeq
     var sums: DataFrame = null
     for (_ <- 1 to iters) {
-      val assigned = e.crossJoin(broadcast(cents))
-        .select(col("_id"), col("_v"), col("cluster"),
-          VectorFunctions.cosine(col("_v"), col("cvec")).as("csim"))
-        .groupBy(col("_id"), col("_v"))
-        .agg(max_by(col("cluster"), struct(col("csim"), (-col("cluster")).as("nc")))
-          .as("cluster"))
+      val assigned = e.select(col("_id"), col("_v"),
+        literalArgmax(col("_v"), centLocal).as("cluster"))
       sums = assigned
         .select(col("cluster"), posexplode(col("_v")).as(Seq("dim0", "x")))
         .groupBy(col("cluster"), (col("dim0") + 1).cast("long").as("dim"))
         .agg(sum(floor(col("x") * 1e6 + 0.5).cast("long")).as("s"),
           count(lit(1)).as("cnt"))
-      cents = sums
+      centLocal = sums
         .select(col("cluster"), col("dim"),
           (col("s").cast("double") / (lit(1e6) * col("cnt"))).as("m"))
-        .groupBy("cluster")
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
-          x => x.getField("m")).as("cvec"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (c, rows) =>
+          (c, rows.sortBy(_.getLong(1)).map(_.getDouble(2)).toIndexedSeq: Seq[Double]) }
+        .toIndexedSeq.sortBy(_._1)
     }
     sums.select(col("cluster"), col("dim"),
       (col("s").cast("double") / (lit(1e6) * col("cnt"))).as("centroid_val"),
@@ -90,18 +106,23 @@ object Similarity {
 
   /** Assignment against an arbitrary trained centroid frame
     * (cluster, cvec: array<double>) — e.g. [[kmeansFit]] output reassembled.
-    * Broadcast + argmax, smallest-cluster tie-break; no wide shuffle.
+    * The centroid frame is k rows (metadata scale) and becomes plan
+    * literals, so assignment is ONE narrow codegen'd projection — no join,
+    * no per-vector argmax exchange (round 3, same shape as kmeansFit).
     */
   def assignToCentroids(emb: DataFrame, vecCol: String, idCol: String,
-      cents: DataFrame): DataFrame =
+      cents: DataFrame): DataFrame = {
+    val centLocal = cents.select(col("cluster"), col("cvec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq: Seq[Double]))
+      .toIndexedSeq.sortBy(_._1)
+    val best = array_max(array(centLocal.map { case (cid, cvec) =>
+      struct(VectorFunctions.cosine(col("_v"), typedLit(cvec)).as("csim"),
+        lit(-cid).as("negc"), lit(cid).as("cluster"))
+    }: _*))
     emb.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
-      .crossJoin(broadcast(cents))
-      .select(col(idCol), col("cluster"),
-        VectorFunctions.cosine(col("_v"), col("cvec")).as("csim"))
-      .groupBy(col(idCol))
-      .agg(max_by(struct(col("cluster"), col("csim")),
-        struct(col("csim"), (-col("cluster")).as("nc"))).as("b"))
-      .select(col(idCol), col("b.cluster").as("cluster"), col("b.csim").as("csim"))
+      .select(col(idCol), best.getField("cluster").as("cluster"),
+        best.getField("csim").as("csim"))
+  }
 
   /** Cluster assignment: argmax-cosine centroid per vector (broadcast join +
     * max_by, no wide shuffle).
