@@ -113,6 +113,34 @@ object Sampling {
       .drop("_pid", "_offset", "_k")
   }
 
+  /** Exact distributed dense 0-based rank in `order` — the generic form of
+    * [[shuffleIndex]]'s two-pass scheme for ARBITRARY sort expressions
+    * (including descending): range-partition on the order, count per
+    * partition (metadata scale), prefix-sum the counts into offsets,
+    * per-partition row_number + offset. No single-partition stage touches
+    * row-scale data; `order` must be a total order (add a tie-break column)
+    * or ranks within ties are partition-dependent.
+    */
+  def globalRank(df: DataFrame, order: Seq[org.apache.spark.sql.Column],
+      rankCol: String = "rank0"): DataFrame = {
+    val spark = df.sparkSession
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val parts = df.repartitionByRange(nPart, order: _*)
+      .withColumn("_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val offsetWin = Window.orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parts.groupBy(col("_pid"))
+      .agg(count(lit(1)).as("_pn"))
+      .select(col("_pid"),
+        coalesce(sum(col("_pn")).over(offsetWin), lit(0L)).as("_offset"))
+    val localWin = Window.partitionBy(col("_pid")).orderBy(order: _*)
+    parts.join(broadcast(offsets), "_pid")
+      .withColumn(rankCol,
+        col("_offset") + row_number().over(localWin).cast("long") - 1L)
+      .drop("_pid", "_offset")
+  }
+
   /** Exact distributed NTILE — curriculum/quantile bucketing (order the
     * corpus by a difficulty signal, cut it into k equal tiles) without the
     * single-task global window `ntile(k) OVER (ORDER BY ...)` compiles to.

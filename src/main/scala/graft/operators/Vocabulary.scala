@@ -8,11 +8,12 @@ import org.apache.spark.sql.functions._
   * training pipeline: terms above a document-frequency floor get dense ids
   * ordered by (count desc, term); everything else maps to the OOV id 0.
   *
-  * Scale shape: the vocabulary is an AGGREGATE of the corpus (distinct
-  * surviving terms — bounded by language, not data size), so the global
-  * rank window runs over metadata-scale input and the id assignment
-  * broadcasts back to the token stream (fixed-cardinality dim join, the
-  * same posture as the ISO-639 tables).
+  * Scale shape: the vocabulary is an AGGREGATE of the corpus, usually
+  * language-bounded — but web-scale corpora grow noise vocabularies into
+  * the 10^8 range, so id assignment uses the distributed two-pass rank
+  * ([[Sampling.globalRank]], round 3) instead of a single-task global
+  * window; the id mapping then broadcasts back to the token stream
+  * (fixed-cardinality dim join, the same posture as the ISO-639 tables).
   */
 object Vocabulary {
 
@@ -22,10 +23,8 @@ object Vocabulary {
       .select(explode(split(col(textCol), " ")).as("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= minCount)
-    counts.select(col("term"),
-      row_number().over(Window.orderBy(col("cnt").desc, col("term")))
-        .cast("long").as("term_id"),
-      col("cnt"))
+    Sampling.globalRank(counts, Seq(col("cnt").desc, col("term")))
+      .select(col("term"), (col("rank0") + 1L).as("term_id"), col("cnt"))
   }
 
   /** Map each document's tokens to vocabulary ids (OOV → 0); output one
