@@ -17,7 +17,11 @@ object Decontamination {
 
   def contamination(train: DataFrame, eval: DataFrame, textCol: String,
       idCol: String, n: Int = 3): DataFrame = {
+    // Persisted: the distinct train-shingle set feeds both the per-doc
+    // totals and the eval-overlap counts — uncached, the corpus-wide
+    // explode+distinct runs twice (measured 10 s at sf1).
     val ts = Shingles.exploded(train, textCol, idCol, n).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val es = Shingles.exploded(eval, textCol, idCol, n)
       .select("shingle").distinct()
     val counts = ts.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))

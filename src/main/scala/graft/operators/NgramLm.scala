@@ -50,7 +50,11 @@ object NgramLm {
   def fit(train: DataFrame, textCol: String, idCol: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val bg = bigrams(train, textCol, idCol)
+    // Persisted: the bigram count table feeds the context-count aggregation
+    // AND the scoring join — uncached, the reference-corpus bigram pass
+    // runs twice (the xq24/xq44 repeated-consumer pattern).
     val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
     val v = train
       .select(explode(split(col(textCol), " ")).as("tok"))
