@@ -42,10 +42,15 @@ object Dsir {
       .select(QualityClassifier.bucketOf(col("tok"), nBuckets))
     val tgtB = toks(target, textCol, Nil)
       .select(QualityClassifier.bucketOf(col("tok"), nBuckets))
+    // Persisted (≤ B rows each): the bucket-count tables feed both the
+    // ratio join and the totals — and totals derive from them (nr = Σ cr)
+    // instead of a second corpus-wide token scan.
     val rc = rawB.groupBy("bucket").agg(count(lit(1)).as("cr"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tc = tgtB.groupBy("bucket").agg(count(lit(1)).as("ct"))
-    val totals = rawB.agg(count(lit(1)).as("nr"))
-      .crossJoin(tgtB.agg(count(lit(1)).as("nt")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = rc.agg(sum(col("cr")).as("nr"))
+      .crossJoin(tc.agg(sum(col("ct")).as("nt")))
     rc.join(tc, Seq("bucket"), "left")
       .select(col("bucket"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
       .crossJoin(broadcast(totals))

@@ -31,7 +31,10 @@ object RepeatedNgrams {
     */
   def repeatedSpans(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 5, minCount: Long = 3): DataFrame = {
+    // Persisted: the positioned n-gram stream feeds the frequency floor AND
+    // the hit join — uncached, the corpus shingle pass runs twice.
     val grams = Shingles.explodedWithPos(docs, textCol, idCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hot = grams.groupBy(col("shingle"))
       .agg(count(lit(1)).as("_cnt"))
       .where(col("_cnt") >= minCount)

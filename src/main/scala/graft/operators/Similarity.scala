@@ -159,8 +159,12 @@ object Similarity {
         x => x.getField("centroid_val")).as("cvec"))
     val assigned = assignToCentroids(emb, vecCol, idCol, cents)
       .select(col(idCol), col("cluster"))
+    // Persisted: the assigned-vector frame feeds BOTH sides of the
+    // in-cluster self-join — uncached, assignment (and the k-means it
+    // embeds) executes twice (the xq44/xq24 repeated-consumer pattern).
     val v = emb.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
       .join(assigned, Seq(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     v.select(col("cluster"), col(idCol).as("_ida"), col("_v").as("_va"))
       .join(v.select(col("cluster"), col(idCol).as("_idb"), col("_v").as("_vb")),
         Seq("cluster"))
