@@ -32,6 +32,10 @@ object Bench {
     val warmDir = "/root/testdata/sf0.001"
     defs.foreach { q =>
       try materialize(q.run(spark, warmDir)) catch { case _: Throwable => () } }
+    // Warm-up caches key on warmDir plans — unreachable from the measured
+    // sfDir runs, so dropping them frees memory without touching timing
+    // semantics (measured rounds keep their historical cache behavior).
+    operators.CacheRegistry.releaseAll(spark)
 
     // Two full measured rounds, per-query min: round 1 doubles as at-scale
     // warm-up (JIT compilation of the 50 plan shapes drains during it), so

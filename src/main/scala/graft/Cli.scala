@@ -24,10 +24,23 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object Cli {
 
-  private def opts(args: Array[String]): Map[String, String] =
-    args.sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
-    }.toMap
+  /** `--key value` pairs plus bare presence flags: a `--flag` followed by
+    * another `--option` (or by nothing) maps to "true", so `--available-now`
+    * works bare anywhere in the argument list.
+    */
+  private def opts(args: Array[String]): Map[String, String] = {
+    @annotation.tailrec
+    def loop(rest: List[String], acc: Map[String, String]): Map[String, String] =
+      rest match {
+        case k :: v :: tail if k.startsWith("--") && !v.startsWith("--") =>
+          loop(tail, acc + (k.drop(2) -> v))
+        case k :: tail if k.startsWith("--") =>
+          loop(tail, acc + (k.drop(2) -> "true"))
+        case _ :: tail => loop(tail, acc)
+        case Nil => acc
+      }
+    loop(args.toList, Map.empty)
+  }
 
   private def req(o: Map[String, String], k: String): String =
     o.getOrElse(k, sys.error(s"missing required option --$k"))

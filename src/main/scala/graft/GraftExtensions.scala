@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{Md5Prefix60, TokenFoldHash, VectorDot}
+import graft.expressions.{Md5Prefix60, ShingleHashes, ShingleMinHash, TokenFoldHash, VectorDot}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -28,5 +28,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TokenFoldHash].getName, "token_fold_hash"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         TokenFoldHash(exprs.head)))
+    // literal n/k/prefix arguments: fold to constants at registration
+    e.injectFunction((
+      new FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ShingleHashes(exprs.head,
+          exprs(1).eval().asInstanceOf[Int],
+          if (exprs.length > 2) exprs(2).eval().toString else "")))
+    e.injectFunction((
+      new FunctionIdentifier("shingle_minhash"),
+      new ExpressionInfo(classOf[ShingleMinHash].getName, "shingle_minhash"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ShingleMinHash(exprs.head,
+          exprs(1).eval().asInstanceOf[Int],
+          exprs(2).eval().asInstanceOf[Int])))
   }
 }

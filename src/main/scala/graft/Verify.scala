@@ -20,6 +20,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // helper caches are per-query; dropping them between queries keeps
+      // the 150-query dump's memory flat (operators.CacheRegistry)
+      operators.CacheRegistry.releaseAll(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

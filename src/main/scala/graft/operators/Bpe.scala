@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.CacheRegistry.Cacheable
 
 /** BPE merge training (Sennrich et al. 2016) — the tokenizer-training stage
   * of a data pipeline, in the shape real trainers use at scale: ONE corpus
@@ -62,7 +63,7 @@ object Bpe {
     require(merges >= 1, s"need merges >= 1, got $merges")
     val spark = docs.sparkSession
     import spark.implicits._
-    var words = wordTable(docs, textCol).persist()
+    var words = wordTable(docs, textCol).trackedCache
     val mergeRows = Seq.newBuilder[(Long, String, String, Long)]
     for (step <- 1 to merges) {
       val pc = pairCounts(words)
@@ -77,7 +78,7 @@ object Bpe {
         mergeRows += ((step.toLong, l, r, best.getLong(2)))
         val next = words.select(col("word"), col("freq"),
           replace(col("syms"), lit(s" $l $r "), lit(s" $l$r ")).as("syms"))
-          .persist()
+          .trackedCache
         next.count()
         words.unpersist()
         words = next

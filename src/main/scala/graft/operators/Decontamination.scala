@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.CacheRegistry.Cacheable
 
 /** Benchmark decontamination — the training-pipeline step that flags
   * training documents sharing n-gram content with an evaluation set.
@@ -20,9 +21,9 @@ object Decontamination {
     // Persisted: the distinct train-shingle set feeds both the per-doc
     // totals and the eval-overlap counts — uncached, the corpus-wide
     // explode+distinct runs twice (measured 10 s at sf1).
-    val ts = Shingles.exploded(train, textCol, idCol, n).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val es = Shingles.exploded(eval, textCol, idCol, n)
+    val ts = Shingles.hashed(train, textCol, idCol, n).distinct()
+      .trackedCache
+    val es = Shingles.hashed(eval, textCol, idCol, n)
       .select("shingle").distinct()
     val counts = ts.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
     val shared = ts.join(broadcast(es), "shingle")
@@ -51,9 +52,9 @@ object Decontamination {
       idCol: String, n: Int = 8): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("pos"))
-    val evalGrams = Shingles.exploded(eval, textCol, idCol, n)
+    val evalGrams = Shingles.hashed(eval, textCol, idCol, n)
       .select("shingle").distinct()
-    Shingles.explodedWithPos(train, textCol, idCol, n)
+    Shingles.hashedWithPos(train, textCol, idCol, n)
       .join(broadcast(evalGrams), "shingle")
       .select(col(idCol), col("pos"))
       .withColumn("_grp", col("pos") - row_number().over(w))
@@ -68,7 +69,7 @@ object Decontamination {
     */
   def repetition(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3): DataFrame =
-    Shingles.exploded(docs, textCol, idCol, n)
+    Shingles.hashed(docs, textCol, idCol, n)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_total"),
         countDistinct(col("shingle")).as("n_distinct"))

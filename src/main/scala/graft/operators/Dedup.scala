@@ -1,8 +1,9 @@
 package graft.operators
 
-import graft.functions.{TextFunctions, VectorFunctions}
+import graft.functions.VectorFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.operators.CacheRegistry.Cacheable
 
 /** Deduplication operators for training-data pipelines, in increasing
   * fuzziness: exact (hash group-by), MinHash+LSH (shingle → minhash → band →
@@ -35,20 +36,23 @@ object Dedup {
     * permutation; min over the unsigned long is engine-portable (DuckDB
     * twin: `MIN(CAST('0x' || substr(md5(seed||shingle), 1, 15) AS BIGINT))`).
     *
-    * Plan shape: explode shingles once, then K native codegen'd
-    * [[graft.expressions.Md5Prefix60]] hashes per shingle and a single
-    * grouped min. Round 3 moved this from hex-string mins (md5() + 32-char
-    * string alloc + lexicographic compares per shingle·K) to long mins —
-    * the dominant cost of every minhash consumer (xq05/xq06/xq21/xq42...,
-    * the 9x-class BENCH_r02 tail).
+    * Plan shape (round 4): the whole signature is ONE narrow projection —
+    * the fused [[graft.expressions.ShingleMinHash]] expression tokenizes
+    * the doc once and folds the K digests per n-gram byte-span into
+    * running mins, so the former shingle Generate (a k·30-byte-string
+    * row blow-up) and the per-doc groupBy exchange are both gone. At
+    * 100 TB this is embarrassingly parallel map work with no shuffle.
+    * (Round 3 had already moved hex-string mins to long mins; the explode
+    * + exchange was the remaining cost.)
     */
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3): DataFrame = {
-    val exploded = Shingles.exploded(docs, textCol, idCol, n)
-    val aggs = (1 to MinhashK).map(k =>
-      min(graft.expressions.Md5Prefix60(
-        concat(lit(k.toString), col("shingle")))).as(s"mh$k"))
-    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val sig = graft.expressions.ShingleMinHash(col(textCol), n, MinhashK)
+    Parallelize.ensure(docs, col(idCol))
+      .select(col(idCol), sig.as("_sig"))
+      .where(col("_sig").isNotNull) // < n tokens: no shingles, no row
+      .select(col(idCol) +:
+        (1 to MinhashK).map(k => element_at(col("_sig"), k).as(s"mh$k")): _*)
   }
 
   /** LSH banding: same band of the signature agreeing on all its hashes →
@@ -77,7 +81,7 @@ object Dedup {
     // Persisted: both sides of the self-join share this lineage, and the
     // signature computation (md5 over every shingle) is the expensive part.
     val bands = bandTable(docs, textCol, idCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedCache
     val a = bands.toDF("doc_a", "band_id", "band_key")
     val b = bands.toDF("doc_b", "band_id", "band_key")
     a.join(b, Seq("band_id", "band_key"))
@@ -218,47 +222,30 @@ object Dedup {
   /** 60-bit SimHash over whitespace tokens. Token hash = first 15 hex chars
     * of md5 as an unsigned 60-bit integer (portable: DuckDB casts
     * '0x'||hex). Signature bit b is set iff the majority of token hashes
-    * have bit b set. Implementation explodes (token, bit) and re-groups —
-    * two narrow shuffles keyed by doc id, no driver work.
+    * have bit b set.
     */
   val SimhashBits = 60
 
-  def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val tokHash = expr(s"graft_md5p60(tok)")
-    docs
-      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
-      .select(col(idCol), tokHash.as("h"))
-      .select(col(idCol), explode(sequence(lit(0), lit(SimhashBits - 1))).as("bit"), col("h"))
-      .groupBy(col(idCol), col("bit"))
-      .agg(sum(when(expr("(h >> bit) & 1") === 1, 1L).otherwise(-1L)).as("s"))
-      .groupBy(col(idCol))
-      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)"))
-        .otherwise(0L)).as("simhash"))
-  }
+  /** One narrow projection since round 4: the fused
+    * [[graft.expressions.SimhashSig]] expression tokenizes, hashes and
+    * bit-votes per doc in a single pass — the former token explode, 60×
+    * bit explode and two doc-keyed exchanges are gone (they were xq07's
+    * whole 14 s at sf1). Bit-identical: the vote is an order-free integer
+    * sum per bit.
+    */
+  def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    Parallelize.ensure(docs, col(idCol)).select(col(idCol),
+      graft.expressions.SimhashSig(col(textCol)).as("simhash"))
 
   /** 120-bit SimHash as TWO 60-bit words (sg0, sg1) from independent
     * seeded token hashes — the signature width the banded pair search
-    * needs at corpus scale (see [[simhashNearDupPairsWide]]). One token
-    * explode, one (doc, bit) aggregation voting both words per pass, one
-    * per-doc assembly — same two-shuffle shape as [[simhash]].
+    * needs at corpus scale (see [[simhashNearDupPairsWide]]). Two fused
+    * [[graft.expressions.SimhashSig]] projections, no shuffle (round 4).
     */
   def simhashWide(docs: DataFrame, textCol: String, idCol: String): DataFrame =
-    docs
-      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
-      .select(col(idCol),
-        expr("graft_md5p60(concat('w0:', tok))").as("h0"),
-        expr("graft_md5p60(concat('w1:', tok))").as("h1"))
-      .select(col(idCol), explode(sequence(lit(0), lit(SimhashBits - 1))).as("bit"),
-        col("h0"), col("h1"))
-      .groupBy(col(idCol), col("bit"))
-      .agg(sum(when(expr("(h0 >> bit) & 1") === 1, 1L).otherwise(-1L)).as("s0"),
-        sum(when(expr("(h1 >> bit) & 1") === 1, 1L).otherwise(-1L)).as("s1"))
-      .groupBy(col(idCol))
-      .agg(
-        sum(when(col("s0") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)"))
-          .otherwise(0L)).as("sg0"),
-        sum(when(col("s1") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)"))
-          .otherwise(0L)).as("sg1"))
+    Parallelize.ensure(docs, col(idCol)).select(col(idCol),
+      graft.expressions.SimhashSig(col(textCol), "w0:").as("sg0"),
+      graft.expressions.SimhashSig(col(textCol), "w1:").as("sg1"))
 
   /** Production-scale simhash pair search: 120-bit signatures, maxHamming
     * <= 3, FOUR 30-bit pigeonhole bands (the Manku/Google near-dup
@@ -284,7 +271,7 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming + 1 <= 4,
       s"wide variant fixes 4 bands of 30 bits; need maxHamming <= 3, got $maxHamming")
     val sig = simhashWide(docs, textCol, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedCache
     val bands = sig.select(col(idCol), col("sg0"), col("sg1"), explode(array(
         (0 until 4).map { b =>
           val word = if (b < 2) "sg0" else "sg1"
@@ -336,7 +323,7 @@ object Dedup {
               .as("band_key"))
         }: _*)).as("band"))
       .select(col(idCol), col("simhash"), col("band.band_id"), col("band.band_key"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedCache
     val a = bands.toDF("doc_a", "sig_a", "band_id", "band_key")
     val b = bands.toDF("doc_b", "sig_b", "band_id", "band_key")
     a.join(b, Seq("band_id", "band_key"))
@@ -362,9 +349,9 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3, minJaccard: Double = 0.0, maxDf: Long = 0L): DataFrame = {
     // Persisted: reused by both join sides and the per-doc counts.
-    val sh = Shingles.exploded(docs, textCol, idCol, n)
+    val sh = Shingles.hashed(docs, textCol, idCol, n)
       .withColumnRenamed(idCol, "doc_id").distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedCache
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     intersectionCounts(sh, maxDf)
       .join(counts.toDF("doc_a", "na"), "doc_a")
@@ -385,9 +372,9 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3, minContainment: Double = 0.0, maxDf: Long = 0L): DataFrame = {
-    val sh = Shingles.exploded(docs, textCol, idCol, n)
+    val sh = Shingles.hashed(docs, textCol, idCol, n)
       .withColumnRenamed(idCol, "doc_id").distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedCache
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     intersectionCounts(sh, maxDf)
       .join(counts.toDF("doc_a", "na"), "doc_a")
@@ -457,7 +444,7 @@ object Dedup {
     // identity probe at hamming 0, the single flipped probe at hamming 1),
     // so no distinct is needed.
     val assigned = Similarity.lshAssign(emb, vecCol, idCol, nPlanes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedCache
     val probes = assigned.select(col(idCol).as("vec_a"), col(vecCol).as("va"),
       col("norm").as("norm_a"),
       explode(array(col("bucket") +:

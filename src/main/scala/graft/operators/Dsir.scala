@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.CacheRegistry.Cacheable
 
 /** DSIR — Data Selection with Importance Resampling (Xie et al. 2023):
   * score every raw document by how much more likely its content is under a
@@ -46,11 +47,11 @@ object Dsir {
     // ratio join and the totals — and totals derive from them (nr = Σ cr)
     // instead of a second corpus-wide token scan.
     val rc = rawB.groupBy("bucket").agg(count(lit(1)).as("cr"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedCache
     val tc = tgtB.groupBy("bucket").agg(count(lit(1)).as("ct"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedCache
     val totals = rc.agg(sum(col("cr")).as("nr"))
-      .crossJoin(tc.agg(sum(col("ct")).as("nt")))
+      .crossJoin(broadcast(tc.agg(sum(col("ct")).as("nt"))))
     rc.join(tc, Seq("bucket"), "left")
       .select(col("bucket"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
       .crossJoin(broadcast(totals))

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.CacheRegistry.Cacheable
 
 /** Iterative graph algorithms as DataFrame programs — the second family
   * (with [[Dedup.dedupGroups]]' connected components) where "loop over a
@@ -42,9 +43,9 @@ object Graphs {
     // reuses one partitioning instead of re-exchanging the edges each round.
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedCache
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedCache
     val nodes = e.select(col("src").as("id")).distinct()
     val withN = nodes.crossJoin(broadcast(nodes.agg(count(lit(1)).as("n_nodes"))))
     var pr = withN.select(col("id"),
@@ -84,7 +85,7 @@ object Graphs {
   def triangleCounts(pairs: DataFrame, aCol: String = "a",
       bCol: String = "b"): DataFrame = {
     val p = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedCache
     val wedges = p.as("e1").join(p.as("e2"), col("e1.b") === col("e2.a"))
       .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
     val tri = wedges.join(p.as("e3"),

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.CacheRegistry.Cacheable
 
 /** N-gram language-model quality scoring — the model-based filtering stage
   * of a training pipeline (the CCNet recipe: score every crawled document
@@ -54,7 +55,7 @@ object NgramLm {
     // AND the scoring join — uncached, the reference-corpus bigram pass
     // runs twice (the xq24/xq44 repeated-consumer pattern).
     val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedCache
     val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
     val v = train
       .select(explode(split(col(textCol), " ")).as("tok"))

@@ -34,21 +34,28 @@ object QualityClassifier {
     spark.range(nBuckets).select(col("id").as("bucket"),
       ((col("id") * 37L + 11L) % 1999L - 999L).as("w_m"))
 
+  /** The fused unigram+bigram hash-bucket stream (idCol, bucket) — one
+    * narrow projection via [[graft.expressions.ShingleHashes]] (n=1 hashes
+    * ARE `Md5Prefix60(token)`, n=2 the bigram hashes), replacing the
+    * union-of-explodes that built every feature string just to hash it
+    * (round 4). Shared by [[hashedCounts]] and [[score]].
+    */
+  private def bucketStream(docs: DataFrame, textCol: String, idCol: String,
+      nBuckets: Int): DataFrame =
+    Parallelize.ensure(docs, col(idCol)).select(col(idCol), explode(concat(
+        graft.expressions.ShingleHashes(col(textCol), 1),
+        graft.expressions.ShingleHashes(col(textCol), 2))).as("_h"))
+      .select(col(idCol), (col("_h") % nBuckets).as("bucket"))
+
   /** The hashed unigram+bigram count features of a corpus:
     * (idCol, bucket, c). Shared by [[score]]-style inference and
     * [[trainLogistic]].
     */
   def hashedCounts(docs: DataFrame, textCol: String, idCol: String,
-      nBuckets: Int): DataFrame = {
-    val unigrams = docs.select(col(idCol),
-      explode(split(col(textCol), " ")).as("feat"))
-    val bigrams = Shingles.exploded(docs, textCol, idCol, n = 2)
-      .select(col(idCol), col("shingle").as("feat"))
-    unigrams.union(bigrams)
-      .select(col(idCol), bucketOf(col("feat"), nBuckets))
+      nBuckets: Int): DataFrame =
+    bucketStream(docs, textCol, idCol, nBuckets)
       .groupBy(col(idCol), col("bucket"))
       .agg(count(lit(1)).as("c"))
-  }
 
   /** In-engine training of the quality classifier — full-batch logistic
     * regression by gradient descent over the hashed count features (the
@@ -123,12 +130,7 @@ object QualityClassifier {
     */
   def score(docs: DataFrame, textCol: String, idCol: String,
       weights: DataFrame, nBuckets: Int): DataFrame = {
-    val unigrams = docs.select(col(idCol),
-      explode(split(col(textCol), " ")).as("feat"))
-    val bigrams = Shingles.exploded(docs, textCol, idCol, n = 2)
-      .select(col(idCol), col("shingle").as("feat"))
-    unigrams.union(bigrams)
-      .select(col(idCol), bucketOf(col("feat"), nBuckets))
+    bucketStream(docs, textCol, idCol, nBuckets)
       .join(broadcast(weights), Seq("bucket"), "left")
       .select(col(idCol), coalesce(col("w_m"), lit(0L)).as("w_m"))
       .groupBy(col(idCol))

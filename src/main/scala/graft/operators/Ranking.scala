@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.CacheRegistry.Cacheable
 
 /** Corpus ranking / search-index construction — the retrieval side of a
   * training-data platform (quality-weighted sampling, dedup triage, eval
@@ -30,7 +31,7 @@ object Ranking {
     val tf = docs
       .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedCache
     val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val corpus = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))

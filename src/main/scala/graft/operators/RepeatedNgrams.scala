@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.CacheRegistry.Cacheable
 
 /** ExactSubstr-style repeated-sequence detection (the substring-dedup regime
   * of Lee et al., "Deduplicating Training Data Makes Language Models
@@ -33,8 +34,8 @@ object RepeatedNgrams {
       n: Int = 5, minCount: Long = 3): DataFrame = {
     // Persisted: the positioned n-gram stream feeds the frequency floor AND
     // the hit join — uncached, the corpus shingle pass runs twice.
-    val grams = Shingles.explodedWithPos(docs, textCol, idCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grams = Shingles.hashedWithPos(docs, textCol, idCol, n)
+      .trackedCache
     val hot = grams.groupBy(col("shingle"))
       .agg(count(lit(1)).as("_cnt"))
       .where(col("_cnt") >= minCount)

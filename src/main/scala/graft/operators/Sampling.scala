@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.CacheRegistry.Cacheable
 
 /** Deterministic sampling for training pipelines — no RNG state, stable
   * under repartition and re-runs, portable across engines (md5 ordering).
@@ -99,7 +100,7 @@ object Sampling {
       .withColumn("_k", md5(col(idCol).cast("string")))
       .repartitionByRange(nPart, col("_k"), col(idCol))
       .withColumn("_pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedCache
     val offsetWin = Window.orderBy(col("_pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = parts.groupBy(col("_pid"))
@@ -127,7 +128,7 @@ object Sampling {
     val nPart = spark.sessionState.conf.numShufflePartitions
     val parts = df.repartitionByRange(nPart, order: _*)
       .withColumn("_pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedCache
     val offsetWin = Window.orderBy(col("_pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = parts.groupBy(col("_pid"))
@@ -163,7 +164,7 @@ object Sampling {
     val ord = (orderCols :+ idCol).map(col)
     val parts = df.repartitionByRange(nPart, ord: _*)
       .withColumn("_pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedCache
     val offsetWin = Window.orderBy(col("_pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val counts = parts.groupBy(col("_pid")).agg(count(lit(1)).as("_pn"))
@@ -208,7 +209,7 @@ object Sampling {
     // sampling and are otherwise not guaranteed stable across jobs).
     val parts = df.repartitionByRange(nPart, col(idCol))
       .withColumn("_pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedCache
     val offsetWin = Window.orderBy(col("_pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = parts.groupBy(col("_pid"))

@@ -25,6 +25,26 @@ object Shingles {
   def exploded(docs: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame =
     explodedWithPos(docs, textCol, idCol, n).drop("pos")
 
+  /** HASHED shingle stream (id, shingle: long) — the production form: the
+    * fused [[graft.expressions.ShingleHashes]] expression digests byte
+    * spans of the raw text, so no n-gram string is ever built and every
+    * downstream join/distinct/groupBy keys on longs instead of ~30-byte
+    * strings (round 4; this was the shared cost of the whole >2x shingle
+    * family). Values equal `Md5Prefix60(shingle-string)` bit-for-bit.
+    */
+  def hashed(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3): DataFrame =
+    Parallelize.ensure(docs, col(idCol)).select(col(idCol),
+      explode(graft.expressions.ShingleHashes(col(textCol), n)).as("shingle"))
+
+  /** As [[hashed]] with each hash's 0-based start token position. */
+  def hashedWithPos(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3): DataFrame =
+    Parallelize.ensure(docs, col(idCol)).select(col(idCol),
+      posexplode(graft.expressions.ShingleHashes(col(textCol), n))
+        .as(Seq("pos", "shingle")))
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("shingle"))
+
   /** As [[exploded]] but keeping the 0-based start position of each
     * shingle — the span-level operators (contamination spans) need it.
     */

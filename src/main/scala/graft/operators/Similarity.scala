@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.VectorFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.operators.CacheRegistry.Cacheable
 
 /** Similarity search over embedding columns (`Array[Float]`).
   *
@@ -75,7 +76,10 @@ object Similarity {
   def kmeansFit(emb: DataFrame, vecCol: String, idCol: String, k: Int,
       iters: Int): DataFrame = {
     require(k > 0 && iters >= 1, s"need k > 0, iters >= 1; got k=$k iters=$iters")
-    val e = emb.select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_v"))
+    // Cast id/vector up front: the driver-side collects below read
+    // getLong/getSeq[Double], which would ClassCastException on int ids.
+    val e = emb.select(col(idCol).cast("long").as("_id"),
+      col(vecCol).cast("array<double>").as("_v"))
     // Centroids live driver-side between iterations: k·dims doubles
     // (metadata scale — they were broadcast every round anyway). The
     // per-iteration collect is the same bounded class as the BPE argmax.
@@ -112,7 +116,9 @@ object Similarity {
     */
   def assignToCentroids(emb: DataFrame, vecCol: String, idCol: String,
       cents: DataFrame): DataFrame = {
-    val centLocal = cents.select(col("cluster"), col("cvec")).collect()
+    val centLocal = cents
+      .select(col("cluster").cast("long"), col("cvec").cast("array<double>"))
+      .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq: Seq[Double]))
       .toIndexedSeq.sortBy(_._1)
     val best = array_max(array(centLocal.map { case (cid, cvec) =>
@@ -164,7 +170,7 @@ object Similarity {
     // embeds) executes twice (the xq44/xq24 repeated-consumer pattern).
     val v = emb.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
       .join(assigned, Seq(idCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedCache
     v.select(col("cluster"), col(idCol).as("_ida"), col("_v").as("_va"))
       .join(v.select(col("cluster"), col(idCol).as("_idb"), col("_v").as("_vb")),
         Seq("cluster"))
@@ -361,7 +367,7 @@ object Similarity {
   def pqTopK(emb: DataFrame, vecCol: String, idCol: String, queryId: Long,
       kNN: Int, m: Int, subDim: Int, k: Int, iters: Int): DataFrame = {
     val cb = pqTrain(emb, vecCol, idCol, m, subDim, k, iters)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedCache
     val codes = pqEncode(emb, vecCol, idCol, cb, m, subDim)
     val qsubs = emb.where(col(idCol) === queryId)
       .select(posexplode(array((0 until m).map(s =>
@@ -393,7 +399,7 @@ object Similarity {
     val cells = assign(emb, vecCol, idCol, nCells)
       .select(col(idCol), col("cluster").as("cell"))
     val cb = pqTrain(emb, vecCol, idCol, m, subDim, k, iters)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedCache
     val codes = pqEncode(emb, vecCol, idCol, cb, m, subDim).join(cells, idCol)
     val qCell = cells.where(col(idCol) === queryId).select(col("cell"))
     val qsubs = emb.where(col(idCol) === queryId)

@@ -23,6 +23,18 @@ object ExtensionQueries {
       |sh_all AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
       |           FROM t, UNNEST(generate_series(1, len(w)-2)) AS u(i))""".stripMargin
 
+  /** HASHED (60-bit md5) shingle stream — twin of `Shingles.hashed`: since
+    * round 4 the jaccard/containment/decontamination/repetition operators
+    * key on fused shingle hashes instead of n-gram strings, so their
+    * oracles apply the identical portable hash — engine behavior,
+    * collisions included, matches by construction.
+    */
+  private val hashedShingleCte =
+    s"""$shingleCte,
+       |sh_h AS (SELECT doc_id,
+       |  CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS shingle
+       |  FROM sh_all)""".stripMargin
+
   /** 60-bit-long minhash twin of Dedup.minhashSignatures (round 3: hex
     * strings → unsigned 60-bit longs, mirroring the native Md5Prefix60).
     */
@@ -393,8 +405,8 @@ object ExtensionQueries {
     QueryDef("xq08_ngram_jaccard",
       (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id")
         .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b")).limit(100),
-      Some(s"""$shingleCte,
-              |sh AS (SELECT DISTINCT doc_id, shingle FROM sh_all),
+      Some(s"""$hashedShingleCte,
+              |sh AS (SELECT DISTINCT doc_id, shingle FROM sh_h),
               |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
               |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
               |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -411,8 +423,8 @@ object ExtensionQueries {
       (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id",
         maxDf = 50L)
         .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b")).limit(100),
-      Some(s"""$shingleCte,
-              |sh AS (SELECT DISTINCT doc_id, shingle FROM sh_all),
+      Some(s"""$hashedShingleCte,
+              |sh AS (SELECT DISTINCT doc_id, shingle FROM sh_h),
               |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
               |hot AS (SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) > 50),
               |cold AS (SELECT * FROM sh
@@ -867,10 +879,10 @@ object ExtensionQueries {
           "text", "doc_id")
           .orderBy(col("contamination").desc, col("doc_id")).limit(50)
       },
-      Some(s"""$shingleCte,
-              |ts AS (SELECT DISTINCT sh_all.doc_id, shingle FROM sh_all
+      Some(s"""$hashedShingleCte,
+              |ts AS (SELECT DISTINCT sh_h.doc_id, shingle FROM sh_h
               |       JOIN documents USING (doc_id) WHERE source <> 'src0'),
-              |es AS (SELECT DISTINCT shingle FROM sh_all
+              |es AS (SELECT DISTINCT shingle FROM sh_h
               |       JOIN documents USING (doc_id) WHERE source = 'src0'),
               |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles FROM ts GROUP BY 1),
               |shr AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
@@ -885,10 +897,10 @@ object ExtensionQueries {
     QueryDef("xq25_repetition",
       (s, d) => Decontamination.repetition(Tables.documents(s, d), "text", "doc_id")
         .orderBy(col("repetition").desc, col("doc_id")).limit(50),
-      Some(s"""$shingleCte,
+      Some(s"""$hashedShingleCte,
               |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_total,
               |        CAST(COUNT(DISTINCT shingle) AS BIGINT) AS n_distinct
-              |        FROM sh_all GROUP BY 1)
+              |        FROM sh_h GROUP BY 1)
               |SELECT doc_id, n_total, n_distinct,
               |       1.0 - CAST(n_distinct AS DOUBLE) / n_total AS repetition
               |FROM agg ORDER BY repetition DESC, doc_id LIMIT 50""".stripMargin)),
@@ -1003,7 +1015,8 @@ object ExtensionQueries {
       },
       Some("""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
              |g AS (SELECT doc_id, source, CAST(i - 1 AS BIGINT) AS pos,
-             |        array_to_string(list_slice(w, i, i + 3), ' ') AS gram
+             |        CAST('0x' || substr(md5(
+             |          array_to_string(list_slice(w, i, i + 3), ' ')), 1, 15) AS BIGINT) AS gram
              |      FROM t, UNNEST(generate_series(1, len(w) - 3)) AS u(i)),
              |ev AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
              |hits AS (SELECT g.doc_id, g.pos FROM g JOIN ev USING (gram)
@@ -1169,7 +1182,8 @@ object ExtensionQueries {
         .orderBy("doc_id", "span_start"),
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
              |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-             |        array_to_string(list_slice(w, i, i + 3), ' ') AS gram
+             |        CAST('0x' || substr(md5(
+             |          array_to_string(list_slice(w, i, i + 3), ' ')), 1, 15) AS BIGINT) AS gram
              |      FROM t, UNNEST(generate_series(1, len(w) - 3)) AS u(i)),
              |hot AS (SELECT gram FROM g GROUP BY 1 HAVING COUNT(*) >= 2),
              |hits AS (SELECT g.doc_id, g.pos FROM g JOIN hot USING (gram)),
@@ -2091,7 +2105,9 @@ object ExtensionQueries {
              |         array_to_string(list_slice(string_split(text, ' '), 5, 28), ' ')
              |  FROM documents WHERE doc_id % 20 = 0),
              |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM all_docs),
-             |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+             |sh AS (SELECT DISTINCT doc_id,
+             |         CAST('0x' || substr(md5(
+             |           w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15) AS BIGINT) AS s
              |       FROM t, UNNEST(generate_series(1, len(w) - 2)) AS u(i)),
              |na AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
              |c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -2279,7 +2295,9 @@ object ExtensionQueries {
           .orderBy("doc_a", "doc_b")
       },
       Some(s"""$lshPairsCte,
-              |js AS (SELECT DISTINCT doc_id, shingle FROM sh_all),
+              |js AS (SELECT DISTINCT doc_id,
+              |         CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS shingle
+              |       FROM sh_all),
               |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM js GROUP BY 1),
               |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
               |            CAST(COUNT(*) AS BIGINT) AS c
@@ -2416,15 +2434,19 @@ object ExtensionQueries {
     // → javax.imageio header+pixel decode → dimensions and exact integer
     // per-channel sums. The BMP layout is transparent (byte 3k→B, 3k+1→G,
     // 3k+2→R, zero row padding), so DuckDB recomputes every output from
-    // the source characters — the decoder is hash-checked, not stubbed.
+    // the source UTF-8 BYTES (hex(encode()) + 2-char substr — the oracle
+    // iterates bytes, not characters, so multi-byte text stays hash-exact)
+    // — the decoder is hash-checked, not stubbed.
     QueryDef("xq16_multimodal_features",
       (s, d) => Multimodal.extractFeatures(s, Multimodal.imageAssets(Tables.documents(s, d)))
         .toDF()
         .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
           col("sum_b"), col("sum_g"), col("sum_r"), col("n_pixels"))
         .orderBy("doc_id"),
-      Some(s"""WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
-              |u AS (SELECT doc_id, ascii(substr(text, i, 1)) AS v, (i-1) % 3 AS ch
+      Some(s"""WITH t AS (SELECT doc_id, hex(encode(text)) AS hx,
+              |             octet_length(encode(text)) AS n FROM documents),
+              |u AS (SELECT doc_id, CAST(('0x' || substr(hx, 2*i - 1, 2)) AS INT) AS v,
+              |             (i-1) % 3 AS ch
               |      FROM t, UNNEST(generate_series(1, n)) AS g(i)),
               |s AS (SELECT doc_id,
               |        SUM(CASE WHEN ch = 0 THEN v ELSE 0 END) AS sum_b,

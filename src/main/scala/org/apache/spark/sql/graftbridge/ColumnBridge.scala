@@ -24,8 +24,22 @@ object CheckpointBridge {
   import org.apache.spark.sql.DataFrame
   import org.apache.spark.sql.execution.LogicalRDD
 
+  /** Unpersists the checkpointed RDD's blocks AND, for reliable
+    * checkpoints, deletes the checkpoint directory itself —
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` is off by default,
+    * so without this every dedupGroups round leaks ~2 frames of files.
+    */
   def release(df: DataFrame): Unit = df.queryExecution.logical match {
-    case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+    case lr: LogicalRDD =>
+      val rdd = lr.rdd
+      rdd.unpersist(blocking = false)
+      rdd.getCheckpointFile.foreach { dir =>
+        try {
+          val p = new org.apache.hadoop.fs.Path(dir)
+          val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+          fs.delete(p, true)
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
     case _ => ()
   }
 }

@@ -23,8 +23,11 @@ class CliSpec extends SparkSpec {
       Files.write(Paths.get(events.toString, f"ev-$i%05d.dat"),
         s"$key\n$value".getBytes("UTF-8"))
     }
+    // --available-now passed BARE and mid-list (the documented usage):
+    // the parser must treat it as a presence flag without misaligning the
+    // options that follow it.
     val code = Cli.run(Array("aggregate", "--events", events.toString,
-      "--table", table, "--checkpoint", ckpt, "--available-now", "true"), spark)
+      "--available-now", "--table", table, "--checkpoint", ckpt), spark)
     assert(code == 0)
     val total = spark.read.parquet(table)
       .where($"day" === day0 && $"counter" === "total")
