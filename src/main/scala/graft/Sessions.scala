@@ -21,6 +21,13 @@ object Sessions {
       // events.ts is TIMESTAMP(NANOS) parquet — read as long, normalized in
       // Tables.events (Spark has no nanosecond TimestampType).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // RocksDB-backed streaming state: the event-id dedup state of the
+      // corpus-ingest personality grows with rate × watermark (the one
+      // unbounded-cardinality state in the system) — the default HDFS
+      // provider keeps it all heap-resident, RocksDB spills it to local
+      // disk. Counter-pipeline state (~10^3 keys) is unaffected either way.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -114,6 +114,48 @@ object Multimodal {
       .toDF("doc_id", "payload", "mime", "n_bytes")
   }
 
+  /** Encode raw bytes as a PNG (same sample mapping as [[encodeBmp]]:
+    * byte 3k→B, 3k+1→G, 3k+2→R over `BmpWidth`-pixel rows, zero-filled
+    * tail) through the JDK encoder. PNG is COMPRESSED — payload bytes ≠
+    * pixel bytes — so decoding it exercises the codec seam the BMP path
+    * cannot: [[decodeImage]] must run a real inflate + defilter to
+    * recover sums the oracle recomputes from the source text (xq87).
+    */
+  def encodePng(raw: Array[Byte]): Array[Byte] = {
+    val height = math.max(1, (raw.length + RowBytes - 1) / RowBytes)
+    val img = new java.awt.image.BufferedImage(
+      BmpWidth, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var p = 0
+    val nPix = BmpWidth * height
+    while (p < nPix) {
+      def at(i: Int): Int = if (i < raw.length) raw(i) & 0xFF else 0
+      val (b, g, r) = (at(3 * p), at(3 * p + 1), at(3 * p + 2))
+      img.setRGB(p % BmpWidth, p / BmpWidth, (r << 16) | (g << 8) | b)
+      p += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** The corpus as PNG assets — the compressed-format twin of
+    * [[imageAssets]]; nothing downstream changes but the codec.
+    */
+  def pngAssets(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("raw"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.map { case (id, raw) =>
+          val png = encodePng(raw)
+          (id, png, "image/png", png.length.toLong)
+        }
+      }
+      .toDF("doc_id", "payload", "mime", "n_bytes")
+  }
+
   /** Frame sampling: slice every `stride`-th fixed-size window out of the
     * payload — the byte-level plumbing of video frame-sampling (a real
     * decoder would seek keyframes; the slicing, explode shape, and

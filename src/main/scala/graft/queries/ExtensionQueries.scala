@@ -2465,6 +2465,40 @@ object ExtensionQueries {
               |  CAST(COALESCE(s.sum_r, 0) AS BIGINT) AS sum_r,
               |  CAST(${Multimodal.BmpWidth} * d.h AS BIGINT) AS n_pixels
               |FROM dims d LEFT JOIN s USING (doc_id)
+              |ORDER BY d.doc_id""".stripMargin)),
+
+    // XQ87: COMPRESSED-format decode — the same features through PNG
+    // payloads (JDK deflate encode → ImageIO inflate+defilter decode).
+    // Unlike BMP, payload bytes ≠ pixel bytes, so this hash-checks the
+    // codec seam itself; the compressed file size is codec-dependent and
+    // deliberately NOT in the output (the oracle cannot recompute it).
+    QueryDef("xq87_multimodal_png",
+      (s, d) => Multimodal.extractFeatures(s, Multimodal.pngAssets(Tables.documents(s, d)))
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          col("sum_b"), col("sum_g"), col("sum_r"), col("n_pixels"))
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, hex(encode(text)) AS hx,
+              |             octet_length(encode(text)) AS n FROM documents),
+              |u AS (SELECT doc_id, CAST(('0x' || substr(hx, 2*i - 1, 2)) AS INT) AS v,
+              |             (i-1) % 3 AS ch
+              |      FROM t, UNNEST(generate_series(1, n)) AS g(i)),
+              |s AS (SELECT doc_id,
+              |        SUM(CASE WHEN ch = 0 THEN v ELSE 0 END) AS sum_b,
+              |        SUM(CASE WHEN ch = 1 THEN v ELSE 0 END) AS sum_g,
+              |        SUM(CASE WHEN ch = 2 THEN v ELSE 0 END) AS sum_r
+              |      FROM u GROUP BY 1),
+              |dims AS (SELECT doc_id, n,
+              |           CAST(GREATEST(CEIL(n / 96.0), 1) AS BIGINT) AS h
+              |         FROM t)
+              |SELECT d.doc_id,
+              |  CAST(${Multimodal.BmpWidth} AS INT) AS width,
+              |  CAST(d.h AS INT) AS height,
+              |  CAST(COALESCE(s.sum_b, 0) AS BIGINT) AS sum_b,
+              |  CAST(COALESCE(s.sum_g, 0) AS BIGINT) AS sum_g,
+              |  CAST(COALESCE(s.sum_r, 0) AS BIGINT) AS sum_r,
+              |  CAST(${Multimodal.BmpWidth} * d.h AS BIGINT) AS n_pixels
+              |FROM dims d LEFT JOIN s USING (doc_id)
               |ORDER BY d.doc_id""".stripMargin))
   )
 }

@@ -283,10 +283,17 @@ object RelationalQueries {
               |WHERE o_totalprice > (SELECT ${QueryDef.oAvg("o_totalprice")} FROM orders)
               |ORDER BY o_orderkey""".stripMargin)),
 
-    // RQ18: CTE + self-join — line-number pairs per order.
+    // RQ18: CTE + self-join — line-number pairs per order. The CTE frame is
+    // repartitioned on the join key ONCE and persisted (the bucketed-table
+    // shape, in-query): both self-join sides and the final aggregation
+    // reuse that single exchange, so the plan is one scan + one shuffle
+    // instead of two scans + two join exchanges + an agg exchange
+    // (round 4; rq18 was the one relational query still >2x at sf1).
     QueryDef("rq18_cte_selfjoin",
       (s, d) => {
-        val l = Tables.lineitem(s, d).select("l_orderkey", "l_linenumber")
+        val l = graft.operators.CacheRegistry.persisted(
+          Tables.lineitem(s, d).select("l_orderkey", "l_linenumber")
+            .repartition(col("l_orderkey")))
         val a = l.as("a")
         val b = l.as("b")
         a.join(b, col("a.l_orderkey") === col("b.l_orderkey") &&

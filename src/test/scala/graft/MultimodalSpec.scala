@@ -37,6 +37,20 @@ class MultimodalSpec extends SparkSpec {
     assert(w0 == Multimodal.BmpWidth && h0 == 1 && zb + zg + zr == 0L)
   }
 
+  test("PNG round trip: compressed payload decodes to the same features as BMP") {
+    val raw = Array.tabulate(200)(i => i.toByte)
+    val png = Multimodal.encodePng(raw)
+    // PNG magic; compressed, so payload size differs from pixel bytes
+    assert((png(0) & 0xFF) == 0x89 && png(1) == 'P'.toByte)
+    assert(png.length != 54 + 3 * 96, "compressed size must not equal BMP layout")
+    val (w, h, sb, sg, sr) = Multimodal.decodeImage(png)
+    val (bw, bh, bb, bg, br) = Multimodal.decodeImage(Multimodal.encodeBmp(raw))
+    assert((w, h, sb, sg, sr) == ((bw, bh, bb, bg, br)))
+    // empty payload
+    val (w0, h0, zb, zg, zr) = Multimodal.decodeImage(Multimodal.encodePng(Array.empty))
+    assert(w0 == Multimodal.BmpWidth && h0 == 1 && zb + zg + zr == 0L)
+  }
+
   test("frame sampling slices the expected windows") {
     import spark.implicits._
     val assets = Seq((1L, ("x" * 300).getBytes("UTF-8"), "text/plain", 300L))

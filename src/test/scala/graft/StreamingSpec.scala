@@ -183,6 +183,15 @@ class StreamingSpec extends SparkSpec {
       val store = new CounterStore(spark, tableDir)
       val d0 = store.countersForDay(day0).as[(String, Long)].collect().toMap
       assert(d0("total") == 2L, s"redelivered event must not double-count: $d0")
+      // the event-id dedup state is the one unbounded-cardinality state in
+      // the system — assert it actually runs on the RocksDB provider
+      // (Sessions config), not the heap-resident HDFS default
+      assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        .contains("RocksDBStateStoreProvider"))
+      val metrics = q.lastProgress.stateOperators.flatMap(
+        _.customMetrics.keySet().toArray(Array.empty[String]))
+      assert(metrics.exists(_.toLowerCase.contains("rocksdb")),
+        s"state operator metrics show no rocksdb provider: ${metrics.mkString(",")}")
     } finally q.stop()
   }
 
