@@ -33,33 +33,31 @@ object Cleaning {
     Seq("javascript", "cookie policy", "lorem ipsum", "privacy policy",
       "terms of use")
 
-  private def isKeptLine(l: Column, minWords: Int,
-      blocklist: Seq[String]): Column = {
-    val terminal = substring(l, -1, 1).isin(".", "!", "?", "\"")
-    val enoughWords = size(split(l, " ")) >= minWords
-    val noBrace = !l.contains("{")
-    val lowered = lower(l)
-    val noBoiler = blocklist.map(p => !lowered.contains(p))
-      .reduce(_ && _)
-    terminal && enoughWords && noBrace && noBoiler
-  }
-
-  /** C4 line filter: split on newlines, keep prose-like lines, reassemble in
-    * original order, drop docs with fewer than `minLines` survivors.
-    * Output: (idCol, n_lines, n_kept, clean_text).
+  /** C4 line filter: split on newlines, keep prose-like lines (terminal
+    * punctuation, >= minWords words, no '{', no blocklist phrase),
+    * reassemble in original order, drop docs with fewer than `minLines`
+    * survivors. Output: (idCol, n_lines, n_kept, clean_text).
+    *
+    * The per-line verdicts run inside [[graft.expressions.C4LineStats]] —
+    * one codegen'd byte pass per document instead of interpreted
+    * `filter(split(...))` HOF lambdas (which dominated xq64 at sf1).
     */
   def c4LineFilter(docs: DataFrame, textCol: String, idCol: String,
       minWords: Int = 5, minLines: Int = 2,
       blocklist: Seq[String] = defaultBlocklist): DataFrame = {
     docs
-      .select(col(idCol), split(col(textCol), "\n").as("_lines"))
       .select(col(idCol),
-        size(col("_lines")).cast("long").as("n_lines"),
-        filter(col("_lines"), l => isKeptLine(l, minWords, blocklist))
-          .as("_kept"))
-      .select(col(idCol), col("n_lines"),
-        size(col("_kept")).cast("long").as("n_kept"),
-        array_join(col("_kept"), "\n").as("clean_text"))
+        graft.expressions.C4LineStats(col(textCol), minWords, blocklist)
+          .as("_s"))
+      // nondeterministic no-op column: stops PushPredicateThroughNonJoin
+      // from substituting the filter below this projection, which would
+      // re-evaluate the full line pass once in the Filter and once in the
+      // Project (the predicate is not source-pushable anyway).
+      .withColumn("_barrier", spark_partition_id())
+      .select(col(idCol),
+        col("_s.n_lines").as("n_lines"),
+        size(col("_s.kept")).cast("long").as("n_kept"),
+        array_join(col("_s.kept"), "\n").as("clean_text"))
       .where(col("n_kept") >= minLines)
   }
 
@@ -88,26 +86,24 @@ object Cleaning {
       maxSymbolRatio: Double = 0.1, maxBulletRatio: Double = 0.9,
       maxEllipsisRatio: Double = 0.3, minAlphaRatio: Double = 0.8,
       minStopwords: Long = 2): DataFrame = {
-    val t = col(textCol)
-    val lines = split(t, "\n")
-    val words = split(regexp_replace(t, "\n", " "), " ")
-
-    val nWords = size(words).cast("long")
-    val sumWordLen = aggregate(words, lit(0L), (a, w) => a + length(w))
+    // All nine raw counts come from one codegen'd byte pass
+    // (graft.expressions.GopherStats) — the interpreted filter/aggregate
+    // HOF + per-word rlike form was xq65's entire 13.9 s at sf1. The
+    // stats struct lives in its own projection so it is computed once
+    // (CollapseProject keeps non-cheap multi-referenced aliases apart).
+    val st = col("_gopher")
+    val nWords = st.getField("n_words")
+    val sumWordLen = st.getField("sum_word_len")
     val meanWordLen = sumWordLen.cast("double") / nWords.cast("double")
-    val nHash = (length(t) - length(regexp_replace(t, "#", ""))).cast("long")
-    val nEllipsis =
-      ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3)
-        .cast("long")
+    val nHash = st.getField("n_hash")
+    val nEllipsis = st.getField("n_ellipsis")
     val symbolRatio =
       (nHash + nEllipsis).cast("double") / nWords.cast("double")
-    val nLines = size(lines).cast("long")
-    val nBullet = size(filter(lines,
-      l => l.startsWith("- ") || l.startsWith("• "))).cast("long")
-    val nEllLine = size(filter(lines, l => l.endsWith("..."))).cast("long")
-    val nAlpha = size(filter(words, w => w.rlike("[a-zA-Z]"))).cast("long")
-    val nStop = size(filter(words,
-      w => lower(w).isInCollection(gopherStopwords))).cast("long")
+    val nLines = st.getField("n_lines")
+    val nBullet = st.getField("n_bullet")
+    val nEllLine = st.getField("n_ell_line")
+    val nAlpha = st.getField("n_alpha")
+    val nStop = st.getField("n_stop")
 
     val flags = Seq(
       "r_word_count" -> (nWords >= minWords && nWords <= maxWords),
@@ -122,12 +118,15 @@ object Cleaning {
         (nAlpha.cast("double") / nWords.cast("double") >= minAlphaRatio),
       "r_stop" -> (nStop >= minStopwords))
 
-    val base = docs.select(
-      (col(idCol) +:
-        (nWords.as("n_words") :: meanWordLen.as("mean_word_len") ::
-          symbolRatio.as("symbol_ratio") :: nStop.as("n_stop") ::
-          flags.map { case (n, c) => when(c, 1L).otherwise(0L).as(n) }.toList))
-        : _*)
+    val base = docs
+      .select(col(idCol),
+        graft.expressions.GopherStats(col(textCol)).as("_gopher"))
+      .select(
+        (col(idCol) +:
+          (nWords.as("n_words") :: meanWordLen.as("mean_word_len") ::
+            symbolRatio.as("symbol_ratio") :: nStop.as("n_stop") ::
+            flags.map { case (n, c) => when(c, 1L).otherwise(0L).as(n) }.toList))
+          : _*)
     base.withColumn("pass",
       when(flags.map { case (n, _) => col(n) === 1L }.reduce(_ && _), 1L)
         .otherwise(0L))

@@ -402,8 +402,14 @@ object Dedup {
         // |A∩B| = |A∩B ∩ cold| + |A∩B ∩ hot|.
         val hotKeys = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
           .where(col("df") > maxDf).select("shingle")
+        // Explicit non-coalescible partitioning for the pair-generating
+        // self-join: shingle hashes shuffle few bytes but each reduce row
+        // fans out quadratically per bucket, so AQE's byte-based coalescing
+        // would serialize the candidate generation (same trap as
+        // fuzzyDedupPairs — measured 2x on xq76 at sf1).
         val cold = sh.join(hotKeys, Seq("shingle"), "left_anti")
           .select(col("doc_id"), col("shingle"))
+          .repartition(numShufflePartitions(sh), col("shingle"))
         val hot = sh.join(hotKeys, Seq("shingle"), "left_semi")
           .select(col("doc_id"), col("shingle"))
         val coldCounts = cold.select(col("doc_id").as("doc_a"), col("shingle"))
@@ -419,13 +425,21 @@ object Dedup {
           .select(col("doc_a"), col("doc_b"),
             (col("c_cold") + coalesce(col("c_hot"), lit(0L))).as("c"))
       } else {
-        sh.select(col("doc_id").as("doc_a"), col("shingle"))
-          .join(sh.toDF("doc_b", "shingle"), "shingle")
+        val shP = sh.repartition(numShufflePartitions(sh), col("shingle"))
+        shP.select(col("doc_id").as("doc_a"), col("shingle"))
+          .join(shP.toDF("doc_b", "shingle"), "shingle")
           .where(col("doc_a") < col("doc_b"))
           .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
       }
     interCounts
   }
+
+  /** The session's configured shuffle parallelism — used with
+    * REPARTITION_BY_NUM to pin compute-dense exchanges that AQE's
+    * byte-based coalescing must not fold (see fuzzyDedupPairs).
+    */
+  private def numShufflePartitions(df: DataFrame): Int =
+    df.sparkSession.sessionState.conf.numShufflePartitions
 
   /** Embedding-cosine near-dup pairs above a threshold — the scale path:
     * candidate generation through sign-LSH bucket co-membership
@@ -496,18 +510,60 @@ object Dedup {
     * and DuckDB, so results are oracle-exact.
     */
   def fuzzyDedupPairs(docs: DataFrame, textCol: String, idCol: String,
-      keyLen: Int = 40, blockLen: Int = 8, maxDist: Int = 8): DataFrame = {
+      keyLen: Int = 40, blockLen: Int = 8, maxDist: Int = 8,
+      fanout: Int = 16): DataFrame = {
     require(blockLen <= keyLen, s"blockLen $blockLen must be <= keyLen $keyLen")
+    require(fanout >= 1, s"fanout must be >= 1, got $fanout")
+    // Three cost levers over the naive in-block doc×doc compare, all exact:
+    //  1. DISTINCT-KEY compare: duplicated prefixes (boilerplate headers,
+    //     syndicated openings) are the norm in web corpora, so levenshtein
+    //     runs once per distinct key PAIR; doc pairs are recovered by two
+    //     cheap equi-joins on the matched keys afterwards — the quadratic
+    //     join never carries doc ids, only the short keys.
+    //  2. CELL DECOMPOSITION of the in-block self-join: each key gets a
+    //     deterministic sub-bucket g in [0, fanout); the a-side joins into
+    //     cells (g, x >= g), the b-side into (x <= g, g), so a hot block of
+    //     m keys becomes fanout·(fanout+1)/2 independently-scheduled join
+    //     cells of (m/fanout)² work instead of ONE task doing m²/2 — the
+    //     skew profile a prefix block distribution always has (the sf1 run
+    //     measured one block holding 39% of all pair work).
+    //  3. BANDED levenshtein: the threshold form computes only the ±maxDist
+    //     diagonal band (O(len·d), not O(len²)) and returns -1 past the
+    //     threshold — same verdict as computing the full distance and
+    //     filtering, which is what the oracle does.
     val keyed = docs.select(col(idCol),
-        lower(substring(col(textCol), 1, keyLen)).as("key"))
+      lower(substring(col(textCol), 1, keyLen)).as("key"))
+    val keys = keyed.select("key").distinct()
       .withColumn("block", substring(col("key"), 1, blockLen))
-    val a = keyed.select(col(idCol).as("doc_a"), col("key").as("key_a"), col("block"))
-    val b = keyed.select(col(idCol).as("doc_b"), col("key").as("key_b"), col("block"))
-    a.join(b, "block")
-      .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        levenshtein(col("key_a"), col("key_b")).cast("long").as("edit_dist"))
-      .where(col("edit_dist") <= maxDist)
+      .withColumn("g", pmod(xxhash64(col("key")), lit(fanout.toLong)).cast("int"))
+    // REPARTITION_BY_NUM (not coalescible by AQE) on the cell key: the
+    // shuffled bytes here are tiny (short keys) while per-row compute is
+    // huge (a levenshtein per joined row), so AQE's byte-based partition
+    // coalescing would otherwise fold the whole compare onto a handful of
+    // cores — measured 36 s -> 3 s at sf1 from this one property.
+    val p = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val a = keys.select(col("key").as("key_a"), col("block"), col("g").as("c1"))
+      .withColumn("c2", explode(sequence(col("c1"), lit(fanout - 1))))
+      .repartition(p, col("block"), col("c1"), col("c2"))
+    val b = keys.select(col("key").as("key_b"), col("block"), col("g").as("c2"))
+      .withColumn("c1", explode(sequence(lit(0), col("c2"))))
+      .repartition(p, col("block"), col("c1"), col("c2"))
+    val matched = a.join(b, Seq("block", "c1", "c2"))
+      // diagonal cells see both orders + self-pairs; off-diagonal cells see
+      // each unordered key pair exactly once (by cell construction)
+      .where(col("c1") =!= col("c2") || col("key_a") <= col("key_b"))
+      .withColumn("edit_dist",
+        when(col("key_a") === col("key_b"), lit(0))
+          .otherwise(levenshtein(col("key_a"), col("key_b"), maxDist)))
+      .where(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
+      .select(col("key_a"), col("key_b"), col("edit_dist"))
+    matched
+      .join(keyed.select(col(idCol).as("_ia"), col("key").as("key_a")), "key_a")
+      .join(keyed.select(col(idCol).as("_ib"), col("key").as("key_b")), "key_b")
+      .where(col("key_a") =!= col("key_b") || col("_ia") < col("_ib"))
+      .select(least(col("_ia"), col("_ib")).as("doc_a"),
+        greatest(col("_ia"), col("_ib")).as("doc_b"),
+        col("edit_dist").cast("long").as("edit_dist"))
   }
 
   /** Paragraph-level dedup (CCNet/RefinedWeb-style boilerplate removal):

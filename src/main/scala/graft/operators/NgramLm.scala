@@ -39,12 +39,12 @@ object NgramLm {
     * shape Shingles.explodedWithPos dropped).
     */
   private def bigrams(docs: DataFrame, textCol: String, idCol: String): DataFrame =
-    docs.select(col(idCol), split(col(textCol), " ").as("_toks"))
-      .where(size(col("_toks")) >= 2)
-      .select(col(idCol), explode(expr(
-        """transform(sequence(0, size(_toks) - 2),
-          |  i -> struct(_toks[i] AS w1, _toks[i + 1] AS w2))""".stripMargin))
-        .as("_b"))
+    // Native one-pass bigram builder: the transform(sequence(...)) HOF form
+    // this replaces ran interpreted per document and dominated xq48 at sf1
+    // (same promotion as TextRules). Documents with < 2 tokens emit an
+    // empty array, so explode drops them — the old `where(size >= 2)`.
+    docs.select(col(idCol),
+        explode(graft.expressions.TokenBigrams(col(textCol))).as("_b"))
       .select(col(idCol), col("_b.w1").as("w1"), col("_b.w2").as("w2"))
 
   /** Train the bigram LM: returns (bigram counts, context counts, V). */

@@ -124,27 +124,8 @@ object ExtensionQueries {
     * (doc_id%3==0) and a code-brace line (doc_id%7==0), so the C4/Gopher
     * rules have every shape to fire on. Spelled identically in [[linedCte]].
     */
-  private def linedText: org.apache.spark.sql.Column = {
-    val toks = split(col("text"), " ")
-    val nChunks = ceil(size(toks).cast("double") / 8.0d).cast("int")
-    val body = transform(sequence(lit(0), nChunks - 1), i => {
-      val chunk = array_join(slice(toks, i * 8 + 1, lit(8)), " ")
-      val m = (col("doc_id") * 31 + i.cast("long")) % 5
-      when(m === 0, concat(chunk, lit(".")))
-        .when(m === 1, concat(chunk, lit("!")))
-        .when(m === 2, chunk)
-        .when(m === 3, concat(lit("- "), chunk, lit(".")))
-        .otherwise(concat(chunk, lit("...")))
-    })
-    val withBoiler = when(col("doc_id") % 3 === 0,
-      concat(array(
-        lit("please enable javascript and accept our cookie policy.")), body))
-      .otherwise(body)
-    val withBrace = when(col("doc_id") % 7 === 0,
-      concat(withBoiler, array(lit("function f() { return 0; }"))))
-      .otherwise(withBoiler)
-    array_join(withBrace, "\n")
-  }
+  private def linedText: org.apache.spark.sql.Column =
+    graft.expressions.LinedTextExpr(col("text"), col("doc_id"))
 
   /** DuckDB twin of [[linedText]] as a `lines(doc_id, pos, line)` CTE chain
     * (the injected lines sort before/after the body via sentinel positions —
@@ -729,18 +710,18 @@ object ExtensionQueries {
     // keep it engine-exact without log-based IDF.
     QueryDef("xq23_top_terms",
       (s, d) => {
-        // repartition by doc_id up front: HashPartitioning(doc_id) satisfies
-        // both the (doc_id, term) aggregation's clustering AND the window's
-        // doc_id partitioning -> one exchange instead of two.
-        val tf = Tables.documents(s, d)
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-          .repartition(col("doc_id"))
-          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc_id")).orderBy(col("tf").desc, col("term"))
-        tf.withColumn("rk", row_number().over(w).cast("long"))
-          .where(col("rk") <= 3)
-          .select("doc_id", "rk", "term", "tf")
+        // Top-k terms is a PER-DOCUMENT computation: the native TopTerms
+        // expression counts and ranks inside one codegen'd pass, so the
+        // plan is map-only — no (doc_id, term) exchange, no window. The
+        // former explode+repartition+groupBy+row_number form shuffled
+        // every token occurrence for what never needed to leave its row
+        // (4.4x DuckDB at sf1); tie-break (tf DESC, term binary ASC) is
+        // identical.
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(graft.expressions.TopTerms(col("text"), 3)).as("_t"))
+          .select(col("doc_id"), col("_t.rk").as("rk"),
+            col("_t.term").as("term"), col("_t.tf").as("tf"))
           .orderBy("doc_id", "rk")
       },
       Some("""WITH tf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
