@@ -46,4 +46,19 @@ class PlanShapeSpec extends SparkSpec {
     }
     assert(bad.isEmpty, s"scale-shape offenders:\n${bad.mkString("\n")}")
   }
+
+  test("xq23 top-terms plans map-only: no shuffle before the output sort") {
+    // The native TopTerms expression makes per-document top-k a row-local
+    // computation; the only exchange the plan may contain is the final
+    // presentation ORDER BY's range partitioning. A second exchange means
+    // someone reintroduced the (doc_id, term) shuffle + window.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val q = SparkEntry.allDefs.find(_.name == "xq23_top_terms").get
+    val plan = physical(q.run(spark, sf).queryExecution.executedPlan)
+    val shuffles = plan.collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.size <= 1,
+      s"xq23 should shuffle only for the output sort, found ${shuffles.size}:\n$plan")
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.isEmpty, "xq23 should not plan a window")
+  }
 }
