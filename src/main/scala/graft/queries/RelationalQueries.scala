@@ -351,11 +351,20 @@ object RelationalQueries {
              |  CAST(SUM(CAST(FLOOR(l_extendedprice) AS BIGINT)) AS BIGINT) AS fl
              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
-    // RQ22: ROLLUP with grouping-null normalization via COALESCE.
+    // RQ22: ROLLUP with grouping-null normalization via COALESCE. Spark
+    // plans ROLLUP/CUBE as Expand — every input row is copied once per
+    // grouping set BEFORE aggregation — so the rollup here runs over a
+    // pre-aggregated (flag,status) frame instead of raw lineitem:
+    // COUNT(*) re-aggregates as SUM(n) and the exact DECIMAL partial sums
+    // re-aggregate losslessly, so results are bit-identical while the
+    // expanded row count drops from 3N to 3x|distinct groups| at any SF.
     QueryDef("rq22_rollup",
       (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("pn"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).as("pqty"))
         .rollup("l_returnflag", "l_linestatus")
-        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+        .agg(sum(col("pn")).as("n"), sum(col("pqty")).cast("double").as("qty"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
@@ -368,11 +377,15 @@ object RelationalQueries {
               |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
               |ORDER BY rf, ls""".stripMargin)),
 
-    // RQ23: CUBE — all grouping combinations.
+    // RQ23: CUBE — all grouping combinations; same pre-aggregation as rq22
+    // (cube's Expand factor is 4, so the saving is larger still).
     QueryDef("rq23_cube",
       (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("pn"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).as("pqty"))
         .cube("l_returnflag", "l_linestatus")
-        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+        .agg(sum(col("pn")).as("n"), sum(col("pqty")).cast("double").as("qty"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
