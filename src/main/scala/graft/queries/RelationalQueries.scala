@@ -351,20 +351,17 @@ object RelationalQueries {
              |  CAST(SUM(CAST(FLOOR(l_extendedprice) AS BIGINT)) AS BIGINT) AS fl
              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
-    // RQ22: ROLLUP with grouping-null normalization via COALESCE. Spark
-    // plans ROLLUP/CUBE as Expand — every input row is copied once per
-    // grouping set BEFORE aggregation — so the rollup here runs over a
-    // pre-aggregated (flag,status) frame instead of raw lineitem:
-    // COUNT(*) re-aggregates as SUM(n) and the exact DECIMAL partial sums
-    // re-aggregate losslessly, so results are bit-identical while the
-    // expanded row count drops from 3N to 3x|distinct groups| at any SF.
+    // RQ22: ROLLUP with grouping-null normalization via COALESCE — kept
+    // as RAW-fact-table rollup on purpose: Spark plans ROLLUP/CUBE as
+    // Expand (each input row copied once per grouping set before
+    // aggregation), and this query is the suite's operator-coverage
+    // evidence that Expand itself executes at data scale. The cheaper
+    // pre-aggregate-then-re-rollup rewrite (Expand over |distinct groups|
+    // rows instead of 3N) is demonstrated and documented on rq23.
     QueryDef("rq22_rollup",
       (s, d) => Tables.lineitem(s, d)
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(count(lit(1)).as("pn"),
-          sum(col("l_quantity").cast(DecimalType(18, 2))).as("pqty"))
         .rollup("l_returnflag", "l_linestatus")
-        .agg(sum(col("pn")).as("n"), sum(col("pqty")).cast("double").as("qty"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
@@ -377,15 +374,22 @@ object RelationalQueries {
               |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
               |ORDER BY rf, ls""".stripMargin)),
 
-    // RQ23: CUBE — all grouping combinations; same pre-aggregation as rq22
-    // (cube's Expand factor is 4, so the saving is larger still).
+    // RQ23: CUBE — all grouping combinations. This one is deliberately the
+    // PRE-AGGREGATED re-rollup form (rq22 keeps the raw-Expand coverage):
+    // cube's Expand factor is 4, so at scale the win from expanding
+    // |distinct groups| pre-aggregated rows instead of 4N raw rows is
+    // largest here. COUNT(*) re-aggregates as SUM(pn) — COALESCEd to 0 so
+    // the grand-total row keeps COUNT semantics on empty input — and the
+    // exact DECIMAL partial sums re-aggregate losslessly, so results are
+    // bit-identical to the raw form at any SF.
     QueryDef("rq23_cube",
       (s, d) => Tables.lineitem(s, d)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("pn"),
           sum(col("l_quantity").cast(DecimalType(18, 2))).as("pqty"))
         .cube("l_returnflag", "l_linestatus")
-        .agg(sum(col("pn")).as("n"), sum(col("pqty")).cast("double").as("qty"))
+        .agg(coalesce(sum(col("pn")), lit(0L)).as("n"),
+          sum(col("pqty")).cast("double").as("qty"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
