@@ -175,6 +175,340 @@ object Multimodal {
           .as("frame_bytes"))
   }
 
+  // ------------------------------------------------------------------
+  // Audio: real WAV (RIFF/PCM16) encode + javax.sound.sampled decode
+  // ------------------------------------------------------------------
+
+  /** Audio sample rate for synthesized WAV assets. */
+  val SampleRate = 8000
+
+  /** |sample| below this counts as silence (the audio analogue of a
+    * C4-style low-content filter; 2048 = source bytes within ±8 of the
+    * 128 midpoint under the transparent byte→sample mapping).
+    */
+  val SilenceThreshold = 2048L
+
+  /** Decoded features per audio asset — all exact integers so the DuckDB
+    * oracle can recompute them from the source bytes (xq88): duration,
+    * total absolute amplitude, total energy (sum of squares), peak, and
+    * the silent-sample count.
+    */
+  final case class AudioFeatures(
+      doc_id: Long,
+      sample_rate: Int,
+      n_samples: Long,
+      duration_ms: Long,
+      sum_abs: Long,
+      energy: Long,
+      peak: Long,
+      n_silent: Long)
+
+  /** Encode raw bytes as a real 44-byte-header RIFF/WAVE file: PCM16
+    * mono little-endian at [[SampleRate]], one sample per source byte via
+    * the transparent mapping `sample = (byte - 128) << 8` (the standard
+    * 8-bit→16-bit PCM widening). Any WAV reader decodes it; the JDK one
+    * does in [[decodeAudio]].
+    */
+  def encodeWav(raw: Array[Byte]): Array[Byte] = {
+    val dataBytes = raw.length * 2
+    val out = new Array[Byte](44 + dataBytes)
+    def put32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte
+      out(off + 1) = ((v >> 8) & 0xFF).toByte
+      out(off + 2) = ((v >> 16) & 0xFF).toByte
+      out(off + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    def put16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte
+      out(off + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    def putTag(off: Int, s: String): Unit =
+      s.indices.foreach(i => out(off + i) = s.charAt(i).toByte)
+    putTag(0, "RIFF"); put32(4, 36 + dataBytes); putTag(8, "WAVE")
+    putTag(12, "fmt "); put32(16, 16)
+    put16(20, 1) // PCM
+    put16(22, 1) // mono
+    put32(24, SampleRate)
+    put32(28, SampleRate * 2) // byte rate
+    put16(32, 2) // block align
+    put16(34, 16) // bits per sample
+    putTag(36, "data"); put32(40, dataBytes)
+    var k = 0
+    while (k < raw.length) {
+      val s = ((raw(k) & 0xFF) - 128) << 8
+      out(44 + 2 * k) = (s & 0xFF).toByte
+      out(45 + 2 * k) = ((s >> 8) & 0xFF).toByte
+      k += 1
+    }
+    out
+  }
+
+  /** The corpus as REAL audio assets: text bytes → WAV payloads (same
+    * per-partition batch shape as [[imageAssets]]).
+    */
+  def audioAssets(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("raw"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, raw) =>
+        val wav = encodeWav(raw)
+        (id, wav, "audio/wav", wav.length.toLong)
+      })
+      .toDF("doc_id", "payload", "mime", "n_bytes")
+  }
+
+  /** REAL decode of one WAV payload via `javax.sound.sampled`: RIFF
+    * header parse (the format really comes from the file, not assumed)
+    * plus PCM16 frame decode into exact integer amplitude statistics.
+    */
+  def decodeAudio(payload: Array[Byte]): (Int, Long, Long, Long, Long, Long) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(payload))
+    val fmt = ais.getFormat
+    require(fmt.getChannels == 1 && fmt.getSampleSizeInBits == 16 &&
+      !fmt.isBigEndian, s"unexpected audio format $fmt")
+    val rate = fmt.getSampleRate.toInt
+    val data = ais.readAllBytes()
+    ais.close()
+    val n = data.length / 2
+    var (sumAbs, energy, peak, silent) = (0L, 0L, 0L, 0L)
+    var k = 0
+    while (k < n) {
+      val s = (data(2 * k + 1) << 8) | (data(2 * k) & 0xFF) // signed hi byte
+      val a = math.abs(s).toLong
+      sumAbs += a
+      energy += a * a
+      if (a > peak) peak = a
+      if (a < SilenceThreshold) silent += 1
+      k += 1
+    }
+    (rate, n.toLong, sumAbs, energy, peak, silent)
+  }
+
+  /** Partition-wise audio feature extraction (one decoder init per
+    * partition). Input must be WAV assets (e.g. [[audioAssets]]).
+    */
+  def extractAudioFeatures(spark: SparkSession, assetsDf: DataFrame): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    assetsDf.select("doc_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val (rate, n, sumAbs, energy, peak, silent) = decodeAudio(payload)
+        AudioFeatures(id, rate, n, n * 1000L / rate, sumAbs, energy, peak, silent)
+      })
+  }
+
+  // ------------------------------------------------------------------
+  // Video: length-prefixed PNG frame-sequence container + stride decode
+  // ------------------------------------------------------------------
+
+  /** Bytes of source data per video frame. Divisible by 3, so the
+    * per-frame channel mapping (byte j → channel j%3) equals the global
+    * byte mapping — which keeps the oracle SQL one expression. 48 ≤ 96
+    * (one BMP row), so every frame decodes as a 32×1 image.
+    */
+  val FrameSourceBytes = 48
+
+  /** Decoded features per sampled video frame. */
+  final case class FrameFeatures(
+      doc_id: Long,
+      frame_idx: Int,
+      width: Int,
+      height: Int,
+      sum_b: Long,
+      sum_g: Long,
+      sum_r: Long)
+
+  /** Encode raw bytes as a framed video container: magic `GFV1`, a
+    * big-endian frame count, then length-prefixed PNG-encoded frames of
+    * [[FrameSourceBytes]] source bytes each (last frame zero-padded by
+    * the PNG encoder's row fill). The length prefixes are the seek
+    * index: a reader skips unselected frames without decoding them,
+    * exactly how keyframe-stride sampling works in a real container.
+    */
+  def encodeVideo(raw: Array[Byte]): Array[Byte] = {
+    val nFrames = math.max(1, (raw.length + FrameSourceBytes - 1) / FrameSourceBytes)
+    val bos = new java.io.ByteArrayOutputStream()
+    def put32be(v: Int): Unit = {
+      bos.write((v >> 24) & 0xFF); bos.write((v >> 16) & 0xFF)
+      bos.write((v >> 8) & 0xFF); bos.write(v & 0xFF)
+    }
+    bos.write('G'); bos.write('F'); bos.write('V'); bos.write('1')
+    put32be(nFrames)
+    var f = 0
+    while (f < nFrames) {
+      val from = f * FrameSourceBytes
+      val until = math.min(raw.length, from + FrameSourceBytes)
+      val png = encodePng(java.util.Arrays.copyOfRange(raw, from, math.max(from, until)))
+      put32be(png.length)
+      bos.write(png, 0, png.length)
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  /** The corpus as framed video assets. */
+  def videoAssets(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("raw"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, raw) =>
+        val v = encodeVideo(raw)
+        (id, v, "video/x-graft-frames", v.length.toLong)
+      })
+      .toDF("doc_id", "payload", "mime", "n_bytes")
+  }
+
+  /** REAL frame sampling with decode: parse the container, seek past
+    * unselected frames via the length index (no decode cost for skipped
+    * frames — the scale point of stride sampling), and ImageIO-decode
+    * every `stride`-th frame into per-channel sums. Upgrade of
+    * [[sampleFrames]]'s byte-slicing plumbing to an actual codec path.
+    */
+  def decodeSampledFrames(spark: SparkSession, assetsDf: DataFrame,
+      stride: Int): Dataset[FrameFeatures] = {
+    import spark.implicits._
+    require(stride >= 1, "stride must be >= 1")
+    assetsDf.select("doc_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.flatMap { case (id, payload) =>
+          def at32be(off: Int): Int =
+            ((payload(off) & 0xFF) << 24) | ((payload(off + 1) & 0xFF) << 16) |
+              ((payload(off + 2) & 0xFF) << 8) | (payload(off + 3) & 0xFF)
+          require(payload.length >= 8 && payload(0) == 'G' && payload(1) == 'F' &&
+            payload(2) == 'V' && payload(3) == '1', "bad container magic")
+          val nFrames = at32be(4)
+          var off = 8
+          (0 until nFrames).iterator.flatMap { f =>
+            val len = at32be(off)
+            val start = off + 4
+            off = start + len
+            if (f % stride != 0) None
+            else {
+              val (w, h, sb, sg, sr) = decodeImage(
+                java.util.Arrays.copyOfRange(payload, start, start + len))
+              Some(FrameFeatures(id, f, w, h, sb, sg, sr))
+            }
+          }
+        }
+      }
+  }
+
+  // ------------------------------------------------------------------
+  // Perceptual image hash (dHash) + image near-duplicate pairs
+  // ------------------------------------------------------------------
+
+  /** Difference-hash (dHash) of a decoded image, integer-exact variant:
+    * nearest-neighbor-sample a 9×8 luminance grid (g = R+G+B — no
+    * floating-point luma weights), then bit (x,y) = 1 iff
+    * g(x,y) < g(x+1,y). Returned as two 32-bit halves (rows 0–3 / 4–7,
+    * bit position (y%4)*8+x) so band splits and the SQL oracle never
+    * touch the long sign bit. Nearest-neighbor cells are
+    * `(floor(x·W/9), floor(y·H/8))` — pure integer math, which is what
+    * makes the hash recomputable by DuckDB from the source bytes (xq90).
+    * Horizontal-difference bits make the hash invariant under uniform
+    * brightness shifts — the near-dup signal exact payload hashing
+    * cannot see (xq91).
+    */
+  def dHash(payload: Array[Byte]): (Long, Long) = {
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    require(img != null, "undecodable image payload")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val g = Array.ofDim[Long](8, 9)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 9) {
+        val rgb = img.getRGB(x * w / 9, y * h / 8)
+        g(y)(x) = ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+        x += 1
+      }
+      y += 1
+    }
+    var (h0, h1) = (0L, 0L)
+    y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (g(y)(x) < g(y)(x + 1)) {
+          val bit = 1L << ((y % 4) * 8 + x)
+          if (y < 4) h0 |= bit else h1 |= bit
+        }
+        x += 1
+      }
+      y += 1
+    }
+    (h0, h1)
+  }
+
+  /** Per-asset dHash table `(id, h0, h1)` — works on any ImageIO-decodable
+    * payload (BMP and PNG assets alike).
+    */
+  def imageHashes(spark: SparkSession, assetsDf: DataFrame): DataFrame = {
+    import spark.implicits._
+    assetsDf.select("doc_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.map { case (id, p) => val (h0, h1) = dHash(p); (id, h0, h1) }
+      }
+      .toDF("id", "h0", "h1")
+  }
+
+  /** Brightness-shifted twin assets: every source byte moves up by
+    * `offset` (clamped at 255) before encoding, ids move by `idOffset`.
+    * Payload hashes change on every asset; dHash does not (uniform shift
+    * preserves every horizontal comparison) — the planted ground truth
+    * for [[imageNearDupPairs]].
+    */
+  def shiftedImageAssets(docs: DataFrame, offset: Int, idOffset: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("raw"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, raw) =>
+        val shifted = raw.map(b => math.min((b & 0xFF) + offset, 255).toByte)
+        val bmp = encodeBmp(shifted)
+        (id + idOffset, bmp, "image/bmp", bmp.length.toLong)
+      })
+      .toDF("doc_id", "payload", "mime", "n_bytes")
+  }
+
+  /** Image near-duplicate pairs: every (id_a, id_b) whose dHashes are
+    * within `maxHamming` — WITHOUT the all-pairs product. Pigeonhole
+    * banding over the 64 hash bits as 4 disjoint 16-bit bands (same
+    * lossless argument as the simhash pair search: ≤3 differing bits
+    * dirty ≤3 bands, so at least one band matches exactly); an equi-join
+    * on (band_id, band_key) generates candidates, exact hamming verifies
+    * in-bucket. Input: an [[imageHashes]] frame.
+    */
+  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming + 1 <= 4,
+      s"4 bands of 16 bits cover maxHamming <= 3, got $maxHamming")
+    val bands = hashes.select(col("id"), col("h0"), col("h1"), explode(array(
+        (0 until 4).map { b =>
+          val word = if (b < 2) "h0" else "h1"
+          val shift = (b % 2) * 16
+          struct(lit(b).as("band_id"),
+            expr(s"($word >> $shift) & 65535").as("band_key"))
+        }: _*)).as("band"))
+      .select(col("id"), col("h0"), col("h1"),
+        col("band.band_id"), col("band.band_key"))
+    val a = bands.toDF("id_a", "a_h0", "a_h1", "band_id", "band_key")
+    val b = bands.toDF("id_b", "b_h0", "b_h1", "band_id", "band_key")
+    a.join(b, Seq("band_id", "band_key"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("CAST(bit_count(a_h0 ^ b_h0) + bit_count(a_h1 ^ b_h1) AS BIGINT)")
+          .as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** REAL decode of one image payload via the JDK ImageIO BMP reader:
     * header parse, pixel decode, per-channel integer sums.
     */

@@ -2480,6 +2480,162 @@ object ExtensionQueries {
               |  CAST(COALESCE(s.sum_r, 0) AS BIGINT) AS sum_r,
               |  CAST(${Multimodal.BmpWidth} * d.h AS BIGINT) AS n_pixels
               |FROM dims d LEFT JOIN s USING (doc_id)
-              |ORDER BY d.doc_id""".stripMargin))
+              |ORDER BY d.doc_id""".stripMargin)),
+
+    // XQ88: REAL audio decode — text bytes → RIFF/PCM16 WAV (encodeWav)
+    // → javax.sound.sampled header parse + frame decode → exact integer
+    // amplitude statistics (duration, Σ|s|, Σs², peak, silent count).
+    // The byte→sample mapping is transparent (s = (byte-128)·256), so
+    // DuckDB recomputes every output from the source bytes — the audio
+    // decoder is hash-checked the same way the image decoders are.
+    QueryDef("xq88_audio_features",
+      (s, d) => Multimodal.extractAudioFeatures(
+          s, Multimodal.audioAssets(Tables.documents(s, d)))
+        .toDF()
+        .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+          col("duration_ms"), col("sum_abs"), col("energy"), col("peak"),
+          col("n_silent"))
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, hex(encode(text)) AS hx,
+              |             octet_length(encode(text)) AS n FROM documents),
+              |samp AS (SELECT doc_id,
+              |           (CAST(('0x' || substr(hx, 2*i - 1, 2)) AS INT) - 128) * 256 AS s
+              |         FROM t, UNNEST(generate_series(1, n)) AS g(i)),
+              |agg AS (SELECT doc_id,
+              |          SUM(ABS(s)) AS sum_abs,
+              |          SUM(CAST(ABS(s) AS BIGINT) * ABS(s)) AS energy,
+              |          MAX(ABS(s)) AS peak,
+              |          SUM(CASE WHEN ABS(s) < ${Multimodal.SilenceThreshold} THEN 1 ELSE 0 END) AS n_silent
+              |        FROM samp GROUP BY 1)
+              |SELECT t.doc_id,
+              |  ${Multimodal.SampleRate} AS sample_rate,
+              |  CAST(t.n AS BIGINT) AS n_samples,
+              |  CAST(t.n * 1000 // ${Multimodal.SampleRate} AS BIGINT) AS duration_ms,
+              |  CAST(COALESCE(a.sum_abs, 0) AS BIGINT) AS sum_abs,
+              |  CAST(COALESCE(a.energy, 0) AS BIGINT) AS energy,
+              |  CAST(COALESCE(a.peak, 0) AS BIGINT) AS peak,
+              |  CAST(COALESCE(a.n_silent, 0) AS BIGINT) AS n_silent
+              |FROM t LEFT JOIN agg a USING (doc_id)
+              |ORDER BY t.doc_id""".stripMargin)),
+
+    // XQ89: REAL video-style frame sampling — text bytes → a framed
+    // container (GFV1: length-prefixed PNG frames of 48 source bytes
+    // each) → seek past unselected frames via the length index, ImageIO-
+    // decode every 2nd frame → per-frame channel sums. Skipped frames are
+    // never decoded (the scale point of keyframe-stride sampling); the
+    // frame chunking is byte-transparent, so DuckDB recomputes every
+    // decoded frame's sums from the source bytes. Upgrades xq22's
+    // byte-slice plumbing to an actual codec path.
+    QueryDef("xq89_video_frames",
+      (s, d) => Multimodal.decodeSampledFrames(
+          s, Multimodal.videoAssets(Tables.documents(s, d)), stride = 2)
+        .toDF()
+        .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+          col("sum_b"), col("sum_g"), col("sum_r"))
+        .orderBy("doc_id", "frame_idx"),
+      Some(s"""WITH t AS (SELECT doc_id, hex(encode(text)) AS hx,
+              |             octet_length(encode(text)) AS n FROM documents),
+              |fr AS (SELECT doc_id, hx, n, CAST(f AS INT) AS f
+              |       FROM t, UNNEST(generate_series(
+              |         0, GREATEST(CAST(CEIL(n / ${Multimodal.FrameSourceBytes}.0) AS BIGINT), 1) - 1)) AS g(f)
+              |       WHERE f % 2 = 0),
+              |u AS (SELECT doc_id, f,
+              |        CAST(('0x' || substr(hx, 2*i + 1, 2)) AS INT) AS v,
+              |        i % 3 AS ch
+              |      FROM fr, UNNEST(generate_series(
+              |        f * ${Multimodal.FrameSourceBytes},
+              |        LEAST((f + 1) * ${Multimodal.FrameSourceBytes}, n) - 1)) AS g(i)),
+              |s AS (SELECT doc_id, f,
+              |        SUM(CASE WHEN ch = 0 THEN v ELSE 0 END) AS sum_b,
+              |        SUM(CASE WHEN ch = 1 THEN v ELSE 0 END) AS sum_g,
+              |        SUM(CASE WHEN ch = 2 THEN v ELSE 0 END) AS sum_r
+              |      FROM u GROUP BY 1, 2)
+              |SELECT fr.doc_id, fr.f AS frame_idx,
+              |  CAST(${Multimodal.BmpWidth} AS INT) AS width,
+              |  CAST(1 AS INT) AS height,
+              |  CAST(COALESCE(s.sum_b, 0) AS BIGINT) AS sum_b,
+              |  CAST(COALESCE(s.sum_g, 0) AS BIGINT) AS sum_g,
+              |  CAST(COALESCE(s.sum_r, 0) AS BIGINT) AS sum_r
+              |FROM fr LEFT JOIN s ON fr.doc_id = s.doc_id AND fr.f = s.f
+              |ORDER BY fr.doc_id, frame_idx""".stripMargin)),
+
+    // XQ90: perceptual image hash (dHash, integer-exact variant) over the
+    // DECODED pixels of the BMP assets: nearest-neighbor 9×8 luminance
+    // grid (g = R+G+B), horizontal difference bits, two 32-bit halves.
+    // Every step is integer math on decoder output the oracle can reach
+    // from the source bytes, so the hash itself is hash-checked.
+    QueryDef("xq90_image_dhash",
+      (s, d) => Multimodal.imageHashes(
+          s, Multimodal.imageAssets(Tables.documents(s, d)))
+        .select(col("id").as("doc_id"), col("h0"), col("h1"))
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, hex(encode(text)) AS hx,
+              |             octet_length(encode(text)) AS n,
+              |             GREATEST(CAST(CEIL(octet_length(encode(text)) / 96.0) AS BIGINT), 1) AS h
+              |           FROM documents),
+              |cell AS (SELECT doc_id, x, y,
+              |    (SELECT SUM(CASE WHEN 3 * ((h - 1 - (y * h // 8)) * 32 + (x * 32 // 9)) + c < n
+              |       THEN CAST(('0x' || substr(hx, 2 * (3 * ((h - 1 - (y * h // 8)) * 32 + (x * 32 // 9)) + c) + 1, 2)) AS INT)
+              |       ELSE 0 END)
+              |     FROM UNNEST(generate_series(0, 2)) AS cc(c)) AS g
+              |  FROM t, UNNEST(generate_series(0, 8)) AS gx(x),
+              |       UNNEST(generate_series(0, 7)) AS gy(y)),
+              |bit AS (SELECT a.doc_id, a.y, a.x,
+              |          CASE WHEN a.g < b.g THEN 1 ELSE 0 END AS bit
+              |        FROM cell a JOIN cell b
+              |          ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+              |        WHERE a.x < 8)
+              |SELECT doc_id,
+              |  CAST(SUM(CASE WHEN y < 4 THEN CAST(bit AS BIGINT) << ((y % 4) * 8 + x) ELSE 0 END) AS BIGINT) AS h0,
+              |  CAST(SUM(CASE WHEN y >= 4 THEN CAST(bit AS BIGINT) << ((y % 4) * 8 + x) ELSE 0 END) AS BIGINT) AS h1
+              |FROM bit GROUP BY doc_id
+              |ORDER BY doc_id""".stripMargin)),
+
+    // XQ91: image near-duplicate detection — the corpus plus planted
+    // brightness-shifted twins (+8 per byte, new payloads, new exact
+    // hashes) paired by dHash hamming ≤ 3 via 4-band pigeonhole equi-join
+    // (no all-pairs product). The uniform shift preserves every
+    // horizontal difference bit, so every twin is found at hamming 0 —
+    // the near-dup signal exact payload hashing cannot see. Oracle: the
+    // exact O(N²) hamming scan (fine at sf0.01).
+    QueryDef("xq91_image_neardup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val assets = Multimodal.imageAssets(docs)
+          .union(Multimodal.shiftedImageAssets(docs, offset = 8, idOffset = 1000000L))
+        Multimodal.imageNearDupPairs(Multimodal.imageHashes(s, assets))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id AS id, hex(encode(text)) AS hx,
+              |         octet_length(encode(text)) AS n,
+              |         GREATEST(CAST(CEIL(octet_length(encode(text)) / 96.0) AS BIGINT), 1) AS h,
+              |         0 AS sh FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + 1000000, hex(encode(text)),
+              |         octet_length(encode(text)),
+              |         GREATEST(CAST(CEIL(octet_length(encode(text)) / 96.0) AS BIGINT), 1),
+              |         8 FROM documents),
+              |cell AS (SELECT id, x, y,
+              |    (SELECT SUM(CASE WHEN 3 * ((h - 1 - (y * h // 8)) * 32 + (x * 32 // 9)) + c < n
+              |       THEN LEAST(CAST(('0x' || substr(hx, 2 * (3 * ((h - 1 - (y * h // 8)) * 32 + (x * 32 // 9)) + c) + 1, 2)) AS INT) + sh, 255)
+              |       ELSE 0 END)
+              |     FROM UNNEST(generate_series(0, 2)) AS cc(c)) AS g
+              |  FROM t, UNNEST(generate_series(0, 8)) AS gx(x),
+              |       UNNEST(generate_series(0, 7)) AS gy(y)),
+              |bit AS (SELECT a.id, a.y, a.x,
+              |          CASE WHEN a.g < b.g THEN 1 ELSE 0 END AS bit
+              |        FROM cell a JOIN cell b
+              |          ON a.id = b.id AND a.y = b.y AND b.x = a.x + 1
+              |        WHERE a.x < 8),
+              |hash AS (SELECT id,
+              |    CAST(SUM(CASE WHEN y < 4 THEN CAST(bit AS BIGINT) << ((y % 4) * 8 + x) ELSE 0 END) AS BIGINT) AS h0,
+              |    CAST(SUM(CASE WHEN y >= 4 THEN CAST(bit AS BIGINT) << ((y % 4) * 8 + x) ELSE 0 END) AS BIGINT) AS h1
+              |  FROM bit GROUP BY id)
+              |SELECT a.id AS id_a, b.id AS id_b,
+              |  CAST(bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1)) AS BIGINT) AS hamming
+              |FROM hash a JOIN hash b ON a.id < b.id
+              |WHERE bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1)) <= 3
+              |ORDER BY id_a, id_b""".stripMargin))
   )
 }

@@ -62,6 +62,78 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_.getAs[Array[Byte]]("frame_bytes").length == 32))
   }
 
+  test("WAV round trip: javax.sound decodes rate, samples, and exact sums") {
+    val raw = Array.tabulate(200)(i => i.toByte)
+    val wav = Multimodal.encodeWav(raw)
+    assert(new String(wav.slice(0, 4)) == "RIFF" && new String(wav.slice(8, 12)) == "WAVE")
+    val (rate, n, sumAbs, energy, peak, silent) = Multimodal.decodeAudio(wav)
+    assert(rate == Multimodal.SampleRate && n == 200)
+    val samples = raw.map(b => ((b & 0xFF) - 128) * 256)
+    assert(sumAbs == samples.map(s => math.abs(s).toLong).sum)
+    assert(energy == samples.map(s => math.abs(s).toLong * math.abs(s)).sum)
+    assert(peak == samples.map(s => math.abs(s).toLong).max)
+    assert(silent == samples.count(s => math.abs(s) < Multimodal.SilenceThreshold))
+    // empty payload: a valid zero-sample WAV
+    val (r0, n0, _, _, p0, _) = Multimodal.decodeAudio(Multimodal.encodeWav(Array.empty))
+    assert(r0 == Multimodal.SampleRate && n0 == 0 && p0 == 0)
+  }
+
+  test("video container: stride seek decodes exactly the selected frames") {
+    val raw = Array.tabulate(300)(i => i.toByte) // ceil(300/48) = 7 frames
+    val vid = Multimodal.encodeVideo(raw)
+    assert(new String(vid.slice(0, 4)) == "GFV1")
+    import spark.implicits._
+    val assets = Seq((7L, vid)).toDF("doc_id", "payload")
+    val frames = Multimodal.decodeSampledFrames(spark, assets, stride = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 2, 4, 6))
+    frames.foreach { fr =>
+      val from = fr.frame_idx * Multimodal.FrameSourceBytes
+      val until = math.min(raw.length, from + Multimodal.FrameSourceBytes)
+      def expect(ch: Int) = (from until until).filter(i => (i - from) % 3 == ch)
+        .map(i => (raw(i) & 0xFF).toLong).sum
+      assert(fr.width == Multimodal.BmpWidth && fr.height == 1)
+      assert((fr.sum_b, fr.sum_g, fr.sum_r) == ((expect(0), expect(1), expect(2))))
+    }
+  }
+
+  test("dHash: gradient saturates, uniform zeroes, brightness shift is invariant") {
+    // strictly increasing bytes across one 32-px row: every horizontal
+    // comparison is true in all 8 (repeated) grid rows
+    val grad = Array.tabulate(96)(i => i.toByte)
+    val (g0, g1) = Multimodal.dHash(Multimodal.encodeBmp(grad))
+    assert(g0 == 0xFFFFFFFFL && g1 == 0xFFFFFFFFL)
+    // uniform image: all comparisons tie -> no bits
+    val flat = Array.fill(96)(42.toByte)
+    assert(Multimodal.dHash(Multimodal.encodeBmp(flat)) == ((0L, 0L)))
+    // uniform brightness shift preserves every difference bit
+    val raw = Array.tabulate(300)(i => (i * 37 % 200).toByte)
+    val shifted = raw.map(b => math.min((b & 0xFF) + 8, 255).toByte)
+    assert(Multimodal.dHash(Multimodal.encodeBmp(raw)) ==
+      Multimodal.dHash(Multimodal.encodeBmp(shifted)))
+  }
+
+  test("image near-dup pairs: banded join finds planted brightness twins") {
+    val docs = Tables.documents(spark, sf).limit(50)
+    val assets = Multimodal.imageAssets(docs)
+      .union(Multimodal.shiftedImageAssets(docs, offset = 8, idOffset = 1000000L))
+    val hashes = Multimodal.imageHashes(spark, assets)
+    val pairs = Multimodal.imageNearDupPairs(hashes).collect()
+    val twinPairs = pairs.filter(r => r.getLong(1) - r.getLong(0) == 1000000L)
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    // every original pairs with its twin at hamming 0
+    assert(ids.forall(id => twinPairs.exists(r =>
+      r.getLong(0) == id && r.getLong(2) == 0L)))
+    // banded result == exact all-pairs scan at this scale
+    val hs = hashes.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val exact = (for {
+      (ia, a0, a1) <- hs; (ib, b0, b1) <- hs if ia < ib
+      d = java.lang.Long.bitCount(a0 ^ b0) + java.lang.Long.bitCount(a1 ^ b1)
+      if d <= 3
+    } yield (ia, ib, d.toLong)).toSet
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == exact)
+  }
+
   test("near-dedup keeps min-id survivor of dup groups") {
     import spark.implicits._
     val docs = Seq(
