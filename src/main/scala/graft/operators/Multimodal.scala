@@ -60,6 +60,20 @@ object Multimodal {
       lit("text/plain").as("mime"),
       octet_length(col("text")).cast("long").as("n_bytes"))
 
+  /** Pin a full-width exchange ahead of a codec mapPartitions. A small-SF
+    * corpus is ONE parquet split, so without it the whole codec pass runs
+    * on the scan's single core (and AQE's byte-based coalescing would undo
+    * a plain repartition() — the round-4 compute-dense-exchange rule).
+    * Measured at sf0.1, the exchange (~0.3-0.6 s) only pays where codec
+    * work dominates — the PNG frame-sequence builder (~50 deflate ops per
+    * doc, xq89 2.49 -> 1.04 s); the memcpy-level BMP/WAV builders got
+    * 2x SLOWER pinned, so they keep scan parallelism (at real scale the
+    * input splits provide it and no exchange of payload bytes is needed).
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(
+      df.sparkSession.sessionState.conf.numShufflePartitions, col("doc_id"))
+
   /** Fixed image width: 32 px → 96-byte rows, already 4-byte aligned, so
     * rows carry no BMP padding and byte k of the source maps to pixel
     * sample k exactly.
@@ -114,14 +128,11 @@ object Multimodal {
       .toDF("doc_id", "payload", "mime", "n_bytes")
   }
 
-  /** Encode raw bytes as a PNG (same sample mapping as [[encodeBmp]]:
-    * byte 3k→B, 3k+1→G, 3k+2→R over `BmpWidth`-pixel rows, zero-filled
-    * tail) through the JDK encoder. PNG is COMPRESSED — payload bytes ≠
-    * pixel bytes — so decoding it exercises the codec seam the BMP path
-    * cannot: [[decodeImage]] must run a real inflate + defilter to
-    * recover sums the oracle recomputes from the source text (xq87).
+  /** Raw bytes → top-down RGB image under the transparent sample mapping
+    * (byte 3k→B, 3k+1→G, 3k+2→R over `BmpWidth`-pixel rows, zero-filled
+    * tail). Shared by the PNG and frame encoders.
     */
-  def encodePng(raw: Array[Byte]): Array[Byte] = {
+  private def rawToImage(raw: Array[Byte]): java.awt.image.BufferedImage = {
     val height = math.max(1, (raw.length + RowBytes - 1) / RowBytes)
     val img = new java.awt.image.BufferedImage(
       BmpWidth, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -133,8 +144,46 @@ object Multimodal {
       img.setRGB(p % BmpWidth, p / BmpWidth, (r << 16) | (g << 8) | b)
       p += 1
     }
+    img
+  }
+
+  /** Reusable PNG codec: ONE ImageIO reader + writer instance, reused
+    * across calls. `ImageIO.read`/`ImageIO.write` run a plugin-registry
+    * scan and allocate a fresh codec per call — measurable at tens of
+    * thousands of frames per task (xq89) — so the frame paths hold one
+    * of these per partition, the mapPartitions analogue of per-batch
+    * decoder init in a Pandas UDF.
+    */
+  final class PngIo {
+    private val writer = ImageIO.getImageWritersByFormatName("png").next()
+    private val reader = ImageIO.getImageReadersByFormatName("png").next()
+    def encode(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      writer.setOutput(out)
+      writer.write(img)
+      out.close()
+      bos.toByteArray
+    }
+    def decode(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new ByteArrayInputStream(bytes))
+      reader.setInput(in, true, true)
+      val img = reader.read(0)
+      in.close()
+      img
+    }
+  }
+
+  /** Encode raw bytes as a PNG (sample mapping of [[rawToImage]]) through
+    * the JDK encoder. PNG is COMPRESSED — payload bytes ≠ pixel bytes —
+    * so decoding it exercises the codec seam the BMP path cannot:
+    * [[decodeImage]] must run a real inflate + defilter to recover sums
+    * the oracle recomputes from the source text (xq87).
+    */
+  def encodePng(raw: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    ImageIO.write(img, "png", bos)
+    ImageIO.write(rawToImage(raw), "png", bos)
     bos.toByteArray
   }
 
@@ -327,7 +376,7 @@ object Multimodal {
     * index: a reader skips unselected frames without decoding them,
     * exactly how keyframe-stride sampling works in a real container.
     */
-  def encodeVideo(raw: Array[Byte]): Array[Byte] = {
+  def encodeVideo(raw: Array[Byte], io: PngIo = new PngIo): Array[Byte] = {
     val nFrames = math.max(1, (raw.length + FrameSourceBytes - 1) / FrameSourceBytes)
     val bos = new java.io.ByteArrayOutputStream()
     def put32be(v: Int): Unit = {
@@ -340,7 +389,8 @@ object Multimodal {
     while (f < nFrames) {
       val from = f * FrameSourceBytes
       val until = math.min(raw.length, from + FrameSourceBytes)
-      val png = encodePng(java.util.Arrays.copyOfRange(raw, from, math.max(from, until)))
+      val png = io.encode(rawToImage(
+        java.util.Arrays.copyOfRange(raw, from, math.max(from, until))))
       put32be(png.length)
       bos.write(png, 0, png.length)
       f += 1
@@ -348,16 +398,22 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** The corpus as framed video assets. */
+  /** The corpus as framed video assets (one reusable PNG encoder per
+    * partition).
+    */
   def videoAssets(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("raw"))
+    spread(docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("raw")))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, raw) =>
-        val v = encodeVideo(raw)
-        (id, v, "video/x-graft-frames", v.length.toLong)
-      })
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        val io = new PngIo
+        it.map { case (id, raw) =>
+          val v = encodeVideo(raw, io)
+          (id, v, "video/x-graft-frames", v.length.toLong)
+        }
+      }
       .toDF("doc_id", "payload", "mime", "n_bytes")
   }
 
@@ -375,6 +431,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         ImageIO.setUseCache(false)
+        val io = new PngIo
         it.flatMap { case (id, payload) =>
           def at32be(off: Int): Int =
             ((payload(off) & 0xFF) << 24) | ((payload(off + 1) & 0xFF) << 16) |
@@ -389,8 +446,9 @@ object Multimodal {
             off = start + len
             if (f % stride != 0) None
             else {
-              val (w, h, sb, sg, sr) = decodeImage(
+              val img = io.decode(
                 java.util.Arrays.copyOfRange(payload, start, start + len))
+              val (w, h, sb, sg, sr) = sumChannels(img)
               Some(FrameFeatures(id, f, w, h, sb, sg, sr))
             }
           }
@@ -489,7 +547,10 @@ object Multimodal {
   def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming + 1 <= 4,
       s"4 bands of 16 bits cover maxHamming <= 3, got $maxHamming")
-    val bands = hashes.select(col("id"), col("h0"), col("h1"), explode(array(
+    // both sides of the band self-join consume the hash table: persist it
+    // so the image decode behind it runs once (simhash pair-search rule)
+    val cached = CacheRegistry.persisted(hashes)
+    val bands = cached.select(col("id"), col("h0"), col("h1"), explode(array(
         (0 until 4).map { b =>
           val word = if (b < 2) "h0" else "h1"
           val shift = (b % 2) * 16
@@ -515,6 +576,11 @@ object Multimodal {
   def decodeImage(payload: Array[Byte]): (Int, Int, Long, Long, Long) = {
     val img = ImageIO.read(new ByteArrayInputStream(payload))
     require(img != null, "undecodable image payload")
+    sumChannels(img)
+  }
+
+  /** Dimensions + exact per-channel sums of a decoded image. */
+  def sumChannels(img: java.awt.image.BufferedImage): (Int, Int, Long, Long, Long) = {
     val (w, h) = (img.getWidth, img.getHeight)
     var (sb, sg, sr) = (0L, 0L, 0L)
     var y = 0

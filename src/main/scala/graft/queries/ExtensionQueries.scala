@@ -2527,11 +2527,14 @@ object ExtensionQueries {
     // decoded frame's sums from the source bytes. Upgrades xq22's
     // byte-slice plumbing to an actual codec path.
     QueryDef("xq89_video_frames",
-      (s, d) => Multimodal.decodeSampledFrames(
+      (s, d) => graft.operators.CacheRegistry.persisted(
+        Multimodal.decodeSampledFrames(
           s, Multimodal.videoAssets(Tables.documents(s, d)), stride = 2)
         .toDF()
         .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
-          col("sum_b"), col("sum_g"), col("sum_r"))
+          col("sum_b"), col("sum_g"), col("sum_r")))
+        // persisted: the global sort's range sampler otherwise re-runs the
+        // whole encode+decode pipeline as a second pass
         .orderBy("doc_id", "frame_idx"),
       Some(s"""WITH t AS (SELECT doc_id, hex(encode(text)) AS hx,
               |             octet_length(encode(text)) AS n FROM documents),
