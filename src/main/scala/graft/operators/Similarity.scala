@@ -85,27 +85,39 @@ object Similarity {
     // per-iteration collect is the same bounded class as the BPE argmax.
     var centLocal: Seq[(Long, Seq[Double])] = e.orderBy("_id").limit(k)
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq)).toIndexedSeq
-    var sums: DataFrame = null
+    // raw (cluster, dim, s, cnt) rows of the latest iteration — k·dims
+    // bounded, the same driver-resident class as centLocal itself
+    var lastSums: Array[(Long, Long, Long, Long)] = null
     for (_ <- 1 to iters) {
       val assigned = e.select(col("_id"), col("_v"),
         literalArgmax(col("_v"), centLocal).as("cluster"))
-      sums = assigned
+      lastSums = assigned
         .select(col("cluster"), posexplode(col("_v")).as(Seq("dim0", "x")))
         .groupBy(col("cluster"), (col("dim0") + 1).cast("long").as("dim"))
         .agg(sum(floor(col("x") * 1e6 + 0.5).cast("long")).as("s"),
           count(lit(1)).as("cnt"))
-      centLocal = sums
-        .select(col("cluster"), col("dim"),
-          (col("s").cast("double") / (lit(1e6) * col("cnt"))).as("m"))
         .collect()
-        .groupBy(_.getLong(0))
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // same IEEE tree as the previous in-plan expression:
+      // CAST(s AS DOUBLE) / (1e6 * cnt) — Scala's Double*Long widening is
+      // the identical multiply, so centroids are bit-unchanged
+      centLocal = lastSums
+        .groupBy(_._1)
         .map { case (c, rows) =>
-          (c, rows.sortBy(_.getLong(1)).map(_.getDouble(2)).toIndexedSeq: Seq[Double]) }
+          (c, rows.sortBy(_._2).map(r => r._3.toDouble / (1e6 * r._4))
+            .toIndexedSeq: Seq[Double]) }
         .toIndexedSeq.sortBy(_._1)
     }
-    sums.select(col("cluster"), col("dim"),
-      (col("s").cast("double") / (lit(1e6) * col("cnt"))).as("centroid_val"),
-      col("cnt").as("n_members"))
+    // Return the ALREADY-COLLECTED final sums as a local relation instead
+    // of the lazy last-iteration plan: consumers (assignToCentroids'
+    // collect, semDedup's centroid assembly, xq84's re-aggregation) were
+    // re-executing the whole final iteration — scan, argmax, explode,
+    // shuffle — once each. k·dims rows of metadata never need that.
+    val spark = emb.sparkSession
+    import spark.implicits._
+    lastSums.toSeq
+      .map { case (c, dim, s, cnt) => (c, dim, s.toDouble / (1e6 * cnt), cnt) }
+      .toDF("cluster", "dim", "centroid_val", "n_members")
   }
 
   /** Assignment against an arbitrary trained centroid frame
