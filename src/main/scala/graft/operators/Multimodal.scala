@@ -547,27 +547,51 @@ object Multimodal {
   def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming + 1 <= 4,
       s"4 bands of 16 bits cover maxHamming <= 3, got $maxHamming")
-    // both sides of the band self-join consume the hash table: persist it
-    // so the image decode behind it runs once (simhash pair-search rule)
-    val cached = CacheRegistry.persisted(hashes)
-    val bands = cached.select(col("id"), col("h0"), col("h1"), explode(array(
+    // Distinct-key compare (the xq71 fuzzy-dedup recipe): perceptual
+    // hashes are LOW-ENTROPY on real corpora — at sf1 50 k assets hold
+    // only 8.6 k distinct dHashes and the hottest 16-bit band key covers
+    // 8.8 k assets, so banding ids directly pays a quadratic in-bucket
+    // verification (measured 44.7 s). Hamming is a function of the hash
+    // VALUES alone: verify once per distinct value pair, then recover id
+    // pairs by equi-joins (output-bound, no wasted compute).
+    val hs = CacheRegistry.persisted(hashes)
+    val dh = CacheRegistry.persisted(hs.select(col("h0"), col("h1")).distinct())
+    val p = hashes.sparkSession.sessionState.conf.numShufflePartitions
+    val bands = dh.select(col("h0"), col("h1"), explode(array(
         (0 until 4).map { b =>
           val word = if (b < 2) "h0" else "h1"
           val shift = (b % 2) * 16
           struct(lit(b).as("band_id"),
             expr(s"($word >> $shift) & 65535").as("band_key"))
         }: _*)).as("band"))
-      .select(col("id"), col("h0"), col("h1"),
+      .select(col("h0"), col("h1"),
         col("band.band_id"), col("band.band_key"))
-    val a = bands.toDF("id_a", "a_h0", "a_h1", "band_id", "band_key")
-    val b = bands.toDF("id_b", "b_h0", "b_h1", "band_id", "band_key")
-    a.join(b, Seq("band_id", "band_key"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
+    val a = bands.toDF("a_h0", "a_h1", "band_id", "band_key")
+      .repartition(p, col("band_id"), col("band_key")) // pair-dense exchange: coalesce-proof
+    val b = bands.toDF("b_h0", "b_h1", "band_id", "band_key")
+    // candidate DISTINCT-VALUE pairs, lexicographic dedupe (not id order)
+    val valuePairs = a.join(b, Seq("band_id", "band_key"))
+      .where(col("a_h0") < col("b_h0") ||
+        (col("a_h0") === col("b_h0") && col("a_h1") < col("b_h1")))
+      .select(col("a_h0"), col("a_h1"), col("b_h0"), col("b_h1"),
         expr("CAST(bit_count(a_h0 ^ b_h0) + bit_count(a_h1 ^ b_h1) AS BIGINT)")
           .as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
+    // equal-hash groups: every id pair sharing one hash value, hamming 0
+    val ia = hs.toDF("id_a", "h0", "h1")
+    val ib = hs.toDF("id_b", "h0", "h1")
+    val equal = ia.join(ib, Seq("h0", "h1"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0L).as("hamming"))
+    // cross-hash pairs: ids of each side of a qualifying value pair (an id
+    // has exactly one hash, so each unordered id pair arises once)
+    val cross = valuePairs
+      .join(hs.toDF("ida", "a_h0", "a_h1"), Seq("a_h0", "a_h1"))
+      .join(hs.toDF("idb", "b_h0", "b_h1"), Seq("b_h0", "b_h1"))
+      .select(least(col("ida"), col("idb")).as("id_a"),
+        greatest(col("ida"), col("idb")).as("id_b"), col("hamming"))
+    equal.unionByName(cross)
   }
 
   /** REAL decode of one image payload via the JDK ImageIO BMP reader:
