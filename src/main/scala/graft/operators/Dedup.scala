@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.CacheRegistry.Cacheable
 
@@ -597,5 +597,26 @@ object Dedup {
       .select(col(idCol), col("n_paras"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** LSH band-plan table — the analytical sizing report behind every
+    * banding choice in this file (xq83 is its MEASURED companion): for
+    * each (bands b, rows-per-band r) factorization of `nPerm` minhashes,
+    * the candidate probability 1 − (1 − j^r)^b across a Jaccard grid plus
+    * the S-curve threshold estimate (1/b)^(1/r). Metadata-scale local
+    * computation (|divisor pairs| × 19 rows); probabilities are
+    * 1e-9-quantized so the IEEE pow trees compare exactly cross-engine.
+    */
+  def lshBandPlan(spark: SparkSession, nPerm: Int = 24): DataFrame = {
+    import spark.implicits._
+    val configs = (1 to nPerm).filter(nPerm % _ == 0).map(b => (b, nPerm / b))
+    val rows = for ((b, r) <- configs; i <- 1 to 19) yield (b, r, i / 20.0)
+    def q(c: Column): Column = floor(c * lit(1e9) + lit(0.5)) / lit(1e9)
+    rows.toDF("n_bands", "rows_per_band", "jaccard")
+      .select(col("n_bands"), col("rows_per_band"), col("jaccard"),
+        q(lit(1.0) - pow(lit(1.0) - pow(col("jaccard"), col("rows_per_band")),
+          col("n_bands"))).as("p_candidate"),
+        q(pow(lit(1.0) / col("n_bands"), lit(1.0) / col("rows_per_band")))
+          .as("t_star"))
   }
 }

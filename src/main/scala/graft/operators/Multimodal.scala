@@ -307,19 +307,25 @@ object Multimodal {
       .toDF("doc_id", "payload", "mime", "n_bytes")
   }
 
-  /** REAL decode of one WAV payload via `javax.sound.sampled`: RIFF
-    * header parse (the format really comes from the file, not assumed)
-    * plus PCM16 frame decode into exact integer amplitude statistics.
+  /** Shared RIFF parse + PCM16 frame read (the format really comes from
+    * the file header, not assumed): returns (sample_rate, pcm bytes).
     */
-  def decodeAudio(payload: Array[Byte]): (Int, Long, Long, Long, Long, Long) = {
+  private def readPcm16(payload: Array[Byte]): (Int, Array[Byte]) = {
     val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
       new ByteArrayInputStream(payload))
     val fmt = ais.getFormat
     require(fmt.getChannels == 1 && fmt.getSampleSizeInBits == 16 &&
       !fmt.isBigEndian, s"unexpected audio format $fmt")
-    val rate = fmt.getSampleRate.toInt
     val data = ais.readAllBytes()
     ais.close()
+    (fmt.getSampleRate.toInt, data)
+  }
+
+  /** REAL decode of one WAV payload via `javax.sound.sampled` into exact
+    * integer amplitude statistics.
+    */
+  def decodeAudio(payload: Array[Byte]): (Int, Long, Long, Long, Long, Long) = {
+    val (rate, data) = readPcm16(payload)
     val n = data.length / 2
     var (sumAbs, energy, peak, silent) = (0L, 0L, 0L, 0L)
     var k = 0
@@ -333,6 +339,42 @@ object Multimodal {
       k += 1
     }
     (rate, n.toLong, sumAbs, energy, peak, silent)
+  }
+
+  /** Silence-trim report per audio asset (the audio analogue of a text
+    * cleaning pass / VAD-lite): first and last sample at or above the
+    * silence threshold, both -1 when the asset is all-silence, and the
+    * millisecond duration of the kept [first_loud, last_loud] span. All
+    * integers — oracle-recomputable.
+    */
+  final case class AudioTrim(
+      doc_id: Long,
+      n_samples: Long,
+      first_loud: Long,
+      last_loud: Long,
+      kept_ms: Long)
+
+  /** Decode + trim scan in one pass per asset. */
+  def audioTrimStats(spark: SparkSession, assetsDf: DataFrame): Dataset[AudioTrim] = {
+    import spark.implicits._
+    assetsDf.select("doc_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val (rate, data) = readPcm16(payload)
+        val n = data.length / 2
+        var (first, last) = (-1L, -1L)
+        var k = 0
+        while (k < n) {
+          val s = (data(2 * k + 1) << 8) | (data(2 * k) & 0xFF)
+          if (math.abs(s) >= SilenceThreshold) {
+            if (first < 0) first = k
+            last = k
+          }
+          k += 1
+        }
+        val kept = if (first < 0) 0L else (last - first + 1) * 1000L / rate
+        AudioTrim(id, n.toLong, first, last, kept)
+      })
   }
 
   /** Partition-wise audio feature extraction (one decoder init per

@@ -2639,6 +2639,105 @@ object ExtensionQueries {
               |  CAST(bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1)) AS BIGINT) AS hamming
               |FROM hash a JOIN hash b ON a.id < b.id
               |WHERE bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1)) <= 3
-              |ORDER BY id_a, id_b""".stripMargin))
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // XQ92: LSH band-plan report — the analytical sizing table behind the
+    // suite's banding choices (xq83 is its measured companion): candidate
+    // probability 1-(1-j^r)^b per (bands, rows-per-band) factorization of
+    // 24 minhashes over a Jaccard grid, plus the S-curve threshold
+    // (1/b)^(1/r). 1e-9 quantization makes the IEEE pow trees hash-exact
+    // cross-engine.
+    QueryDef("xq92_lsh_band_plan",
+      (s, _) => Dedup.lshBandPlan(s, nPerm = 24)
+        .orderBy("n_bands", "jaccard"),
+      Some("""WITH cfg AS (SELECT CAST(b AS INT) AS n_bands,
+             |               CAST(24 // b AS INT) AS rows_per_band
+             |             FROM UNNEST(generate_series(1, 24)) t(b)
+             |             WHERE 24 % b = 0),
+             |g AS (SELECT i / 20.0 AS jaccard
+             |      FROM UNNEST(generate_series(1, 19)) u(i))
+             |SELECT n_bands, rows_per_band, jaccard,
+             |  floor((1 - POWER(1 - POWER(jaccard, rows_per_band), n_bands)) * 1e9 + 0.5) / 1e9 AS p_candidate,
+             |  floor(POWER(1.0 / n_bands, 1.0 / rows_per_band) * 1e9 + 0.5) / 1e9 AS t_star
+             |FROM cfg, g
+             |ORDER BY n_bands, jaccard""".stripMargin)),
+
+    // XQ93: cross-modal duplicate report — near-dup pairs by TEXT (minhash
+    // LSH candidates) and by IMAGE (dHash hamming <= 3 over the decoded
+    // BMP assets) merged into one (doc_a, doc_b, text_dup, image_dup)
+    // frame: the both-modality rows are the high-confidence removals, the
+    // single-modality rows are what each detector alone would miss.
+    QueryDef("xq93_crossmodal_dups",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tp = Dedup.minhashCandidatePairs(docs, "text", "doc_id")
+          .withColumn("t", lit(1L))
+        val ip = Multimodal.imageNearDupPairs(
+            Multimodal.imageHashes(s, Multimodal.imageAssets(docs)))
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), lit(1L).as("i"))
+        tp.join(ip, Seq("doc_a", "doc_b"), "full_outer")
+          .select(col("doc_a"), col("doc_b"),
+            coalesce(col("t"), lit(0L)).as("text_dup"),
+            coalesce(col("i"), lit(0L)).as("image_dup"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""$lshPairsCte,
+              |it AS (SELECT doc_id AS id, hex(encode(text)) AS hx,
+              |         octet_length(encode(text)) AS n,
+              |         GREATEST(CAST(CEIL(octet_length(encode(text)) / 96.0) AS BIGINT), 1) AS h
+              |       FROM documents),
+              |icell AS (SELECT id, x, y,
+              |    (SELECT SUM(CASE WHEN 3 * ((h - 1 - (y * h // 8)) * 32 + (x * 32 // 9)) + c < n
+              |       THEN CAST(('0x' || substr(hx, 2 * (3 * ((h - 1 - (y * h // 8)) * 32 + (x * 32 // 9)) + c) + 1, 2)) AS INT)
+              |       ELSE 0 END)
+              |     FROM UNNEST(generate_series(0, 2)) AS cc(c)) AS g
+              |  FROM it, UNNEST(generate_series(0, 8)) AS gx(x),
+              |       UNNEST(generate_series(0, 7)) AS gy(y)),
+              |ibit AS (SELECT a.id, a.y, a.x,
+              |           CASE WHEN a.g < b.g THEN 1 ELSE 0 END AS bit
+              |         FROM icell a JOIN icell b
+              |           ON a.id = b.id AND a.y = b.y AND b.x = a.x + 1
+              |         WHERE a.x < 8),
+              |ihash AS (SELECT id,
+              |    CAST(SUM(CASE WHEN y < 4 THEN CAST(bit AS BIGINT) << ((y % 4) * 8 + x) ELSE 0 END) AS BIGINT) AS h0,
+              |    CAST(SUM(CASE WHEN y >= 4 THEN CAST(bit AS BIGINT) << ((y % 4) * 8 + x) ELSE 0 END) AS BIGINT) AS h1
+              |  FROM ibit GROUP BY id),
+              |ipairs AS (SELECT a.id AS doc_a, b.id AS doc_b
+              |           FROM ihash a JOIN ihash b ON a.id < b.id
+              |           WHERE bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1)) <= 3)
+              |SELECT COALESCE(p.doc_a, i.doc_a) AS doc_a,
+              |       COALESCE(p.doc_b, i.doc_b) AS doc_b,
+              |       CAST(CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS text_dup,
+              |       CAST(CASE WHEN i.doc_a IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS image_dup
+              |FROM pairs p FULL OUTER JOIN ipairs i
+              |  ON p.doc_a = i.doc_a AND p.doc_b = i.doc_b
+              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // XQ94: audio silence trim (VAD-lite) — per asset, the first/last
+    // sample at or above the silence threshold and the milliseconds kept
+    // by trimming outside them; the audio analogue of the text cleaning
+    // passes. Integer-exact through the real WAV decode.
+    QueryDef("xq94_audio_trim",
+      (s, d) => Multimodal.audioTrimStats(
+          s, Multimodal.audioAssets(Tables.documents(s, d)))
+        .toDF()
+        .select(col("doc_id"), col("n_samples"), col("first_loud"),
+          col("last_loud"), col("kept_ms"))
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, hex(encode(text)) AS hx,
+              |             octet_length(encode(text)) AS n FROM documents),
+              |samp AS (SELECT doc_id, i - 1 AS k,
+              |           (CAST(('0x' || substr(hx, 2*i - 1, 2)) AS INT) - 128) * 256 AS s
+              |         FROM t, UNNEST(generate_series(1, n)) AS g(i)),
+              |loud AS (SELECT doc_id, MIN(k) AS first_loud, MAX(k) AS last_loud
+              |         FROM samp WHERE ABS(s) >= ${Multimodal.SilenceThreshold}
+              |         GROUP BY 1)
+              |SELECT t.doc_id,
+              |  CAST(t.n AS BIGINT) AS n_samples,
+              |  CAST(COALESCE(l.first_loud, -1) AS BIGINT) AS first_loud,
+              |  CAST(COALESCE(l.last_loud, -1) AS BIGINT) AS last_loud,
+              |  CAST(COALESCE((l.last_loud - l.first_loud + 1) * 1000 // ${Multimodal.SampleRate}, 0) AS BIGINT) AS kept_ms
+              |FROM t LEFT JOIN loud l USING (doc_id)
+              |ORDER BY t.doc_id""".stripMargin))
   )
 }

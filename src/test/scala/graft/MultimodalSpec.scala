@@ -134,6 +134,40 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == exact)
   }
 
+  test("audio trim finds the loud span; all-silence trims to zero") {
+    import spark.implicits._
+    // bytes near 128 are silent (|s| < 2048 <=> byte within 128±8);
+    // plant loud samples at positions 10 and 40 of a 60-sample asset
+    val raw = Array.fill(60)(128.toByte)
+    raw(10) = 0; raw(40) = 255.toByte
+    val silent = Array.fill(30)(130.toByte)
+    val assets = Seq(
+      (1L, Multimodal.encodeWav(raw)),
+      (2L, Multimodal.encodeWav(silent))
+    ).toDF("doc_id", "payload")
+    val out = Multimodal.audioTrimStats(spark, assets)
+      .collect().sortBy(_.doc_id)
+    assert(out(0).first_loud == 10 && out(0).last_loud == 40)
+    assert(out(0).kept_ms == 31 * 1000L / Multimodal.SampleRate)
+    assert(out(1).first_loud == -1 && out(1).last_loud == -1 && out(1).kept_ms == 0)
+  }
+
+  test("LSH band plan: S-curve rises with jaccard, threshold falls with bands") {
+    val plan = graft.operators.Dedup.lshBandPlan(spark, nPerm = 24).collect()
+      .map(r => ((r.getInt(0), r.getDouble(2)), (r.getDouble(3), r.getDouble(4))))
+      .toMap
+    val bands = plan.keys.map(_._1).toSeq.distinct.sorted
+    assert(bands == Seq(1, 2, 3, 4, 6, 8, 12, 24))
+    // p_candidate monotone in jaccard for every config
+    bands.foreach { b =>
+      val curve = (1 to 19).map(i => plan((b, i / 20.0))._1)
+      assert(curve.zip(curve.tail).forall { case (lo, hi) => lo <= hi })
+    }
+    // more bands -> lower S-curve threshold (more permissive)
+    val ts = bands.map(b => plan((b, 0.5))._2)
+    assert(ts.zip(ts.tail).forall { case (hi, lo) => hi > lo })
+  }
+
   test("near-dedup keeps min-id survivor of dup groups") {
     import spark.implicits._
     val docs = Seq(
