@@ -578,6 +578,23 @@ object Multimodal {
       .toDF("doc_id", "payload", "mime", "n_bytes")
   }
 
+  /** The 64 dHash bits as 4 disjoint 16-bit pigeonhole bands: appends
+    * (band_id, band_key) rows (×4) to whatever columns the input carries.
+    * Lossless for hamming ≤ 3 — at most 3 differing bits dirty at most 3
+    * bands, so near hashes agree exactly on at least one band. Shared by
+    * the pair search and the streaming media-ingest index probe.
+    */
+  def hashBands(hashes: DataFrame): DataFrame =
+    hashes.select(col("*"), explode(array(
+        (0 until 4).map { b =>
+          val word = if (b < 2) "h0" else "h1"
+          val shift = (b % 2) * 16
+          struct(lit(b).as("band_id"),
+            expr(s"($word >> $shift) & 65535").as("band_key"))
+        }: _*)).as("band"))
+      .select(col("*"), col("band.band_id"), col("band.band_key"))
+      .drop("band")
+
   /** Image near-duplicate pairs: every (id_a, id_b) whose dHashes are
     * within `maxHamming` — WITHOUT the all-pairs product. Pigeonhole
     * banding over the 64 hash bits as 4 disjoint 16-bit bands (same
@@ -599,15 +616,7 @@ object Multimodal {
     val hs = CacheRegistry.persisted(hashes)
     val dh = CacheRegistry.persisted(hs.select(col("h0"), col("h1")).distinct())
     val p = hashes.sparkSession.sessionState.conf.numShufflePartitions
-    val bands = dh.select(col("h0"), col("h1"), explode(array(
-        (0 until 4).map { b =>
-          val word = if (b < 2) "h0" else "h1"
-          val shift = (b % 2) * 16
-          struct(lit(b).as("band_id"),
-            expr(s"($word >> $shift) & 65535").as("band_key"))
-        }: _*)).as("band"))
-      .select(col("h0"), col("h1"),
-        col("band.band_id"), col("band.band_key"))
+    val bands = hashBands(dh)
     val a = bands.toDF("a_h0", "a_h1", "band_id", "band_key")
       .repartition(p, col("band_id"), col("band_key")) // pair-dense exchange: coalesce-proof
     val b = bands.toDF("b_h0", "b_h1", "band_id", "band_key")
