@@ -49,7 +49,16 @@ object Bench {
         catch { case _: Throwable => false }
       q.name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val rounds = Seq(timeAll(), timeAll())
+    // Tracked caches are released BETWEEN the measured rounds: Spark's
+    // CacheManager substitutes plan-equal subtrees, so a query whose
+    // (now top-level) result frame is persisted would otherwise reduce to
+    // a pure cache read in round 2 and the per-query min would measure
+    // nothing. Within a round, persist benefits (shared intermediates,
+    // sampler-pass reuse) still count — that is the steady-state a
+    // long-lived session actually delivers per fresh query.
+    val rounds = Seq(timeAll(), {
+      operators.CacheRegistry.releaseAll(spark); timeAll()
+    })
     val results = defs.map(_.name).map { n =>
       val valid = rounds.map(_.toMap.apply(n)).filter(_ >= 0)
       n -> (if (valid.nonEmpty) valid.min else -1.0)

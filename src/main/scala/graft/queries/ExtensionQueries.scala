@@ -2419,10 +2419,12 @@ object ExtensionQueries {
     // iterates bytes, not characters, so multi-byte text stays hash-exact)
     // — the decoder is hash-checked, not stubbed.
     QueryDef("xq16_multimodal_features",
-      (s, d) => Multimodal.extractFeatures(s, Multimodal.imageAssets(Tables.documents(s, d)))
+      (s, d) => graft.operators.CacheRegistry.persisted(
+        Multimodal.extractFeatures(s, Multimodal.imageAssets(Tables.documents(s, d)))
         .toDF()
         .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
-          col("sum_b"), col("sum_g"), col("sum_r"), col("n_pixels"))
+          col("sum_b"), col("sum_g"), col("sum_r"), col("n_pixels")))
+        // persisted: the sort's range sampler would re-run the codec pass
         .orderBy("doc_id"),
       Some(s"""WITH t AS (SELECT doc_id, hex(encode(text)) AS hx,
               |             octet_length(encode(text)) AS n FROM documents),
@@ -2454,10 +2456,11 @@ object ExtensionQueries {
     // codec seam itself; the compressed file size is codec-dependent and
     // deliberately NOT in the output (the oracle cannot recompute it).
     QueryDef("xq87_multimodal_png",
-      (s, d) => Multimodal.extractFeatures(s, Multimodal.pngAssets(Tables.documents(s, d)))
+      (s, d) => graft.operators.CacheRegistry.persisted(
+        Multimodal.extractFeatures(s, Multimodal.pngAssets(Tables.documents(s, d)))
         .toDF()
         .select(col("doc_id"), col("width"), col("height"),
-          col("sum_b"), col("sum_g"), col("sum_r"), col("n_pixels"))
+          col("sum_b"), col("sum_g"), col("sum_r"), col("n_pixels")))
         .orderBy("doc_id"),
       Some(s"""WITH t AS (SELECT doc_id, hex(encode(text)) AS hx,
               |             octet_length(encode(text)) AS n FROM documents),
@@ -2489,12 +2492,13 @@ object ExtensionQueries {
     // DuckDB recomputes every output from the source bytes — the audio
     // decoder is hash-checked the same way the image decoders are.
     QueryDef("xq88_audio_features",
-      (s, d) => Multimodal.extractAudioFeatures(
+      (s, d) => graft.operators.CacheRegistry.persisted(
+        Multimodal.extractAudioFeatures(
           s, Multimodal.audioAssets(Tables.documents(s, d)))
         .toDF()
         .select(col("doc_id"), col("sample_rate"), col("n_samples"),
           col("duration_ms"), col("sum_abs"), col("energy"), col("peak"),
-          col("n_silent"))
+          col("n_silent")))
         .orderBy("doc_id"),
       Some(s"""WITH t AS (SELECT doc_id, hex(encode(text)) AS hx,
               |             octet_length(encode(text)) AS n FROM documents),
@@ -2568,9 +2572,10 @@ object ExtensionQueries {
     // Every step is integer math on decoder output the oracle can reach
     // from the source bytes, so the hash itself is hash-checked.
     QueryDef("xq90_image_dhash",
-      (s, d) => Multimodal.imageHashes(
+      (s, d) => graft.operators.CacheRegistry.persisted(
+        Multimodal.imageHashes(
           s, Multimodal.imageAssets(Tables.documents(s, d)))
-        .select(col("id").as("doc_id"), col("h0"), col("h1"))
+        .select(col("id").as("doc_id"), col("h0"), col("h1")))
         .orderBy("doc_id"),
       Some(s"""WITH t AS (SELECT doc_id, hex(encode(text)) AS hx,
               |             octet_length(encode(text)) AS n,
@@ -2718,11 +2723,12 @@ object ExtensionQueries {
     // by trimming outside them; the audio analogue of the text cleaning
     // passes. Integer-exact through the real WAV decode.
     QueryDef("xq94_audio_trim",
-      (s, d) => Multimodal.audioTrimStats(
+      (s, d) => graft.operators.CacheRegistry.persisted(
+        Multimodal.audioTrimStats(
           s, Multimodal.audioAssets(Tables.documents(s, d)))
         .toDF()
         .select(col("doc_id"), col("n_samples"), col("first_loud"),
-          col("last_loud"), col("kept_ms"))
+          col("last_loud"), col("kept_ms")))
         .orderBy("doc_id"),
       Some(s"""WITH t AS (SELECT doc_id, hex(encode(text)) AS hx,
               |             octet_length(encode(text)) AS n FROM documents),
