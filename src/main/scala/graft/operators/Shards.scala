@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-shard emission — the LAST-MILE step after tokenize → pack →
+  * shuffle: the token-id corpus becomes numbered shards of ~`shardTokens`
+  * ids each, plus a manifest a dataloader (or an auditor) can check the
+  * bytes against. Documents never split across shards (the standard
+  * trainer rule: a shard boundary falls before the doc whose first token
+  * would cross it).
+  *
+  * Scale shape: shard assignment rides [[Sampling.prefixSum]] (two-pass
+  * range-partitioned — no global window); the manifest is one exchange
+  * keyed by shard id; the binary writer is a shard-keyed `mapGroups`
+  * whose state is one shard's bytes (shardTokens × 2 B — a constant
+  * chosen to fit an executor, exactly like production shard sizes).
+  */
+object Shards {
+
+  /** Shard plan over per-doc token counts: (id, n, cum_start, cum_end,
+    * shard_id) with shard_id = floor(cum_start / shardTokens) — docs in
+    * id order, boundaries at the first doc past each multiple.
+    */
+  def plan(perDocCounts: DataFrame, idCol: String, nCol: String,
+      shardTokens: Long): DataFrame = {
+    require(shardTokens > 0, "shardTokens must be positive")
+    Sampling.prefixSum(perDocCounts, idCol, nCol)
+      .withColumn("shard_id", floor(col("cum_start") / shardTokens).cast("long"))
+  }
+
+  /** Hash-exact shard manifest from a (id, pos, term_id) token table:
+    * per shard — doc count, token count, and an md5 digest of the
+    * canonical stream text `id:t1,t2,...|id:t1,...` in (id, pos) order.
+    * The digest is what a dataloader-side auditor recomputes from the
+    * written bytes; two engines produce it independently (xq95).
+    */
+  def manifest(tokenIds: DataFrame, idCol: String, posCol: String,
+      tidCol: String, shardTokens: Long): DataFrame = {
+    // persisted: the frame feeds both the shard plan and the digest join
+    // (the repeated-consumer rule), and the caller's final sort would
+    // otherwise re-run the whole token aggregation as its sampler pass
+    val perDoc = CacheRegistry.persisted(tokenIds.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n"),
+        concat(col(idCol).cast("string"), lit(":"),
+          array_join(transform(
+            array_sort(collect_list(struct(col(posCol).as("p"),
+              col(tidCol).cast("string").as("t")))),
+            x => x.getField("t")), ",")).as("_doc_str")))
+    val planned = plan(perDoc.select(col(idCol), col("n")), idCol, "n", shardTokens)
+    perDoc.join(planned.select(col(idCol), col("shard_id")), Seq(idCol))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"),
+        md5(to_binary(array_join(transform(
+          array_sort(collect_list(struct(col(idCol).as("i"), col("_doc_str").as("s")))),
+          x => x.getField("s")), "|"), lit("utf-8"))).as("digest"))
+  }
+
+  /** REAL binary emission: one little-endian uint16 file per shard (the
+    * common dataloader format; ids ≥ 65536 would take the uint32 twin),
+    * written executor-side from a shard-keyed group — same write posture
+    * as EventFiles. Returns (shard_id, n_tokens, n_bytes, path).
+    */
+  def writeShards(spark: SparkSession, tokenIds: DataFrame, idCol: String,
+      posCol: String, tidCol: String, shardTokens: Long, dir: String): DataFrame = {
+    import spark.implicits._
+    val perDoc = tokenIds.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val planned = plan(perDoc, idCol, "n", shardTokens)
+    val rows = tokenIds
+      .join(planned.select(col(idCol), col("shard_id")), Seq(idCol))
+      .select(col("shard_id"), col(idCol).as("_id"), col(posCol).as("_pos"),
+        col(tidCol).cast("int").as("_tid"))
+      .as[(Long, Long, Long, Int)]
+    rows.groupByKey(_._1)
+      .mapGroups { (shard, it) =>
+        val toks = it.toArray.sortBy(r => (r._2, r._3)).map(_._4)
+        val bytes = new Array[Byte](toks.length * 2)
+        var i = 0
+        while (i < toks.length) {
+          bytes(2 * i) = (toks(i) & 0xFF).toByte
+          bytes(2 * i + 1) = ((toks(i) >> 8) & 0xFF).toByte
+          i += 1
+        }
+        val path = java.nio.file.Paths.get(dir, f"shard-$shard%05d.bin")
+        java.nio.file.Files.createDirectories(path.getParent)
+        java.nio.file.Files.write(path, bytes)
+        (shard, toks.length.toLong, bytes.length.toLong, path.toString)
+      }
+      .toDF("shard_id", "n_tokens", "n_bytes", "path")
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{TextFunctions, UrlFunctions}
-import graft.operators.{Bpe, Chunking, Cleaning, Decontamination, Dedup, Dsir, Multimodal, NgramLm, QualityClassifier, Ranking, Redaction, RepeatedNgrams, Sampling, Similarity, TextStats, Vocabulary, ZOrder}
+import graft.operators.{Bpe, Chunking, Cleaning, Decontamination, Dedup, Dsir, Multimodal, NgramLm, QualityClassifier, Ranking, Redaction, RepeatedNgrams, Sampling, Shards, Similarity, TextStats, Vocabulary, ZOrder}
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2.4 XQ* — the LLM-data-pipeline operator surface (north star):
@@ -2744,6 +2744,48 @@ object ExtensionQueries {
               |  CAST(COALESCE(l.last_loud, -1) AS BIGINT) AS last_loud,
               |  CAST(COALESCE((l.last_loud - l.first_loud + 1) * 1000 // ${Multimodal.SampleRate}, 0) AS BIGINT) AS kept_ms
               |FROM t LEFT JOIN loud l USING (doc_id)
-              |ORDER BY t.doc_id""".stripMargin))
+              |ORDER BY t.doc_id""".stripMargin)),
+
+    // XQ95: training-shard manifest — the LAST-MILE dataloader step after
+    // tokenize/pack/shuffle: vocab-mapped token ids are planned into
+    // ~4096-token shards via the distributed prefix sum (docs never
+    // split), and each shard gets doc/token counts plus an md5 digest of
+    // its canonical id:tokens stream — the check an auditor recomputes
+    // from the written bytes. Shards.writeShards emits the real uint16
+    // binaries (ShardsSpec round-trips them); the manifest is the
+    // hash-exact surface.
+    QueryDef("xq95_training_shards",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val vocab = Vocabulary.build(docs, "text", minCount = 5L)
+        val ids = Vocabulary.mapTokens(docs, "text", "doc_id", vocab)
+        graft.operators.CacheRegistry.persisted(
+          Shards.manifest(ids, "doc_id", "pos", "term_id", shardTokens = 4096L))
+          .orderBy("shard_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, i - 1 AS pos, w[i] AS term
+             |             FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t,
+             |                  UNNEST(generate_series(1, len(w))) AS u(i)),
+             |vc AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY 1 HAVING COUNT(*) >= 5),
+             |vocab AS (SELECT term,
+             |            CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS term_id
+             |          FROM vc),
+             |ids AS (SELECT tok.doc_id, pos, COALESCE(vocab.term_id, 0) AS tid
+             |        FROM tok LEFT JOIN vocab USING (term)),
+             |n AS (SELECT doc_id, COUNT(*) AS n FROM ids GROUP BY 1),
+             |cum AS (SELECT doc_id, n,
+             |          COALESCE(SUM(n) OVER (ORDER BY doc_id
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_start
+             |        FROM n),
+             |pl AS (SELECT doc_id, n, CAST(cum_start // 4096 AS BIGINT) AS shard_id FROM cum),
+             |ds AS (SELECT doc_id,
+             |         CAST(doc_id AS VARCHAR) || ':' ||
+             |           string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos) AS s
+             |       FROM ids GROUP BY 1)
+             |SELECT p.shard_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |       CAST(SUM(p.n) AS BIGINT) AS n_tokens,
+             |       md5(string_agg(d.s, '|' ORDER BY d.doc_id)) AS digest
+             |FROM pl p JOIN ds d USING (doc_id) GROUP BY 1
+             |ORDER BY shard_id""".stripMargin))
   )
 }

@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.Shards
+import java.nio.file.{Files, Paths}
+
+/** Training-shard emission: plan boundaries, manifest digests, and the
+  * binary uint16 round trip.
+  */
+class ShardsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // hand corpus: doc -> token ids; sizes 3, 4, 2, 5
+  private val tokens = Seq(
+    (1L, 0L, 7L), (1L, 1L, 8L), (1L, 2L, 9L),
+    (2L, 0L, 1L), (2L, 1L, 2L), (2L, 2L, 3L), (2L, 3L, 4L),
+    (3L, 0L, 5L), (3L, 1L, 6L),
+    (4L, 0L, 10L), (4L, 1L, 11L), (4L, 2L, 12L), (4L, 3L, 13L), (4L, 4L, 14L))
+
+  test("plan: docs never split; boundary falls before the crossing doc") {
+    val perDoc = tokens.toDF("id", "pos", "tid")
+      .groupBy("id").count().withColumnRenamed("count", "n")
+    // shardTokens = 6: cum starts 0,3,7,9 -> shards 0,0,1,1
+    val plan = Shards.plan(perDoc, "id", "n", shardTokens = 6L)
+      .select("id", "shard_id").as[(Long, Long)].collect().toMap
+    assert(plan == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("manifest digest matches a locally computed canonical stream") {
+    val df = tokens.toDF("id", "pos", "tid")
+    val m = Shards.manifest(df, "id", "pos", "tid", shardTokens = 6L)
+      .orderBy("shard_id").collect()
+    assert(m.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((0L, 2L, 7L), (1L, 2L, 7L)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(m(0).getString(3) == md5hex("1:7,8,9|2:1,2,3,4"))
+    assert(m(1).getString(3) == md5hex("3:5,6|4:10,11,12,13,14"))
+  }
+
+  test("writeShards emits little-endian uint16 files that replay the stream") {
+    val dir = Files.createTempDirectory("graft-shards").toString
+    val out = Shards.writeShards(spark, tokens.toDF("id", "pos", "tid"),
+      "id", "pos", "tid", shardTokens = 6L, dir)
+      .orderBy("shard_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((0L, 7L, 14L), (1L, 7L, 14L)))
+    def readU16(path: String): Seq[Int] = {
+      val b = Files.readAllBytes(Paths.get(path))
+      b.grouped(2).map(p => (p(0) & 0xFF) | ((p(1) & 0xFF) << 8)).toSeq
+    }
+    assert(readU16(out(0).getString(3)) == Seq(7, 8, 9, 1, 2, 3, 4))
+    assert(readU16(out(1).getString(3)) == Seq(5, 6, 10, 11, 12, 13, 14))
+  }
+}
