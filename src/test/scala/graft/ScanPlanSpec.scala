@@ -26,6 +26,24 @@ class ScanPlanSpec extends SparkSpec {
       !readSchema.contains("l_comment"), s"unpruned scan: $readSchema")
   }
 
+  test("multimodal codec paths prune the documents scan to id + text") {
+    // the codec pipelines must not drag lang/source/n_chars through the
+    // encode/decode mapPartitions boundary — pruning is what keeps the
+    // 100 TB scan reading only the referenced bytes
+    Seq(
+      graft.operators.Multimodal.imageAssets(Tables.documents(spark, sf)),
+      graft.operators.Multimodal.audioAssets(Tables.documents(spark, sf)),
+      graft.operators.Multimodal.videoAssets(Tables.documents(spark, sf))
+    ).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+      assert(readSchema.contains("doc_id") && readSchema.contains("text"),
+        readSchema)
+      assert(!readSchema.contains("lang") && !readSchema.contains("source") &&
+        !readSchema.contains("n_chars"), s"unpruned codec scan: $readSchema")
+    }
+  }
+
   test("day point query prunes partitions of the day-partitioned store") {
     val dir = Files.createTempDirectory("graft-prune").resolve("store").toString
     (0L to 4L).flatMap(day => Seq((day, "total", 10L, 0L)))
