@@ -59,6 +59,33 @@ class ScanPlanSpec extends SparkSpec {
     assert(q.count() == 1)
   }
 
+  test("IVF serve path: cluster id as partition column prunes the vector scan") {
+    // SCALING.md's claim for ANN at 100 TB: the trained cluster assignment
+    // becomes a partition column at ingest, and a query probes ONLY its own
+    // cluster's files. Fit -> assign -> partitioned write -> pruned read.
+    val emb = Tables.embeddings(spark, sf)
+    val cents = graft.operators.Similarity.kmeansFit(
+        emb, "embedding", "vec_id", k = 4, iters = 1)
+      .groupBy("cluster")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("centroid_val")))),
+        x => x.getField("centroid_val")).as("cvec"))
+    val assigned = graft.operators.Similarity.assignToCentroids(
+      emb, "embedding", "vec_id", cents)
+    val dir = Files.createTempDirectory("graft-ivf").resolve("vectors").toString
+    emb.join(assigned.select("vec_id", "cluster"), "vec_id")
+      .write.partitionBy("cluster").parquet(dir)
+    val store = spark.read.parquet(dir)
+    val qCluster = assigned.where(col("vec_id") === 0L)
+      .select("cluster").head().getLong(0)
+    val probe = store.where(col("cluster") === qCluster)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster"),
+      s"cluster filter must prune partitions:\n$plan")
+    // the probe touches only its own cluster's rows, never the full corpus
+    val probed = probe.count()
+    assert(probed > 0 && probed < emb.count(), s"probed $probed")
+  }
+
   test("AQE splits a planted skewed join partition") {
     val conf = spark.conf
     val saved = Seq(
