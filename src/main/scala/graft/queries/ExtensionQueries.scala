@@ -2680,10 +2680,12 @@ object ExtensionQueries {
         val ip = Multimodal.imageNearDupPairs(
             Multimodal.imageHashes(s, Multimodal.imageAssets(docs)))
           .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), lit(1L).as("i"))
-        tp.join(ip, Seq("doc_a", "doc_b"), "full_outer")
+        graft.operators.CacheRegistry.persisted(
+          tp.join(ip, Seq("doc_a", "doc_b"), "full_outer")
           .select(col("doc_a"), col("doc_b"),
             coalesce(col("t"), lit(0L)).as("text_dup"),
-            coalesce(col("i"), lit(0L)).as("image_dup"))
+            coalesce(col("i"), lit(0L)).as("image_dup")))
+          // persisted: the sort's range sampler re-runs both pair searches
           .orderBy("doc_a", "doc_b")
       },
       Some(s"""$lshPairsCte,
