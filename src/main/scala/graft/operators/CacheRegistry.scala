@@ -40,6 +40,40 @@ object CacheRegistry {
   /** Number of caches currently tracked (all sessions). */
   def trackedCount: Int = tracked.size()
 
+  /** Opaque snapshot of the currently-tracked handles, for [[releaseSince]].
+    * Identity-based: two persists of equal plans are distinct handles.
+    */
+  def mark(): java.util.Set[DataFrame] = {
+    val s = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[DataFrame, java.lang.Boolean]())
+    val it = tracked.iterator()
+    while (it.hasNext) s.add(it.next())
+    s
+  }
+
+  /** Unpersist every cache tracked AFTER `since` (scoped to `spark` unless
+    * null). This is the per-batch counterpart of [[releaseAll]]: a
+    * long-lived streaming job (e.g. [[graft.streaming.MediaIngest]]) calls
+    * an operator that routes persists through the registry, materializes
+    * the batch's outputs, then releases only the caches that batch created
+    * — without touching caches an enclosing harness still owns.
+    */
+  def releaseSince(since: java.util.Set[DataFrame],
+      spark: SparkSession = null): Int = {
+    var n = 0
+    val it = tracked.iterator()
+    while (it.hasNext) {
+      val df = it.next()
+      if (!since.contains(df) &&
+          (spark == null || (df.sparkSession eq spark))) {
+        df.unpersist(blocking = false)
+        it.remove()
+        n += 1
+      }
+    }
+    n
+  }
+
   /** Unpersist every tracked cache belonging to `spark` (or all sessions
     * when null). Idempotent — a frame the operator already unpersisted is
     * a no-op. Returns the number of handles released.

@@ -517,13 +517,31 @@ object Multimodal {
   def dHash(payload: Array[Byte]): (Long, Long) = {
     val img = ImageIO.read(new ByteArrayInputStream(payload))
     require(img != null, "undecodable image payload")
+    dHashOf(img, flipRows = false)
+  }
+
+  /** dHash of a decoded raster, optionally sampling the grid rows
+    * bottom-up (`flipRows`) — the hash of the vertically mirrored image
+    * without materializing the mirror. Why this matters: [[encodeBmp]]
+    * stores source bytes bottom-up while [[rawToImage]] (the PNG/frame
+    * path) is top-down, so a BMP and a PNG of the SAME source decode to
+    * vertical mirrors of each other and their top-down dHashes differ for
+    * any multi-row image. The flipped sampling hits source row
+    * `h-1-(y*h/8)` — exactly the row the other orientation's top-down
+    * sample hits — so `dHashOf(png, flip=true) == dHashOf(bmp, flip=false)`
+    * bit-for-bit, which is what lets the media-ingest index probe catch
+    * cross-format re-encodes.
+    */
+  private def dHashOf(img: java.awt.image.BufferedImage,
+      flipRows: Boolean): (Long, Long) = {
     val (w, h) = (img.getWidth, img.getHeight)
     val g = Array.ofDim[Long](8, 9)
     var y = 0
     while (y < 8) {
+      val sy = if (flipRows) h - 1 - (y * h / 8) else y * h / 8
       var x = 0
       while (x < 9) {
-        val rgb = img.getRGB(x * w / 9, y * h / 8)
+        val rgb = img.getRGB(x * w / 9, sy)
         g(y)(x) = ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
         x += 1
       }
@@ -545,6 +563,18 @@ object Multimodal {
     (h0, h1)
   }
 
+  /** Both orientations' dHashes from ONE decode: (h0, h1) top-down and
+    * (f0, f1) row-flipped. See [[dHashOf]] for why the flipped hash equals
+    * the other storage orientation's top-down hash.
+    */
+  def dHashBoth(payload: Array[Byte]): (Long, Long, Long, Long) = {
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    require(img != null, "undecodable image payload")
+    val (h0, h1) = dHashOf(img, flipRows = false)
+    val (f0, f1) = dHashOf(img, flipRows = true)
+    (h0, h1, f0, f1)
+  }
+
   /** Per-asset dHash table `(id, h0, h1)` — works on any ImageIO-decodable
     * payload (BMP and PNG assets alike).
     */
@@ -557,6 +587,24 @@ object Multimodal {
         it.map { case (id, p) => val (h0, h1) = dHash(p); (id, h0, h1) }
       }
       .toDF("id", "h0", "h1")
+  }
+
+  /** Per-asset dHash table with BOTH orientations `(id, h0, h1, f0, f1)` —
+    * one decode per asset. The flipped pair is what the media-ingest
+    * index probe matches against admitted hashes to catch cross-format
+    * (BMP↔PNG) re-encodes whose rasters are vertical mirrors.
+    */
+  def imageHashesOriented(spark: SparkSession, assetsDf: DataFrame): DataFrame = {
+    import spark.implicits._
+    assetsDf.select("doc_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.map { case (id, p) =>
+          val (h0, h1, f0, f1) = dHashBoth(p); (id, h0, h1, f0, f1)
+        }
+      }
+      .toDF("id", "h0", "h1", "f0", "f1")
   }
 
   /** Brightness-shifted twin assets: every source byte moves up by

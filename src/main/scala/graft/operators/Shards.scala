@@ -77,8 +77,13 @@ object Shards {
         val bytes = new Array[Byte](toks.length * 2)
         var i = 0
         while (i < toks.length) {
-          bytes(2 * i) = (toks(i) & 0xFF).toByte
-          bytes(2 * i + 1) = ((toks(i) >> 8) & 0xFF).toByte
+          val t = toks(i)
+          // fail loudly: a silent low-2-byte truncation would emit corrupt
+          // shards only an external digest audit could catch
+          require(t >= 0 && t < 65536,
+            s"token id $t in shard $shard exceeds uint16 range; use a uint32 emitter")
+          bytes(2 * i) = (t & 0xFF).toByte
+          bytes(2 * i + 1) = ((t >> 8) & 0xFF).toByte
           i += 1
         }
         val path = java.nio.file.Paths.get(dir, f"shard-$shard%05d.bin")

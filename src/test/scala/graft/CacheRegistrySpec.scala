@@ -27,6 +27,20 @@ class CacheRegistrySpec extends SparkSpec {
     assert(CacheRegistry.releaseAll(spark) == 0)
   }
 
+  test("mark/releaseSince releases only the caches created inside the scope") {
+    CacheRegistry.releaseAll(spark)
+    val outer = CacheRegistry.persisted(spark.range(10).toDF("id"))
+    assert(outer.count() == 10L)
+    val m = CacheRegistry.mark()
+    val inner = CacheRegistry.persisted(spark.range(20).toDF("id"))
+    assert(inner.count() == 20L)
+    assert(CacheRegistry.releaseSince(m, spark) == 1)
+    assert(inner.storageLevel == StorageLevel.NONE)
+    // the pre-mark cache is untouched and still tracked
+    assert(outer.storageLevel == StorageLevel.MEMORY_AND_DISK)
+    assert(CacheRegistry.releaseAll(spark) == 1)
+  }
+
   test("operator caches flow through the registry (globalRank)") {
     CacheRegistry.releaseAll(spark)
     val ranked = graft.operators.Sampling.globalRank(

@@ -53,6 +53,52 @@ class MediaIngestSpec extends SparkSpec {
     assert(ids == Set(5L, 7L))
   }
 
+  test("flipped dHash of a PNG equals the top-down dHash of its BMP twin") {
+    // encodeBmp stores rows bottom-up, the PNG path top-down: the decoded
+    // rasters are vertical mirrors, so the flipped-sampling hash of one
+    // format IS the top-down hash of the other, bit for bit.
+    val r = raw(42)
+    val (h0, h1, f0, f1) = Multimodal.dHashBoth(Multimodal.encodeBmp(r))
+    val (p0, p1, pf0, pf1) = Multimodal.dHashBoth(Multimodal.encodePng(r))
+    assert((pf0, pf1) == (h0, h1))
+    assert((f0, f1) == (p0, p1))
+  }
+
+  test("cross-format (BMP→PNG) re-encode is rejected by the persisted index") {
+    val (ing, _) = mkIngest()
+    assert(ing.ingestBatch(Seq((1L, bmp(1)), (2L, bmp(2)))
+      .toDF("doc_id", "payload"), 0L) == 2)
+    // PNG of the same source bytes: multi-row, so the decoded raster is
+    // the vertical MIRROR of the admitted BMP's — exact hash and top-down
+    // dHash both differ; only the orientation-aware probe catches it
+    val n1 = ing.ingestBatch(
+      Seq((10L, Multimodal.encodePng(raw(1))), (11L, bmp(3)))
+        .toDF("doc_id", "payload"), 1L)
+    assert(n1 == 1)
+    val ids = ing.corpus().get.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 11L))
+  }
+
+  test("within-batch cross-format twins collapse to the min id") {
+    val (ing, _) = mkIngest()
+    val n = ing.ingestBatch(
+      Seq((5L, bmp(7)), (6L, Multimodal.encodePng(raw(7))), (7L, bmp(8)))
+        .toDF("doc_id", "payload"), 0L)
+    assert(n == 2)
+    val ids = ing.corpus().get.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(5L, 7L))
+  }
+
+  test("ingestBatch releases the registry caches it creates") {
+    val (ing, _) = mkIngest()
+    val before = graft.operators.CacheRegistry.trackedCount
+    ing.ingestBatch(Seq((1L, bmp(1)), (2L, bmp(2)))
+      .toDF("doc_id", "payload"), 0L)
+    // second batch exercises the index-probe path too
+    ing.ingestBatch(Seq((3L, bmp(3))).toDF("doc_id", "payload"), 1L)
+    assert(graft.operators.CacheRegistry.trackedCount == before)
+  }
+
   test("replaying a micro-batch is idempotent") {
     val (ing, _) = mkIngest()
     val df = Seq((1L, bmp(1)), (2L, bmp(2))).toDF("doc_id", "payload")

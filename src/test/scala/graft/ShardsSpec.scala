@@ -52,4 +52,15 @@ class ShardsSpec extends SparkSpec {
     assert(readU16(out(0).getString(3)) == Seq(7, 8, 9, 1, 2, 3, 4))
     assert(readU16(out(1).getString(3)) == Seq(5, 6, 10, 11, 12, 13, 14))
   }
+
+  test("writeShards fails loudly on a token id outside uint16 range") {
+    val dir = Files.createTempDirectory("graft-shards-bad").toString
+    val bad = Seq((1L, 0L, 7L), (1L, 1L, 70000L)).toDF("id", "pos", "tid")
+    val e = intercept[Exception] {
+      Shards.writeShards(spark, bad, "id", "pos", "tid", 6L, dir).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("exceeds uint16 range")))
+  }
 }
