@@ -149,21 +149,30 @@ object Dedup {
     */
   def dedupGroups(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3, maxIter: Int = 25,
-      reliableCheckpoints: Boolean = false): DataFrame = {
+      reliableCheckpoints: Option[Boolean] = None): DataFrame = {
     val pairs = minhashCandidatePairs(docs, textCol, idCol, n)
     // Checkpointing (eager) CUTS LINEAGE, not just caches: an iterative
     // loop over persisted-only frames keeps the full logical plan and adds
     // ~3 subtree references per round, so Catalyst re-optimizes an
     // exponentially-growing plan each iteration — measured 1.7 s -> 6.2 s
     // PER ROUND by iteration 4 on an 829-edge graph. With the plan cut at
-    // the loop boundary, every round plans O(1) work. localCheckpoint is
-    // the single-JVM default; pass reliableCheckpoints=true on a cluster
-    // (requires spark.sparkContext.setCheckpointDir) so rounds survive
-    // executor loss. Superseded per-round checkpoints are released as soon
-    // as the next round materializes (CheckpointBridge.release) — a
-    // long-lived session accumulates exactly one live label frame.
+    // the loop boundary, every round plans O(1) work.
+    //
+    // localCheckpoint stores rounds in EXECUTOR blocks — non-reliable: on
+    // a real cluster one lost executor aborts the whole loop and the job
+    // restarts from scratch. So the default is AUTO: when the session has
+    // a configured checkpoint dir (spark.sparkContext.setCheckpointDir —
+    // on a cluster that is HDFS/object storage), rounds go through
+    // reliable df.checkpoint() and survive executor loss; without one,
+    // the single-JVM localCheckpoint fast path. Pass Some(...) to force
+    // either. Superseded per-round checkpoints (blocks AND files) are
+    // released as soon as the next round materializes
+    // (CheckpointBridge.release) — a long-lived session accumulates
+    // exactly one live label frame.
+    val reliable = reliableCheckpoints.getOrElse(
+      docs.sparkSession.sparkContext.getCheckpointDir.isDefined)
     def cut(df: DataFrame): DataFrame =
-      if (reliableCheckpoints) df.checkpoint() else df.localCheckpoint()
+      if (reliable) df.checkpoint() else df.localCheckpoint()
     val edges = cut(pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))

@@ -305,22 +305,38 @@ object Similarity {
     * 1e-6-quantized integer mean sums. Returns the FINAL (cluster, cvec)
     * centroids (rebuilt after the last assignment — encoding needs them).
     */
-  def kmeansFitL2(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
+  def kmeansFitL2(vecs: DataFrame, k: Int, iters: Int): DataFrame =
+    kmeansFitL2Grouped(vecs.withColumn("sub", lit(0)), k, iters).drop("sub")
+
+  /** GROUPED L2 Lloyd's: trains an independent k-centroid codebook for
+    * every `sub` group of a (sub, _id, _v) frame in ONE plan chain —
+    * assignments join on `sub` against one broadcast of ALL groups'
+    * centroids, and centroid updates key their exact integer sums by
+    * (sub, cluster, dim). Each group's math is identical to running
+    * [[kmeansFitL2]] on it alone (all keys carry `sub`, so nothing mixes);
+    * what changes is the JOB count: m subspace trainers × iters rounds
+    * collapse from m independent chains (m broadcasts + m aggregates per
+    * round — the measured job-count floor of the PQ path, xq57) to one.
+    * Init per group: the k smallest `_id`s label their own clusters, same
+    * as the single-group trainer.
+    */
+  def kmeansFitL2Grouped(subVecs: DataFrame, k: Int, iters: Int): DataFrame = {
     require(k > 0 && iters >= 1, s"need k > 0, iters >= 1; got k=$k iters=$iters")
-    var cents = vecs.orderBy("_id").limit(k)
-      .select(col("_id").as("cluster"), col("_v").as("cvec"))
+    val initIds = subVecs.select(col("_id")).distinct().orderBy("_id").limit(k)
+    var cents = subVecs.join(broadcast(initIds), "_id")
+      .select(col("sub"), col("_id").as("cluster"), col("_v").as("cvec"))
     for (_ <- 1 to iters) {
-      val assigned = vecs.crossJoin(broadcast(cents))
-        .select(col("_id"), col("_v"), col("cluster"),
+      val assigned = subVecs.join(broadcast(cents), "sub")
+        .select(col("sub"), col("_id"), col("_v"), col("cluster"),
           l2d2(col("_v"), col("cvec")).as("d2"))
-        .groupBy(col("_id"), col("_v"))
+        .groupBy(col("sub"), col("_id"), col("_v"))
         .agg(min_by(col("cluster"), struct(col("d2"), col("cluster"))).as("cluster"))
       cents = assigned
-        .select(col("cluster"), posexplode(col("_v")).as(Seq("dim0", "x")))
-        .groupBy(col("cluster"), (col("dim0") + 1).cast("long").as("dim"))
+        .select(col("sub"), col("cluster"), posexplode(col("_v")).as(Seq("dim0", "x")))
+        .groupBy(col("sub"), col("cluster"), (col("dim0") + 1).cast("long").as("dim"))
         .agg(sum(floor(col("x") * 1e6 + 0.5).cast("long")).as("s"),
           count(lit(1)).as("cnt"))
-        .groupBy("cluster")
+        .groupBy("sub", "cluster")
         .agg(transform(array_sort(collect_list(struct(col("dim"),
           (col("s").cast("double") / (lit(1e6) * col("cnt"))).as("m")))),
           x => x.getField("m")).as("cvec"))
@@ -350,13 +366,18 @@ object Similarity {
     * bits as usual.
     */
   def pqTrain(emb: DataFrame, vecCol: String, idCol: String,
-      m: Int, subDim: Int, k: Int, iters: Int): DataFrame =
-    (0 until m).map { s =>
-      val sliced = emb.select(col(idCol).as("_id"),
-        slice(col(vecCol).cast("array<double>"), s * subDim + 1, subDim).as("_v"))
-      kmeansFitL2(sliced, k, iters)
-        .select(lit(s).as("sub"), col("cluster"), col("cvec"))
-    }.reduce(_ unionByName _)
+      m: Int, subDim: Int, k: Int, iters: Int): DataFrame = {
+    // ONE multi-subspace pass ([[kmeansFitL2Grouped]]): all m codebooks
+    // train in a single plan chain instead of m independent trainers —
+    // per-group math (and therefore the oracle) is unchanged, the m×
+    // broadcast/aggregate job fan-out per Lloyd round is gone.
+    val subs = emb.select(col(idCol).as("_id"),
+      posexplode(array((0 until m).map(s =>
+        slice(col(vecCol).cast("array<double>"), s * subDim + 1, subDim)): _*))
+        .as(Seq("sub", "_v")))
+    kmeansFitL2Grouped(subs, k, iters)
+      .select(col("sub").cast("int").as("sub"), col("cluster"), col("cvec"))
+  }
 
   /** (id, sub, code): each subvector's nearest codebook centroid. */
   def pqEncode(emb: DataFrame, vecCol: String, idCol: String,

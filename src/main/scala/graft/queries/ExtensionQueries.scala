@@ -2676,15 +2676,22 @@ object ExtensionQueries {
       (s, d) => {
         val docs = Tables.documents(s, d)
         val tp = Dedup.minhashCandidatePairs(docs, "text", "doc_id")
-          .withColumn("t", lit(1L))
+          .select(col("doc_a"), col("doc_b"),
+            lit(1L).as("text_dup"), lit(0L).as("image_dup"))
         val ip = Multimodal.imageNearDupPairs(
             Multimodal.imageHashes(s, Multimodal.imageAssets(docs)))
-          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), lit(1L).as("i"))
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+            lit(0L).as("text_dup"), lit(1L).as("image_dup"))
+        // union + max-merge, NOT a full-outer join: guarantees exactly one
+        // row per DISTINCT doc pair even if a modality's candidate search
+        // ever emitted a pair twice (a full outer would multiply such
+        // rows), and the pair-keyed aggregate partial-aggregates map-side
+        // where the join had to shuffle-sort both inputs.
         graft.operators.CacheRegistry.persisted(
-          tp.join(ip, Seq("doc_a", "doc_b"), "full_outer")
-          .select(col("doc_a"), col("doc_b"),
-            coalesce(col("t"), lit(0L)).as("text_dup"),
-            coalesce(col("i"), lit(0L)).as("image_dup")))
+          tp.unionByName(ip)
+            .groupBy(col("doc_a"), col("doc_b"))
+            .agg(max(col("text_dup")).as("text_dup"),
+              max(col("image_dup")).as("image_dup")))
           // persisted: the sort's range sampler re-runs both pair searches
           .orderBy("doc_a", "doc_b")
       },

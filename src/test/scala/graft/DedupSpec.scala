@@ -265,6 +265,33 @@ class DedupSpec extends SparkSpec {
     assert(dropped == batchIds -- incr)
   }
 
+  test("dedupGroups auto-promotes to reliable checkpoints and survives cache eviction") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckpt)
+    try {
+      // with a checkpoint dir configured, the loop's rounds must go through
+      // reliable df.checkpoint() — label state lives in FILES, not executor
+      // blocks, so losing every cached block (the local-mode twin of an
+      // executor loss) must not lose the result
+      val groups = Dedup.dedupGroups(docs, "text", "doc_id")
+      val expected = groups.as[(Long, Long)].collect().toMap
+      assert(expected == Dedup
+        .dedupGroups(docs, "text", "doc_id", reliableCheckpoints = Some(false))
+        .as[(Long, Long)].collect().toMap)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      spark.sqlContext.clearCache()
+      assert(groups.as[(Long, Long)].collect().toMap == expected)
+      // and the loop really checkpointed to the reliable dir
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "no reliable checkpoint files were written")
+    } finally {
+      spark.sparkContext.setCheckpointDir(null)
+      assert(spark.sparkContext.getCheckpointDir.isEmpty)
+    }
+  }
+
   test("soft dedup weights: unit mass per group, singletons weigh 1.0") {
     val docs = Tables.documents(spark, sf)
     val w = Dedup.softDedupWeights(docs, "text", "doc_id").collect()
