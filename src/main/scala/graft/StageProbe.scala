@@ -1,0 +1,121 @@
+package graft
+
+import graft.operators._
+import graft.queries.QueryDef
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-stage wall-clock breakdown of the bench's most expensive queries —
+  * the evidence behind BASELINE.md's floor-profile / fix decisions. Each
+  * probe materializes a query's internal stages in the SAME persist
+  * structure the real query uses (tracked caches left in place between
+  * stages of one probe, released between probes), so a stage's time is its
+  * incremental cost and the stage rows of one probe sum to ~the query's
+  * solo time.
+  *
+  * Usage: runMain graft.StageProbe <sfDir> [probe1,probe2,...]
+  */
+object StageProbe {
+  def main(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val only: Set[String] =
+      if (args.length > 1) args(1).split(",").toSet else Set.empty
+    val spark = Sessions.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), "stage-probe")
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def timed(label: String)(df: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      noop(df)
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"STAGE  $label%-34s ${s}%8.2f s")
+      s
+    }
+    def probe(name: String)(body: => Unit): Unit =
+      if (only.isEmpty || only(name)) {
+        println(s"===== $name @ $sf =====")
+        body
+        CacheRegistry.releaseAll(spark)
+      }
+
+    // one warm pass at smoke scale so JIT/codegen is out of the stage rows
+    val warm = "/root/testdata/sf0.001"
+    Seq("xq95_training_shards", "xq93_crossmodal_dups", "xq47_semdedup",
+      "xq44_bm25", "xq24_decontaminate", "rq18_cte_selfjoin",
+      "rq29_range_join").foreach { q =>
+      try noop(SparkEntry.queries(q)(spark, warm))
+      catch { case _: Throwable => () }
+    }
+    CacheRegistry.releaseAll(spark)
+
+    probe("xq95") {
+      val docs = Tables.documents(spark, sf)
+      val vocab = Vocabulary.build(docs, "text", minCount = 5L)
+      timed("vocab (tokenize+count+rank)")(vocab)
+      val ids = Vocabulary.mapTokens(docs, "text", "doc_id", vocab)
+      timed("map_tokens (re-tokenize+join)")(ids)
+      timed("manifest (full query)")(
+        SparkEntry.queries("xq95_training_shards")(spark, sf))
+    }
+
+    probe("xq93") {
+      val docs = Tables.documents(spark, sf)
+      timed("text pair search")(
+        Dedup.minhashCandidatePairs(docs, "text", "doc_id"))
+      timed("image pair search (decode+band)")(
+        Multimodal.imageNearDupPairs(
+          Multimodal.imageHashes(spark, Multimodal.imageAssets(docs))))
+      timed("merge (full query)")(
+        SparkEntry.queries("xq93_crossmodal_dups")(spark, sf))
+    }
+
+    probe("xq47") {
+      val emb = Tables.embeddings(spark, sf)
+      val cents = Similarity.kmeansFit(emb, "embedding", "vec_id", 8, 2)
+        .groupBy("cluster")
+        .agg(transform(array_sort(collect_list(struct(col("dim"),
+          col("centroid_val")))), x => x.getField("centroid_val")).as("cvec"))
+      timed("kmeans fit (k=8, 2 iters)")(cents)
+      timed("assign")(
+        Similarity.assignToCentroids(emb, "embedding", "vec_id", cents))
+      timed("in-cluster pairs (full query)")(
+        SparkEntry.queries("xq47_semdedup")(spark, sf))
+      // the scale-right configuration: k grows with the corpus (design
+      // intent, semDedup scaladoc) instead of the oracle-pinned k=8 —
+      // per-cluster pair volume stays constant as N grows
+      CacheRegistry.releaseAll(spark)
+      timed("scaled k (N/625, oracle-free)")(
+        Similarity.semDedup(Tables.embeddings(spark, sf), "embedding",
+          "vec_id", k = math.max(8, (emb.count() / 625L).toInt),
+          iters = 2, threshold = 0.25d))
+    }
+
+    probe("xq44") {
+      val docs = Tables.documents(spark, sf)
+      timed("tf (explode+count)")(docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
+      timed("bm25 score (full query)")(
+        SparkEntry.queries("xq44_bm25")(spark, sf))
+    }
+
+    probe("xq24") {
+      val docs = Tables.documents(spark, sf)
+      timed("train shingles (hash+distinct)")(
+        Shingles.hashed(docs.where(col("source") =!= "src0"),
+          "text", "doc_id", 3).distinct())
+      timed("overlap (full query)")(
+        SparkEntry.queries("xq24_decontaminate")(spark, sf))
+    }
+
+    probe("rq18") {
+      timed("full")(SparkEntry.queries("rq18_cte_selfjoin")(spark, sf))
+    }
+
+    probe("rq29") {
+      timed("full")(SparkEntry.queries("rq29_range_join")(spark, sf))
+    }
+
+    spark.stop()
+  }
+}

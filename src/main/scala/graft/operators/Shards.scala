@@ -36,17 +36,69 @@ object Shards {
     * written bytes; two engines produce it independently (xq95).
     */
   def manifest(tokenIds: DataFrame, idCol: String, posCol: String,
-      tidCol: String, shardTokens: Long): DataFrame = {
-    // persisted: the frame feeds both the shard plan and the digest join
-    // (the repeated-consumer rule), and the caller's final sort would
-    // otherwise re-run the whole token aggregation as its sampler pass
-    val perDoc = CacheRegistry.persisted(tokenIds.groupBy(col(idCol))
+      tidCol: String, shardTokens: Long): DataFrame =
+    manifestTail(tokenIds.groupBy(col(idCol))
       .agg(count(lit(1)).as("n"),
         concat(col(idCol).cast("string"), lit(":"),
           array_join(transform(
             array_sort(collect_list(struct(col(posCol).as("p"),
               col(tidCol).cast("string").as("t")))),
-            x => x.getField("t")), ",")).as("_doc_str")))
+            x => x.getField("t")), ",")).as("_doc_str")),
+      idCol, shardTokens)
+
+  /** [[manifest]] straight from documents + a vocabulary — the fused form
+    * the xq95 pipeline uses. The generic entry point aggregates an
+    * EXPLODED (id, pos, term_id) table back into per-doc rows: at sf1 that
+    * is a ~50 M-row doc-keyed shuffle that dominated the query (stage
+    * probe: map_tokens 5.7 s of 6.2 s total; the digest itself is ~0.5 s).
+    * Here the token ids never leave their document row: the vocabulary is
+    * collected and broadcast as a hash map (the CountVectorizerModel
+    * posture — NOT a map-literal `element_at`, whose GetMapValue is a
+    * linear scan per lookup and measured 2× SLOWER than the exploded
+    * join) and one mapPartitions pass emits (id, n, doc_str) directly,
+    * so the only shuffled rows are the per-doc aggregates — 1000× fewer.
+    * Memory bound is identical to [[Vocabulary.mapTokens]]'s broadcast
+    * join: the vocab must fit an executor; web-scale noise vocabularies
+    * shard the map instead.
+    */
+  def manifestOfDocs(docs: DataFrame, textCol: String, idCol: String,
+      vocab: DataFrame, shardTokens: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vmap = vocab.select(col("term"), col("term_id"))
+      .as[(String, Long)].collect().toMap
+    val bc = spark.sparkContext.broadcast(vmap)
+    val perDoc = docs
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val m = bc.value
+        it.map { case (id, text) =>
+          // split(" ", -1) keeps trailing empties — the exact semantics of
+          // Spark SQL's split(text, ' ') the exploded path tokenizes with
+          val toks = text.split(" ", -1)
+          val sb = new java.lang.StringBuilder(toks.length * 6)
+          sb.append(id).append(':')
+          var i = 0
+          while (i < toks.length) {
+            if (i > 0) sb.append(',')
+            sb.append(m.getOrElse(toks(i), 0L))
+            i += 1
+          }
+          (id, toks.length.toLong, sb.toString)
+        }
+      }
+      .toDF(idCol, "n", "_doc_str")
+    manifestTail(perDoc, idCol, shardTokens)
+  }
+
+  /** Shared manifest tail over per-doc (idCol, n, _doc_str) rows. */
+  private def manifestTail(perDocRows: DataFrame, idCol: String,
+      shardTokens: Long): DataFrame = {
+    // persisted: the frame feeds both the shard plan and the digest join
+    // (the repeated-consumer rule), and the caller's final sort would
+    // otherwise re-run the whole token aggregation as its sampler pass
+    val perDoc = CacheRegistry.persisted(perDocRows)
     val planned = plan(perDoc.select(col(idCol), col("n")), idCol, "n", shardTokens)
     perDoc.join(planned.select(col(idCol), col("shard_id")), Seq(idCol))
       .groupBy(col("shard_id"))

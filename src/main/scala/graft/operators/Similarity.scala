@@ -180,15 +180,24 @@ object Similarity {
     // Persisted: the assigned-vector frame feeds BOTH sides of the
     // in-cluster self-join — uncached, assignment (and the k-means it
     // embeds) executes twice (the xq44/xq24 repeated-consumer pattern).
+    // The L2 norm is computed ONCE per vector here, not per pair: the
+    // in-cluster search evaluates ~(N/k)²·k pair similarities and
+    // cosine's sqrt(dot(a,a))·sqrt(dot(b,b)) denominator was 2/3 of its
+    // flops (sf1 stage probe: the pair stage is ~80% of the query).
+    // sqrt-once-then-multiply is the same IEEE op sequence, so the oracle
+    // is unchanged.
     val v = emb.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
       .join(assigned, Seq(idCol))
+      .withColumn("_nrm", sqrt(VectorFunctions.dot(col("_v"), col("_v"))))
       .trackedCache
-    v.select(col("cluster"), col(idCol).as("_ida"), col("_v").as("_va"))
-      .join(v.select(col("cluster"), col(idCol).as("_idb"), col("_v").as("_vb")),
-        Seq("cluster"))
+    v.select(col("cluster"), col(idCol).as("_ida"), col("_v").as("_va"),
+        col("_nrm").as("_na"))
+      .join(v.select(col("cluster"), col(idCol).as("_idb"),
+        col("_v").as("_vb"), col("_nrm").as("_nb")), Seq("cluster"))
       .where(col("_ida") < col("_idb"))
       .select(col("cluster"), col("_ida"), col("_idb"),
-        VectorFunctions.cosine(col("_va"), col("_vb")).as("_sim"))
+        (VectorFunctions.dot(col("_va"), col("_vb")) /
+          (col("_na") * col("_nb"))).as("_sim"))
       .where(col("_sim") >= threshold)
       .groupBy(col("_idb").as(idCol), col("cluster"))
       .agg(min(col("_ida")).as("dup_of"), count(lit(1)).as("n_dups"),

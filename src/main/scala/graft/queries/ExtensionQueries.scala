@@ -2767,9 +2767,12 @@ object ExtensionQueries {
       (s, d) => {
         val docs = Tables.documents(s, d)
         val vocab = Vocabulary.build(docs, "text", minCount = 5L)
-        val ids = Vocabulary.mapTokens(docs, "text", "doc_id", vocab)
+        // fused manifest: token ids are mapped in place per document (one
+        // broadcast vocab map, no exploded-token shuffle) — see
+        // Shards.manifestOfDocs for the measured 50 M-row-exchange cut
         graft.operators.CacheRegistry.persisted(
-          Shards.manifest(ids, "doc_id", "pos", "term_id", shardTokens = 4096L))
+          Shards.manifestOfDocs(docs, "text", "doc_id", vocab,
+            shardTokens = 4096L))
           .orderBy("shard_id")
       },
       Some("""WITH tok AS (SELECT doc_id, i - 1 AS pos, w[i] AS term

@@ -291,9 +291,14 @@ object RelationalQueries {
     // (round 4; rq18 was the one relational query still >2x at sf1).
     QueryDef("rq18_cte_selfjoin",
       (s, d) => {
+        // explicit partition count: repartition(col) alone is ADVISORY
+        // under AQE and gets coalesced back down on byte size at sf1 —
+        // the pair-dense exchange needs the xq71 pin (repartition(N, col)
+        // is strict)
         val l = graft.operators.CacheRegistry.persisted(
           Tables.lineitem(s, d).select("l_orderkey", "l_linenumber")
-            .repartition(col("l_orderkey")))
+            .repartition(s.sessionState.conf.numShufflePartitions,
+              col("l_orderkey")))
         val a = l.as("a")
         val b = l.as("b")
         a.join(b, col("a.l_orderkey") === col("b.l_orderkey") &&
