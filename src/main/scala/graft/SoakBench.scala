@@ -1,0 +1,97 @@
+package graft
+
+import graft.streaming.CounterPipeline
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+/** Streaming THROUGHPUT soak (GRAFT_ONLY row in BASELINE.md): events/s
+  * sustained through the full production path — permissive JSON parse →
+  * event-id dedup (RocksDB state) → counter fan-out → daily window
+  * aggregate → idempotent partition merge — at bench-scale event volume
+  * (the events table of the given SF dir re-shaped into recentchange
+  * JSON; sf0.1 = 100 k events ≈ 10× the spec fixtures, vs the reference's
+  * single-digit-k/s live stream, `README.md:28-31`).
+  *
+  * The stream is fed in `chunks` MemoryStream slices with a forced drain
+  * after each, so the measured figure includes ≥`chunks` real micro-batch
+  * cycles of state update + store merge, not one monolithic batch.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.SoakBench [chunks]
+  * Prints one JSON line: events/s, wall seconds, batches, store rows.
+  */
+object SoakBench {
+  def main(args: Array[String]): Unit = {
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val chunks = args.headOption.map(_.toInt).getOrElse(10)
+    val spark = Sessions.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), "graft-soak-bench")
+    import spark.implicits._
+
+    // events table → recentchange wire JSON (same field population the
+    // reference's stream carries: meta.id for dedup identity, unix-seconds
+    // timestamp for event time, wiki/type/bot/minor for the fan-out,
+    // length for growth)
+    // arrival order = event-time order, the live stream's actual shape:
+    // each micro-batch then touches 1-2 day partitions (an unordered feed
+    // made every batch rewrite all 30 day partitions in the merge —
+    // measured 1.1 k events/s of pure merge pathology, not throughput)
+    val msgs = Tables.events(spark, sf).orderBy("ts").select(
+      concat(lit("[{\"topic\":\"rc\",\"partition\":0,\"timestamp\":"),
+        unix_millis(col("ts").cast("timestamp")).cast("string"),
+        lit("}]")).as("key"),
+      to_json(struct(
+        col("event_id").as("id"),
+        col("event_type").as("type"),
+        concat(lit("user-"), col("user_id").cast("string")).as("user"),
+        unix_seconds(col("ts").cast("timestamp")).as("timestamp"),
+        concat(lit("wiki"), pmod(col("user_id"), lit(5)).cast("string")).as("wiki"),
+        (pmod(col("event_id"), lit(7)) === 0).as("bot"),
+        (pmod(col("event_id"), lit(3)) === 0).as("minor"),
+        struct(
+          concat(lit("m-"), col("event_id").cast("string")).as("id"),
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("dt"),
+          lit("mediawiki.recentchange").as("stream")).as("meta"),
+        struct(
+          floor(col("value") * 100).cast("long").as("old"),
+          floor(col("value") * 150).cast("long").as("new")).as("length")
+      )).as("value"))
+      .as[(String, String)].collect()
+    val n = msgs.length
+
+    val tableDir = java.nio.file.Files
+      .createTempDirectory("graft-soakbench-table").toString
+    val ckptDir = java.nio.file.Files
+      .createTempDirectory("graft-soakbench-ckpt").toString
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    // production watermark: the time-ordered feed never delivers late data
+    val q = CounterPipeline.dailyCounterAgg(
+        mem.toDF.toDF("key", "value"), watermark = "48 hours")
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", ckptDir)
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch(CounterPipeline.mergeBatch(spark, tableDir) _)
+      .start()
+
+    val slice = math.max(1, n / chunks)
+    val t0 = System.nanoTime()
+    msgs.grouped(slice).foreach { g =>
+      mem.addData(g.toIndexedSeq)
+      q.processAllAvailable() // force a full batch cycle incl. merge
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    val batches = q.lastProgress.batchId + 1
+    q.stop()
+
+    val store = spark.read.parquet(tableDir)
+    val rows = store.count()
+    val days = store.select("day").distinct().count()
+    println(s"""{"metric":"soak_events_per_sec","value":${(n / secs).round},""" +
+      s""""events":$n,"seconds":$secs,"batches":$batches,""" +
+      s""""store_rows":$rows,"days":$days,"sf":"$sf"}""")
+    spark.stop()
+  }
+}
