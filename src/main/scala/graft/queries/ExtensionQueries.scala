@@ -2798,6 +2798,49 @@ object ExtensionQueries {
              |       CAST(SUM(p.n) AS BIGINT) AS n_tokens,
              |       md5(string_agg(d.s, '|' ORDER BY d.doc_id)) AS digest
              |FROM pl p JOIN ds d USING (doc_id) GROUP BY 1
-             |ORDER BY shard_id""".stripMargin))
+             |ORDER BY shard_id""".stripMargin)),
+
+    // XQ96: the IVF SERVE path end-to-end — the executable form of the
+    // 100 TB ANN serving story (ScanPlanSpec proves the pruned-scan plan;
+    // this runs it): assign every vector to its argmax-cosine centroid
+    // (xq14's proven cell assignment), WRITE the corpus as a
+    // cluster-partitioned parquet store (the ingest step — at scale this
+    // is the one-time index build), then serve a query by reading the
+    // store back and probing ONLY the query's cell via a broadcast join
+    // on the partition column (dynamic partition pruning: the scan reads
+    // one cluster directory of ~N/nCells vectors). Results are
+    // byte-identical to the in-memory probe (xq14 oracle semantics) —
+    // which is the point: the store round trip changes the cost, never
+    // the answer.
+    QueryDef("xq96_ann_serve",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val assigned = Similarity.assign(emb, "embedding", "vec_id", 8)
+        val dir = new java.io.File(
+          sys.props("java.io.tmpdir"),
+          "graft-ann-store-" + Integer.toHexString(d.hashCode)).toString
+        assigned.select(col("vec_id"), col("embedding"), col("cluster"))
+          .write.mode("overwrite").partitionBy("cluster").parquet(dir)
+        val store = s.read.parquet(dir)
+        val q = store.where(col("vec_id") === 0L)
+          .select(col("embedding").as("q_vec"), col("cluster"))
+        store.where(col("vec_id") =!= 0L)
+          .join(broadcast(q), "cluster")
+          .select(col("vec_id"),
+            graft.functions.VectorFunctions
+              .cosine(col("embedding"), col("q_vec")).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+              |sims AS (SELECT e.vec_id, c.cid, ${oCos("e.v", "c.cv")} AS cs FROM e, c),
+              |asn AS (SELECT vec_id, arg_max(cid, cs) AS cluster FROM sims GROUP BY vec_id),
+              |q AS (SELECT a.cluster, e.v AS qv FROM asn a JOIN e ON a.vec_id = e.vec_id
+              |      WHERE e.vec_id = 0)
+              |SELECT e.vec_id, ${oCos("e.v", "q.qv")} AS sim
+              |FROM e JOIN asn ON e.vec_id = asn.vec_id JOIN q ON asn.cluster = q.cluster
+              |WHERE e.vec_id <> 0
+              |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin))
   )
 }
