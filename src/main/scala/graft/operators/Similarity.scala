@@ -331,26 +331,54 @@ object Similarity {
     */
   def kmeansFitL2Grouped(subVecs: DataFrame, k: Int, iters: Int): DataFrame = {
     require(k > 0 && iters >= 1, s"need k > 0, iters >= 1; got k=$k iters=$iters")
-    val initIds = subVecs.select(col("_id")).distinct().orderBy("_id").limit(k)
-    var cents = subVecs.join(broadcast(initIds), "_id")
-      .select(col("sub"), col("_id").as("cluster"), col("_v").as("cvec"))
+    val spark = subVecs.sparkSession
+    val sv = subVecs.select(col("sub").cast("int").as("sub"),
+      col("_id").cast("long").as("_id"),
+      col("_v").cast("array<double>").as("_v"))
+    // Init: the k smallest ids label their own clusters, per group — the
+    // same rows the previous broadcast-join init selected, collected once
+    // (m·k vectors of metadata, the kmeansFit centroid class).
+    val initIds = sv.select(col("_id")).distinct().orderBy("_id").limit(k)
+      .collect().map(_.getLong(0)).toSeq
+    var centLocal: Map[Int, Seq[(Long, Seq[Double])]] = sv
+      .where(col("_id").isin(initIds: _*))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toIndexedSeq))
+      .groupBy(_._1)
+      .map { case (s, rows) =>
+        (s, rows.map(r => (r._2, r._3: Seq[Double])).sortBy(_._1).toIndexedSeq: Seq[(Long, Seq[Double])]) }
+    // Each round joins against a LOCAL-RELATION centroid frame (the
+    // driver-resident state re-materialized) — the join itself was never
+    // the cost; what this kills is the old lazy nesting where the
+    // broadcast build side re-ran every previous iteration's whole plan.
+    // (A per-sub literal-argmin CASE chain was tried and REJECTED: m·k
+    // l2d2 literal trees defeated codegen and measured 10x worse.)
+    import spark.implicits._
+    def centFrame: DataFrame = centLocal.toSeq.flatMap { case (s, cents) =>
+      cents.map { case (c, v) => (s, c, v) } }
+      .sortBy(t => (t._1, t._2))
+      .toDF("sub", "cluster", "cvec")
     for (_ <- 1 to iters) {
-      val assigned = subVecs.join(broadcast(cents), "sub")
+      val sums = sv.join(broadcast(centFrame), "sub")
         .select(col("sub"), col("_id"), col("_v"), col("cluster"),
           l2d2(col("_v"), col("cvec")).as("d2"))
         .groupBy(col("sub"), col("_id"), col("_v"))
         .agg(min_by(col("cluster"), struct(col("d2"), col("cluster"))).as("cluster"))
-      cents = assigned
         .select(col("sub"), col("cluster"), posexplode(col("_v")).as(Seq("dim0", "x")))
         .groupBy(col("sub"), col("cluster"), (col("dim0") + 1).cast("long").as("dim"))
         .agg(sum(floor(col("x") * 1e6 + 0.5).cast("long")).as("s"),
           count(lit(1)).as("cnt"))
-        .groupBy("sub", "cluster")
-        .agg(transform(array_sort(collect_list(struct(col("dim"),
-          (col("s").cast("double") / (lit(1e6) * col("cnt"))).as("m")))),
-          x => x.getField("m")).as("cvec"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      // same IEEE tree as the former in-plan CAST(s AS DOUBLE)/(1e6*cnt)
+      centLocal = sums.groupBy(_._1).map { case (s, rows) =>
+        (s, rows.groupBy(_._2).map { case (c, rs) =>
+          (c, rs.sortBy(_._3).map(r => r._4.toDouble / (1e6 * r._5)).toIndexedSeq: Seq[Double])
+        }.toIndexedSeq.sortBy(_._1): Seq[(Long, Seq[Double])]) }
     }
-    cents
+    // Local-relation return (the kmeansFit recipe): consumers broadcast
+    // m·k rows without re-running any trainer iteration.
+    centFrame
   }
 
   /** Product quantization (Jégou et al., "Product quantization for nearest
@@ -401,6 +429,31 @@ object Similarity {
       .agg(min_by(col("cluster"), struct(col("d2"), col("cluster"))).as("code"))
   }
 
+  /** Driver-built (sub, code, d2) ADC lookup table for one query vector —
+    * m·k rows of metadata. The Scala loop reproduces VectorDot's strict
+    * left-to-right accumulation and [[l2d2]]'s (aa − 2ab) + bb tree, so the
+    * d2 doubles are bit-identical to the former in-plan join's.
+    */
+  private def adcLut(emb: DataFrame, vecCol: String, idCol: String,
+      queryId: Long, cb: DataFrame, m: Int, subDim: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val q: Seq[Double] = emb.where(col(idCol) === queryId)
+      .select(col(vecCol).cast("array<double>"))
+      .collect().head.getSeq[Double](0).toIndexedSeq
+    def dot(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0d; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val cbLocal = cb.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toIndexedSeq))
+    import spark.implicits._
+    cbLocal.toSeq.map { case (sub, code, cvec) =>
+      val qv = q.slice(sub * subDim, sub * subDim + subDim)
+      (sub, code, (dot(qv, qv) - 2.0d * dot(qv, cvec)) + dot(cvec, cvec))
+    }.toDF("sub", "code", "d2")
+  }
+
   /** PQ ADC top-k: approximate squared L2 = Σ over subspaces of the query's
     * precomputed distance to the candidate's code centroid. Per-entry
     * distances are 1e-9-quantized before the sum so the m-term addition is
@@ -408,16 +461,15 @@ object Similarity {
     */
   def pqTopK(emb: DataFrame, vecCol: String, idCol: String, queryId: Long,
       kNN: Int, m: Int, subDim: Int, k: Int, iters: Int): DataFrame = {
+    // cb is a LOCAL relation (kmeansFitL2Grouped collects its k·dims state
+    // driver-side) — nothing upstream to cache.
     val cb = pqTrain(emb, vecCol, idCol, m, subDim, k, iters)
-      .trackedCache
     val codes = pqEncode(emb, vecCol, idCol, cb, m, subDim)
-    val qsubs = emb.where(col(idCol) === queryId)
-      .select(posexplode(array((0 until m).map(s =>
-        slice(col(vecCol).cast("array<double>"), s * subDim + 1, subDim)): _*))
-        .as(Seq("sub", "qv")))
-    val lut = qsubs.join(cb, "sub")
-      .select(col("sub"), col("cluster").as("code"),
-        l2d2(col("qv"), col("cvec")).as("d2"))
+    // The m×k ADC lookup table is metadata: one collect of the query vector
+    // and a driver-side l2d2 loop (same strict left-to-right fold as
+    // VectorDot, same (aa − 2ab) + bb parenthesization — bit-identical)
+    // replace the query-scan join jobs the old lazy LUT paid per consumer.
+    val lut = adcLut(emb, vecCol, idCol, queryId, cb, m, subDim)
     codes.join(broadcast(lut), Seq("sub", "code"))
       .select(col(idCol), floor(col("d2") * lit(1e9) + lit(0.5)).cast("long").as("dq"))
       .groupBy(idCol)
@@ -441,18 +493,9 @@ object Similarity {
     val cells = assign(emb, vecCol, idCol, nCells)
       .select(col(idCol), col("cluster").as("cell"))
     val cb = pqTrain(emb, vecCol, idCol, m, subDim, k, iters)
-      .trackedCache
     val codes = pqEncode(emb, vecCol, idCol, cb, m, subDim).join(cells, idCol)
     val qCell = cells.where(col(idCol) === queryId).select(col("cell"))
-    val qsubs = emb.where(col(idCol) === queryId)
-      .select(posexplode(array((0 until m).map(s =>
-        slice(col(vecCol).cast("array<double>"), s * subDim + 1, subDim)): _*))
-        .as(Seq("sub", "qv")))
-    val lut = qsubs.join(cb, "sub")
-      .select(col("sub"), col("cluster").as("code"),
-        (VectorFunctions.dot(col("qv"), col("qv")) -
-          lit(2.0) * VectorFunctions.dot(col("qv"), col("cvec"))) +
-          VectorFunctions.dot(col("cvec"), col("cvec")) as "d2")
+    val lut = adcLut(emb, vecCol, idCol, queryId, cb, m, subDim)
     codes.join(broadcast(qCell), "cell")
       .join(broadcast(lut), Seq("sub", "code"))
       .select(col(idCol), floor(col("d2") * lit(1e9) + lit(0.5)).cast("long").as("dq"))
