@@ -6,6 +6,8 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong, AtomicReference}
 
+import graft.streaming.Metrics
+
 /** Live SSE ingestion bridge (S1): a long-poll `text/event-stream` client
   * that assembles frames with `Sse.assemble` and drops each event as a
   * 2-line `.dat` file for the streaming file source
@@ -51,7 +53,30 @@ object SseBridge {
         override def hasNext: Boolean = line != null && !stop()
         override def next(): String = { val l = line; line = reader.readLine(); l }
       }
-      Sse.assemble(lines).foreach(onEvent)
+      // Reference metric names, reference classification (`sse.go:58-84`):
+      // comment / unknown / id / event / data per line; one recv event per
+      // dispatched frame (`sse.go:176-179`).
+      val counted = lines.map { l =>
+        if (l.nonEmpty) Metrics.inc("pleiades_recv_event_lines_total",
+          "type" -> (if (l.startsWith(":")) "comment"
+          else if (l.startsWith("id: ")) "id"
+          else if (l.startsWith("event: ")) "event"
+          else if (l.startsWith("data: ")) "data"
+          else "unknown"))
+        l
+      }
+      Sse.assemble(counted).foreach { ev =>
+        Metrics.inc("pleiades_recv_events_total")
+        onEvent(ev)
+      }
+      Metrics.inc("pleiades_recv_errors_total", "type" -> "eof") // clean close, sse.go:167
+    } catch {
+      case e: java.net.SocketTimeoutException =>
+        Metrics.inc("pleiades_recv_errors_total", "type" -> "body_read_timeout")
+        throw e
+      case e: IOException =>
+        Metrics.inc("pleiades_recv_errors_total", "type" -> "read_error")
+        throw e
     } finally conn.disconnect()
   }
 
@@ -93,6 +118,8 @@ object SseBridge {
         } catch { case _: Throwable => () }
         if (!stopFlag.get()) {
           restarts.incrementAndGet()
+          // coordinator.go:137 — the SSE consumer restart counter
+          Metrics.inc("pleiades_goroutine_restarts", "component" -> "wmf_consumer")
           try Thread.sleep(backoffMs)
           catch { case _: InterruptedException => () }
         }
@@ -109,10 +136,16 @@ object SseBridge {
     * a partial file.
     */
   private def writeEvent(dir: String, prefix: String, seq: Long,
-      ev: Sse.SseEvent): Unit = {
-    val name = f"$prefix-event-$seq%09d-${System.nanoTime()}%d.dat"
-    val tmp = Paths.get(dir, s".$name.tmp")
-    Files.writeString(tmp, ev.id + "\n" + ev.data, StandardCharsets.UTF_8)
-    Files.move(tmp, Paths.get(dir, name), StandardCopyOption.ATOMIC_MOVE)
-  }
+      ev: Sse.SseEvent): Unit =
+    try {
+      val name = f"$prefix-event-$seq%09d-${System.nanoTime()}%d.dat"
+      val tmp = Paths.get(dir, s".$name.tmp")
+      Files.writeString(tmp, ev.id + "\n" + ev.data, StandardCharsets.UTF_8)
+      Files.move(tmp, Paths.get(dir, name), StandardCopyOption.ATOMIC_MOVE)
+      Metrics.inc("pleiades_file_publish_events_total") // filepublisher.go:20-24
+    } catch {
+      case e: Throwable =>
+        Metrics.inc("pleiades_file_publish_errors_total")
+        throw e
+    }
 }

@@ -97,22 +97,34 @@ final class QueryApi(store: CounterStore, recorder: Option[ProgressRecorder] = N
     case "/api/days" | "/api/days/" =>
       // handler.go:183-211 — unique days above the floor, string-sorted ASC.
       // partition discovery may narrow `day` to int — don't assume width
+      val t0 = System.nanoTime() // handler.go:179 get_days marshal timer
       val days = store.availableDays(minDay).select("day").collect()
         .map(_.get(0).toString).sorted
-      (200, "application/json", days.map(jsonStr).mkString("[", ",", "]"))
+      val body = days.map(jsonStr).mkString("[", ",", "]")
+      marshal("get_days", (System.nanoTime() - t0) / 1e9)
+      (200, "application/json", body)
     case _ => (404, "application/json", "")
   }
 
   private def statsResponse(day: Long): (Int, String, String) = {
+    val t0 = System.nanoTime() // handler.go:138 get_counters marshal timer
     val counters = store.countersForDay(day).collect()
     if (counters.isEmpty) (404, "application/json", "")
     else {
       val items = counters.map { r =>
         s"""{"Name":${jsonStr(r.getString(0))},"Description":"","Value":${r.getLong(1)}}"""
       }
-      (200, "application/json",
-        s"""{"Since":${day * 86400},"Counters":[${items.mkString(",")}]}""")
+      val body = s"""{"Since":${day * 86400},"Counters":[${items.mkString(",")}]}"""
+      marshal("get_counters", (System.nanoTime() - t0) / 1e9)
+      (200, "application/json", body)
     }
+  }
+
+  private val marshalSum = new ConcurrentHashMap[String, DoubleAdder]()
+  private val marshalCount = new ConcurrentHashMap[String, LongAdder]()
+  private def marshal(op: String, seconds: Double): Unit = {
+    marshalSum.computeIfAbsent(op, _ => new DoubleAdder).add(seconds)
+    marshalCount.computeIfAbsent(op, _ => new LongAdder).increment()
   }
 
   private def jsonStr(s: String): String =
@@ -123,23 +135,46 @@ final class QueryApi(store: CounterStore, recorder: Option[ProgressRecorder] = N
       case c => c.toString
     } + "\""
 
-  /** Prometheus text exposition (`cmd/metrics.go` + `prom_middleware.go`). */
+  /** Prometheus text exposition (`cmd/metrics.go` + `prom_middleware.go`) —
+    * the metric and label NAMES are the reference's exactly
+    * (`pleiades_web_http_response_total{path,status}`,
+    * `pleiades_web_http_duration_seconds{path}`,
+    * `pleiades_web_counter_marshal_duration_seconds{operation}`,
+    * `pleiades_aggregator_event_count_total`, plus the ingest-side registry
+    * in [[Metrics]]), so the reference's Grafana `dashboard.json` panels
+    * port unchanged. Durations render as `_sum`/`_count` series — the pair
+    * every reference panel's `rate(_sum)/rate(_count)` query reads.
+    * `graft_streaming_*` rows extend the surface with Spark-native batch
+    * progress (no reference equivalent).
+    */
   private def metricsText: String = {
     val sb = new StringBuilder
-    sb ++= "# HELP graft_web_http_response_total Total number of HTTP responses sent\n"
-    sb ++= "# TYPE graft_web_http_response_total counter\n"
+    sb ++= "# HELP pleiades_web_http_response_total Total number of HTTP responses sent\n"
+    sb ++= "# TYPE pleiades_web_http_response_total counter\n"
     statusCount.asScala.toSeq.sortBy { case ((p, s), _) => (p, s) }.foreach {
       case ((p, s), n) =>
-        sb ++= s"""graft_web_http_response_total{path="$p",status="$s"} ${n.sum}""" + "\n"
+        sb ++= s"""pleiades_web_http_response_total{path="$p",status="$s"} ${n.sum}""" + "\n"
     }
-    sb ++= "# HELP graft_web_http_duration_seconds Duration of HTTP requests\n"
-    sb ++= "# TYPE graft_web_http_duration_seconds summary\n"
+    sb ++= "# HELP pleiades_web_http_duration_seconds Duration of HTTP requests\n"
+    sb ++= "# TYPE pleiades_web_http_duration_seconds summary\n"
     durSum.asScala.toSeq.sortBy(_._1).foreach { case (p, d) =>
-      sb ++= s"""graft_web_http_duration_seconds_sum{path="$p"} ${d.sum}""" + "\n"
-      sb ++= s"""graft_web_http_duration_seconds_count{path="$p"} ${durCount.get(p).sum}""" + "\n"
+      sb ++= s"""pleiades_web_http_duration_seconds_sum{path="$p"} ${d.sum}""" + "\n"
+      sb ++= s"""pleiades_web_http_duration_seconds_count{path="$p"} ${durCount.get(p).sum}""" + "\n"
     }
+    sb ++= "# HELP pleiades_web_counter_marshal_duration_seconds Time taken to generate the stats json\n"
+    sb ++= "# TYPE pleiades_web_counter_marshal_duration_seconds summary\n"
+    marshalSum.asScala.toSeq.sortBy(_._1).foreach { case (op, d) =>
+      sb ++= s"""pleiades_web_counter_marshal_duration_seconds_sum{operation="$op"} ${d.sum}""" + "\n"
+      sb ++= s"""pleiades_web_counter_marshal_duration_seconds_count{operation="$op"} ${marshalCount.get(op).sum}""" + "\n"
+    }
+    Metrics.renderInto(sb)
     recorder.foreach { r =>
       val snap = r.snapshot
+      // aggregator.go:36-41 — events processed by the aggregation pipeline;
+      // here the rows ingested across tracked streaming queries.
+      sb ++= "# HELP pleiades_aggregator_event_count_total Number of events processed\n"
+      sb ++= "# TYPE pleiades_aggregator_event_count_total counter\n"
+      sb ++= s"pleiades_aggregator_event_count_total ${snap.map(_.numInputRows).sum}\n"
       sb ++= "# HELP graft_streaming_input_rows_total Rows ingested per streaming query\n"
       sb ++= "# TYPE graft_streaming_input_rows_total counter\n"
       snap.groupBy(_.queryName).toSeq.sortBy(_._1).foreach { case (q, ps) =>

@@ -73,11 +73,27 @@ class QueryApiSpec extends SparkSpec {
     get(s"http://127.0.0.1:$port/api/stats/18490") // ensure at least one hit
     val (status, body, _) = get(s"http://127.0.0.1:$port/metrics")
     assert(status == 200)
-    assert(body.contains("# TYPE graft_web_http_response_total counter"))
+    assert(body.contains("# TYPE pleiades_web_http_response_total counter"))
     // raw paths collapse to the template — bounded label cardinality
-    assert(body.contains("""graft_web_http_response_total{path="/api/stats/{day}",status="200"}"""))
+    assert(body.contains("""pleiades_web_http_response_total{path="/api/stats/{day}",status="200"}"""))
     assert(!body.contains("18490\"")) // no raw day in any label
-    assert(body.contains("""graft_web_http_duration_seconds_count{path="/api/stats/{day}"}"""))
+    assert(body.contains("""pleiades_web_http_duration_seconds_count{path="/api/stats/{day}"}"""))
+  }
+
+  test("metric names match the reference's dashboard surface exactly") {
+    get(s"http://127.0.0.1:$port/api/stats/18490")
+    get(s"http://127.0.0.1:$port/api/days")
+    graft.streaming.Metrics.inc("pleiades_recv_events_total")
+    graft.streaming.Metrics.inc("pleiades_recv_event_lines_total", "type" -> "data")
+    graft.streaming.Metrics.inc("pleiades_goroutine_restarts", "component" -> "wmf_consumer")
+    val (_, body, _) = get(s"http://127.0.0.1:$port/metrics")
+    // prom_middleware.go / handler.go / sse.go / coordinator.go names
+    assert(body.contains("""pleiades_web_counter_marshal_duration_seconds_sum{operation="get_counters"}"""))
+    assert(body.contains("""pleiades_web_counter_marshal_duration_seconds_sum{operation="get_days"}"""))
+    assert(body.contains("pleiades_recv_events_total 1"))
+    assert(body.contains("""pleiades_recv_event_lines_total{type="data"} 1"""))
+    assert(body.contains("""pleiades_goroutine_restarts{component="wmf_consumer"} 1"""))
+    graft.streaming.Metrics.reset()
   }
 
   test("unknown /api route returns 404") {
