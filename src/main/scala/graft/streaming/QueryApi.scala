@@ -3,6 +3,7 @@ package graft.streaming
 import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
 import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.{LongAdder, DoubleAdder}
 import scala.jdk.CollectionConverters._
@@ -35,7 +36,7 @@ import scala.jdk.CollectionConverters._
   * Built on the JDK's `com.sun.net.httpserver` — no extra dependencies.
   */
 final class QueryApi(store: CounterStore, recorder: Option[ProgressRecorder] = None,
-    minDay: Long = 18488L) {
+    minDay: Long = 18488L, staticDir: Option[String] = None) {
 
   private var server: HttpServer = _
   private val statusCount = new ConcurrentHashMap[(String, Int), LongAdder]()
@@ -47,6 +48,10 @@ final class QueryApi(store: CounterStore, recorder: Option[ProgressRecorder] = N
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/api", handler(apiRoute _))
     server.createContext("/metrics", handler((_, _) => (200, "text/plain; version=0.0.4", metricsText)))
+    // frontend.go:42 — the SPA file server mounted at "/" (the reference
+    // embeds its Vue build via vfsgen; here any directory serves, so a
+    // reference user drops the same `static/` build output in unchanged).
+    staticDir.foreach(dir => server.createContext("/", staticHandler(dir)))
     server.start()
     server.getAddress.getPort
   }
@@ -117,6 +122,46 @@ final class QueryApi(store: CounterStore, recorder: Option[ProgressRecorder] = N
       val body = s"""{"Since":${day * 86400},"Counters":[${items.mkString(",")}]}"""
       marshal("get_counters", (System.nanoTime() - t0) / 1e9)
       (200, "application/json", body)
+    }
+  }
+
+  /** Static-asset file server (`frontend.go:42`'s
+    * `http.FileServer(static.Assets)` behavior): "/" serves `index.html`,
+    * anything else resolves inside `dir` only (traversal attempts are
+    * rejected by real-path containment, not string filtering), content type
+    * by extension, 404 on miss. Binary-safe — byte pass-through.
+    */
+  private def staticHandler(dir: String): HttpHandler = (ex: HttpExchange) => {
+    val root = Paths.get(dir).toRealPath()
+    val rel = ex.getRequestURI.getPath.stripPrefix("/") match {
+      case "" => "index.html"
+      case p => p
+    }
+    val target = root.resolve(rel).normalize()
+    val (status, ctype, bytes) =
+      if (!target.startsWith(root) || !Files.isRegularFile(target))
+        (404, "text/plain", "not found".getBytes(StandardCharsets.UTF_8))
+      else (200, contentType(rel), Files.readAllBytes(target))
+    ex.getResponseHeaders.set("Content-Type", ctype)
+    ex.sendResponseHeaders(status, if (bytes.isEmpty) -1 else bytes.length)
+    if (bytes.nonEmpty) { val os = ex.getResponseBody; os.write(bytes); os.close() }
+    ex.close()
+    statusCount.computeIfAbsent(("/static", status), _ => new LongAdder).increment()
+  }
+
+  private def contentType(name: String): String = {
+    val ext = name.substring(name.lastIndexOf('.') + 1).toLowerCase
+    ext match {
+      case "html" | "htm" => "text/html; charset=utf-8"
+      case "js" => "text/javascript"
+      case "css" => "text/css"
+      case "json" | "map" => "application/json"
+      case "png" => "image/png"
+      case "jpg" | "jpeg" => "image/jpeg"
+      case "svg" => "image/svg+xml"
+      case "ico" => "image/x-icon"
+      case "woff" | "woff2" => "font/woff2"
+      case _ => "application/octet-stream"
     }
   }
 

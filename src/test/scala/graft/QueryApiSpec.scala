@@ -100,4 +100,25 @@ class QueryApiSpec extends SparkSpec {
     val (status, _, _) = get(s"http://127.0.0.1:$port/api/nope")
     assert(status == 404)
   }
+
+  test("static SPA serving: index fallback, content types, traversal rejected") {
+    val webDir = Files.createTempDirectory("graft-spa")
+    Files.writeString(webDir.resolve("index.html"), "<html>pleiades</html>")
+    Files.createDirectories(webDir.resolve("js"))
+    Files.writeString(webDir.resolve("js/app.js"), "console.log('hi')")
+    val api2 = new QueryApi(store, staticDir = Some(webDir.toString))
+    val p2 = api2.start()
+    try {
+      val (s1, b1, h1) = get(s"http://127.0.0.1:$p2/")
+      assert(s1 == 200 && b1.contains("pleiades"))
+      assert(h1("Content-Type").startsWith("text/html"))
+      val (s2, b2, h2) = get(s"http://127.0.0.1:$p2/js/app.js")
+      assert(s2 == 200 && b2.contains("console") && h2("Content-Type") == "text/javascript")
+      assert(get(s"http://127.0.0.1:$p2/missing.css")._1 == 404)
+      // real-path containment, not string filtering
+      assert(get(s"http://127.0.0.1:$p2/%2e%2e/%2e%2e/etc/passwd")._1 == 404)
+      // the API stays mounted alongside the SPA, like frontend.go's router
+      assert(get(s"http://127.0.0.1:$p2/api/days")._1 == 200)
+    } finally api2.stop()
+  }
 }
