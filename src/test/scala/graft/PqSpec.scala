@@ -21,6 +21,29 @@ class PqSpec extends SparkSpec {
     assert(widths == Seq(SubDim))
   }
 
+  test("grouped trainer equals independent per-subspace trainers bit-for-bit") {
+    // The round-6 driver-resident rewrite's contract: training all m
+    // subspaces in one (sub)-keyed chain changes the JOB structure only —
+    // each group's centroids must equal running the single-group L2 trainer
+    // on that subspace alone, to the last bit.
+    val subs = emb.select(col("vec_id").as("_id"),
+      posexplode(array((0 until M).map(s =>
+        slice(col("embedding").cast("array<double>"), s * SubDim + 1, SubDim)): _*))
+        .as(Seq("sub", "_v")))
+    val grouped = Similarity.kmeansFitL2Grouped(subs, K, iters = 2)
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getSeq[Double](2))).toMap
+    (0 until M).foreach { s =>
+      val solo = Similarity.kmeansFitL2(
+        subs.where(col("sub") === s).drop("sub"), K, iters = 2)
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+      assert(solo.keySet == grouped.keys.filter(_._1 == s).map(_._2).toSet,
+        s"sub $s cluster sets differ")
+      solo.foreach { case (c, cvec) =>
+        assert(grouped((s, c)) == cvec, s"sub $s cluster $c centroid differs")
+      }
+    }
+  }
+
   test("every vector gets exactly m codes drawn from the codebook") {
     val cb = Similarity.pqTrain(emb, "embedding", "vec_id", M, SubDim, K, iters = 2)
     val codes = Similarity.pqEncode(emb, "embedding", "vec_id", cb, M, SubDim)
