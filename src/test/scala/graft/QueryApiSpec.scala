@@ -83,6 +83,9 @@ class QueryApiSpec extends SparkSpec {
   test("metric names match the reference's dashboard surface exactly") {
     get(s"http://127.0.0.1:$port/api/stats/18490")
     get(s"http://127.0.0.1:$port/api/days")
+    // the registry is process-wide — other suites (SseBridgeSpec, SoakSpec)
+    // may have already incremented it in a full test run
+    graft.streaming.Metrics.reset()
     graft.streaming.Metrics.inc("pleiades_recv_events_total")
     graft.streaming.Metrics.inc("pleiades_recv_event_lines_total", "type" -> "data")
     graft.streaming.Metrics.inc("pleiades_goroutine_restarts", "component" -> "wmf_consumer")
