@@ -10,7 +10,7 @@ import org.apache.spark.sql.streaming.Trigger
   *   graft ingest    --uri <sse> --dir <events> [--resume-id <id>] [--seconds n]
   *   graft aggregate --events <dir> --table <dir> --checkpoint <dir>
   *                   [--seconds n | --available-now]
-  *   graft frontend  --table <dir> [--port n] [--seconds n]
+  *   graft frontend  --table <dir> [--port n] [--seconds n] [--static <dir>]
   *   graft soak      --seconds n --events <dir> --table <dir> --checkpoint <dir>
   *                   [--uri <sse>]
   *
@@ -86,7 +86,9 @@ object Cli {
 
     case Some("frontend") =>
       val o = opts(args.tail)
-      val api = new QueryApi(new CounterStore(session, req(o, "table")))
+      // --static <dir>: mount the SPA build at "/" (frontend.go:42)
+      val api = new QueryApi(new CounterStore(session, req(o, "table")),
+        staticDir = o.get("static"))
       val port = api.start(o.getOrElse("port", "0").toInt)
       println(s"frontend serving on port $port")
       o.get("seconds") match {
