@@ -25,23 +25,34 @@ object Ranking {
   /** Per-(term, doc) BM25 components: (term, id, tf, dl, df, idf, bm25). */
   def bm25(docs: DataFrame, textCol: String, idCol: String,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    // Persisted: tf feeds dl, df AND the final join — without the cache the
-    // corpus-wide explode+aggregate runs three times (measured 10 s at sf1;
-    // exchange reuse does not cover the three distinct consumers).
+    // Persisted: tf feeds the corpus stats AND the scored stream — without
+    // the cache the corpus-wide explode+aggregate runs twice (measured
+    // 10 s at sf1 with three uncached consumers, round 4).
     val tf = docs
       .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
       .trackedCache
-    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val corpus = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
+    // dl and df as WINDOW aggregates instead of aggregate+self-join: the
+    // former plan exchanged the full (doc, term) stream once to BUILD each
+    // side table and once more to JOIN it back (per key); the unbounded
+    // windows attach the same exact integers with one exchange per key and
+    // no join operators, and the term partitioning is exactly what xq44's
+    // ranking window wants next. Round-6 measured: 3.97 -> 3.80 s solo at
+    // sf1 — a wash in wall-clock (the query is exchange-bound either way);
+    // kept for the structurally simpler plan (two fewer join operators,
+    // one fewer tf consumer). Values are identical — same counts, same
+    // IEEE tree.
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    val corpus = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
       .select(col("n"), (col("sum_dl").cast("double") / col("n")).as("avgdl"))
     val idf = (col("n").cast("double") - col("df").cast("double") + 0.5) /
       (col("df").cast("double") + 0.5)
     val denom = col("tf").cast("double") +
       lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / col("avgdl")))
-    tf.join(dl, idCol)
-      .join(df, "term")
+    tf.withColumn("dl", sum(col("tf")).over(wDoc))
+      .withColumn("df", count(lit(1)).over(wTerm))
       .crossJoin(broadcast(corpus))
       .select(col("term"), col(idCol), col("tf"), col("dl"), col("df"),
         idf.as("idf"),
