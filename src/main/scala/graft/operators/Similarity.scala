@@ -437,21 +437,28 @@ object Similarity {
   private def adcLut(emb: DataFrame, vecCol: String, idCol: String,
       queryId: Long, cb: DataFrame, m: Int, subDim: Int): DataFrame = {
     val spark = emb.sparkSession
-    val q: Seq[Double] = emb.where(col(idCol) === queryId)
-      .select(col(vecCol).cast("array<double>"))
-      .collect().head.getSeq[Double](0).toIndexedSeq
-    def dot(a: Seq[Double], b: Seq[Double]): Double = {
-      var s = 0.0d; var i = 0
-      while (i < a.length) { s += a(i) * b(i); i += 1 }
-      s
-    }
-    val cbLocal = cb.collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toIndexedSeq))
     import spark.implicits._
-    cbLocal.toSeq.map { case (sub, code, cvec) =>
-      val qv = q.slice(sub * subDim, sub * subDim + subDim)
-      (sub, code, (dot(qv, qv) - 2.0d * dot(qv, cvec)) + dot(cvec, cvec))
-    }.toDF("sub", "code", "d2")
+    // Absent query id -> empty LUT -> empty top-k, matching the former
+    // in-plan LUT's behavior (not a driver crash).
+    val qRow = emb.where(col(idCol) === queryId)
+      .select(col(vecCol).cast("array<double>"))
+      .collect().headOption
+    qRow match {
+      case None => Seq.empty[(Int, Long, Double)].toDF("sub", "code", "d2")
+      case Some(row) =>
+        val q: Seq[Double] = row.getSeq[Double](0).toIndexedSeq
+        def dot(a: Seq[Double], b: Seq[Double]): Double = {
+          var s = 0.0d; var i = 0
+          while (i < a.length) { s += a(i) * b(i); i += 1 }
+          s
+        }
+        val cbLocal = cb.collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toIndexedSeq))
+        cbLocal.toSeq.map { case (sub, code, cvec) =>
+          val qv = q.slice(sub * subDim, sub * subDim + subDim)
+          (sub, code, (dot(qv, qv) - 2.0d * dot(qv, cvec)) + dot(cvec, cvec))
+        }.toDF("sub", "code", "d2")
+    }
   }
 
   /** PQ ADC top-k: approximate squared L2 = Σ over subspaces of the query's

@@ -69,7 +69,9 @@ object SseBridge {
         Metrics.inc("pleiades_recv_events_total")
         onEvent(ev)
       }
-      Metrics.inc("pleiades_recv_errors_total", "type" -> "eof") // clean close, sse.go:167
+      // sse.go:167 — eof means the SERVER closed the stream; a stop()-flag
+      // drain is a graceful local shutdown, not a stream error
+      if (!stop()) Metrics.inc("pleiades_recv_errors_total", "type" -> "eof")
     } catch {
       case e: java.net.SocketTimeoutException =>
         Metrics.inc("pleiades_recv_errors_total", "type" -> "body_read_timeout")

@@ -102,9 +102,11 @@ final class QueryApi(store: CounterStore, recorder: Option[ProgressRecorder] = N
     case "/api/days" | "/api/days/" =>
       // handler.go:183-211 — unique days above the floor, string-sorted ASC.
       // partition discovery may narrow `day` to int — don't assume width
-      val t0 = System.nanoTime() // handler.go:179 get_days marshal timer
       val days = store.availableDays(minDay).select("day").collect()
         .map(_.get(0).toString).sorted
+      // handler.go:179 get_days timer wraps ONLY the response rendering —
+      // the store query is what pleiades_web_http_duration_seconds measures
+      val t0 = System.nanoTime()
       val body = days.map(jsonStr).mkString("[", ",", "]")
       marshal("get_days", (System.nanoTime() - t0) / 1e9)
       (200, "application/json", body)
@@ -112,10 +114,10 @@ final class QueryApi(store: CounterStore, recorder: Option[ProgressRecorder] = N
   }
 
   private def statsResponse(day: Long): (Int, String, String) = {
-    val t0 = System.nanoTime() // handler.go:138 get_counters marshal timer
     val counters = store.countersForDay(day).collect()
     if (counters.isEmpty) (404, "application/json", "")
     else {
+      val t0 = System.nanoTime() // handler.go:138 get_counters marshal timer
       val items = counters.map { r =>
         s"""{"Name":${jsonStr(r.getString(0))},"Description":"","Value":${r.getLong(1)}}"""
       }
@@ -131,22 +133,36 @@ final class QueryApi(store: CounterStore, recorder: Option[ProgressRecorder] = N
     * rejected by real-path containment, not string filtering), content type
     * by extension, 404 on miss. Binary-safe — byte pass-through.
     */
-  private def staticHandler(dir: String): HttpHandler = (ex: HttpExchange) => {
+  private def staticHandler(dir: String): HttpHandler = {
+    // Resolve the root ONCE — a bad --static dir fails at startup with a
+    // clear error instead of per-request connection drops.
     val root = Paths.get(dir).toRealPath()
-    val rel = ex.getRequestURI.getPath.stripPrefix("/") match {
-      case "" => "index.html"
-      case p => p
+    (ex: HttpExchange) => {
+      val rel = ex.getRequestURI.getPath.stripPrefix("/") match {
+        case "" => "index.html"
+        case p => p
+      }
+      val notFound = (404, "text/plain", "not found".getBytes(StandardCharsets.UTF_8))
+      val (status, ctype, bytes) =
+        try {
+          // REAL-path containment: toRealPath resolves symlinks too, so a
+          // stray link inside the build dir cannot escape the root (a
+          // normalize-only check would follow it out).
+          val target = root.resolve(rel).normalize().toRealPath()
+          if (!target.startsWith(root) || !Files.isRegularFile(target)) notFound
+          else (200, contentType(rel), Files.readAllBytes(target))
+        } catch {
+          case _: java.nio.file.NoSuchFileException => notFound
+          case e: Exception =>
+            System.err.println(s"QueryApi static error on /$rel: $e")
+            (500, "text/plain", "internal error".getBytes(StandardCharsets.UTF_8))
+        }
+      ex.getResponseHeaders.set("Content-Type", ctype)
+      ex.sendResponseHeaders(status, if (bytes.isEmpty) -1 else bytes.length)
+      if (bytes.nonEmpty) { val os = ex.getResponseBody; os.write(bytes); os.close() }
+      ex.close()
+      statusCount.computeIfAbsent(("/static", status), _ => new LongAdder).increment()
     }
-    val target = root.resolve(rel).normalize()
-    val (status, ctype, bytes) =
-      if (!target.startsWith(root) || !Files.isRegularFile(target))
-        (404, "text/plain", "not found".getBytes(StandardCharsets.UTF_8))
-      else (200, contentType(rel), Files.readAllBytes(target))
-    ex.getResponseHeaders.set("Content-Type", ctype)
-    ex.sendResponseHeaders(status, if (bytes.isEmpty) -1 else bytes.length)
-    if (bytes.nonEmpty) { val os = ex.getResponseBody; os.write(bytes); os.close() }
-    ex.close()
-    statusCount.computeIfAbsent(("/static", status), _ => new LongAdder).increment()
   }
 
   private def contentType(name: String): String = {
@@ -160,7 +176,8 @@ final class QueryApi(store: CounterStore, recorder: Option[ProgressRecorder] = N
       case "jpg" | "jpeg" => "image/jpeg"
       case "svg" => "image/svg+xml"
       case "ico" => "image/x-icon"
-      case "woff" | "woff2" => "font/woff2"
+      case "woff" => "font/woff"
+      case "woff2" => "font/woff2"
       case _ => "application/octet-stream"
     }
   }
@@ -170,6 +187,18 @@ final class QueryApi(store: CounterStore, recorder: Option[ProgressRecorder] = N
   private def marshal(op: String, seconds: Double): Unit = {
     marshalSum.computeIfAbsent(op, _ => new DoubleAdder).add(seconds)
     marshalCount.computeIfAbsent(op, _ => new LongAdder).increment()
+  }
+
+  /** One Prometheus summary exposition block (_sum/_count per label). */
+  private def summaryBlock(sb: StringBuilder, name: String, help: String,
+      labelKey: String, sums: ConcurrentHashMap[String, DoubleAdder],
+      counts: ConcurrentHashMap[String, LongAdder]): Unit = {
+    sb ++= s"# HELP $name $help\n"
+    sb ++= s"# TYPE $name summary\n"
+    sums.asScala.toSeq.sortBy(_._1).foreach { case (k, d) =>
+      sb ++= s"""${name}_sum{$labelKey="$k"} ${d.sum}""" + "\n"
+      sb ++= s"""${name}_count{$labelKey="$k"} ${counts.get(k).sum}""" + "\n"
+    }
   }
 
   private def jsonStr(s: String): String =
@@ -200,18 +229,10 @@ final class QueryApi(store: CounterStore, recorder: Option[ProgressRecorder] = N
       case ((p, s), n) =>
         sb ++= s"""pleiades_web_http_response_total{path="$p",status="$s"} ${n.sum}""" + "\n"
     }
-    sb ++= "# HELP pleiades_web_http_duration_seconds Duration of HTTP requests\n"
-    sb ++= "# TYPE pleiades_web_http_duration_seconds summary\n"
-    durSum.asScala.toSeq.sortBy(_._1).foreach { case (p, d) =>
-      sb ++= s"""pleiades_web_http_duration_seconds_sum{path="$p"} ${d.sum}""" + "\n"
-      sb ++= s"""pleiades_web_http_duration_seconds_count{path="$p"} ${durCount.get(p).sum}""" + "\n"
-    }
-    sb ++= "# HELP pleiades_web_counter_marshal_duration_seconds Time taken to generate the stats json\n"
-    sb ++= "# TYPE pleiades_web_counter_marshal_duration_seconds summary\n"
-    marshalSum.asScala.toSeq.sortBy(_._1).foreach { case (op, d) =>
-      sb ++= s"""pleiades_web_counter_marshal_duration_seconds_sum{operation="$op"} ${d.sum}""" + "\n"
-      sb ++= s"""pleiades_web_counter_marshal_duration_seconds_count{operation="$op"} ${marshalCount.get(op).sum}""" + "\n"
-    }
+    summaryBlock(sb, "pleiades_web_http_duration_seconds",
+      "Duration of HTTP requests", "path", durSum, durCount)
+    summaryBlock(sb, "pleiades_web_counter_marshal_duration_seconds",
+      "Time taken to generate the stats json", "operation", marshalSum, marshalCount)
     Metrics.renderInto(sb)
     recorder.foreach { r =>
       val snap = r.snapshot

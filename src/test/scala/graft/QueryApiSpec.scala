@@ -120,6 +120,11 @@ class QueryApiSpec extends SparkSpec {
       assert(get(s"http://127.0.0.1:$p2/missing.css")._1 == 404)
       // real-path containment, not string filtering
       assert(get(s"http://127.0.0.1:$p2/%2e%2e/%2e%2e/etc/passwd")._1 == 404)
+      // a symlink INSIDE the build dir pointing outside must not escape
+      try {
+        Files.createSymbolicLink(webDir.resolve("esc"), java.nio.file.Paths.get("/etc"))
+        assert(get(s"http://127.0.0.1:$p2/esc/passwd")._1 == 404)
+      } catch { case _: UnsupportedOperationException => () } // no-symlink FS
       // the API stays mounted alongside the SPA, like frontend.go's router
       assert(get(s"http://127.0.0.1:$p2/api/days")._1 == 200)
     } finally api2.stop()
