@@ -38,4 +38,27 @@ object Vocabulary {
       .join(broadcast(vocab.select("term", "term_id")), Seq("term"), "left")
       .select(col(idCol), col("pos").cast("long").as("pos"),
         coalesce(col("term_id"), lit(0L)).as("term_id"))
+
+  /** Per-source vocabulary coverage — the tokenizer-QA report run before
+    * committing a vocab to a training run: token coverage ratio (what
+    * fraction of the source's token stream the vocab can express) and the
+    * count of distinct out-of-vocabulary types. Same broadcast posture as
+    * [[mapTokens]] (a min-count-floored natural-language vocab is
+    * metadata-scale); the token stream is never re-aggregated per term —
+    * one explode, one left join, one source-keyed aggregate.
+    */
+  def coverageReport(docs: DataFrame, textCol: String, srcCol: String,
+      vocab: DataFrame): DataFrame =
+    docs
+      .select(col(srcCol).as("source"), explode(split(col(textCol), " ")).as("term"))
+      .join(broadcast(vocab.select(col("term"), lit(1L).as("in_vocab"))),
+        Seq("term"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("in_vocab"), lit(0L))).as("covered_tokens"),
+        countDistinct(when(col("in_vocab").isNull, col("term"))).as("oov_types"))
+      .select(col("source"), col("n_tokens"), col("covered_tokens"),
+        (col("covered_tokens").cast("double") / col("n_tokens").cast("double"))
+          .as("coverage"),
+        col("oov_types"))
 }

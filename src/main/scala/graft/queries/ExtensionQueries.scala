@@ -2841,6 +2841,32 @@ object ExtensionQueries {
               |SELECT e.vec_id, ${oCos("e.v", "q.qv")} AS sim
               |FROM e JOIN asn ON e.vec_id = asn.vec_id JOIN q ON asn.cluster = q.cluster
               |WHERE e.vec_id <> 0
-              |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin))
+              |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin)),
+
+    // XQ97: vocabulary coverage / OOV-rate report — the tokenizer-QA pass a
+    // training pipeline runs before committing a vocab (xq34/xq95's build)
+    // to a run: per source, token coverage ratio and distinct OOV types.
+    // The coverage division is one (long/long) IEEE op — cross-engine
+    // exact. Scale shape: one explode, one broadcast left join, one
+    // source-keyed aggregate; the corpus is scanned twice total (vocab
+    // build + report), never per term.
+    QueryDef("xq97_vocab_coverage",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val vocab = Vocabulary.build(docs, "text", minCount = 5L)
+        Vocabulary.coverageReport(docs, "text", "source", vocab)
+          .orderBy("source")
+      },
+      Some("""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+             |vc AS (SELECT term FROM tok GROUP BY 1 HAVING COUNT(*) >= 5),
+             |j AS (SELECT tok.source, tok.term, (vc.term IS NOT NULL) AS inv
+             |      FROM tok LEFT JOIN vc USING (term))
+             |SELECT source,
+             |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             |  CAST(SUM(CASE WHEN inv THEN 1 ELSE 0 END) AS BIGINT) AS covered_tokens,
+             |  CAST(SUM(CASE WHEN inv THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / CAST(COUNT(*) AS DOUBLE) AS coverage,
+             |  CAST(COUNT(DISTINCT CASE WHEN NOT inv THEN term END) AS BIGINT) AS oov_types
+             |FROM j GROUP BY source ORDER BY source""".stripMargin))
   )
 }
