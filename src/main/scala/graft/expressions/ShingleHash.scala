@@ -140,7 +140,18 @@ case class SimhashSig(child: Expression, prefix: String, bits: Int)
 
 object ShingleHash {
 
-  /** Per-thread digest (stateful, not thread-safe) + output buffer. */
+  /** Per-thread digest (stateful, not thread-safe) + output buffer.
+    *
+    * KEEP MessageDigest here: a hand-inlined RFC 1321 implementation with
+    * a reusable per-thread context (one compression block per short input,
+    * no provider dispatch) was tried in round 6 and REJECTED on
+    * measurement — xq05 read 4.2 → 7.1 s at sf1, consistently across
+    * runs. HotSpot intrinsifies `MD5.implCompress` to hardware-tuned
+    * vector code; pure-JVM MD5 cannot beat it, so the k-digest minhash
+    * loop is already at the JDK's floor and the remaining xq05 gap vs
+    * DuckDB (~2x flat across three decades) is the cross-engine md5
+    * constant, not call overhead.
+    */
   private val md = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
