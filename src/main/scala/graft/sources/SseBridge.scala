@@ -44,41 +44,62 @@ object SseBridge {
     conn.setConnectTimeout(readTimeoutMs)
     conn.setReadTimeout(readTimeoutMs)
     try {
-      val code = conn.getResponseCode
+      // Connect phase (`sse.go:109-132`): a timeout here is its own error
+      // type `request_timeout` (sse.go:120-122); any OTHER connect failure —
+      // including a non-2xx status (sse.go:127-130) — returns an error
+      // WITHOUT incrementing a recv_errors counter, so those throws stay
+      // outside the read-loop's catch below.
+      val code =
+        try conn.getResponseCode
+        catch {
+          case e: java.net.SocketTimeoutException =>
+            Metrics.inc("pleiades_recv_errors_total", "type" -> "request_timeout")
+            throw e
+        }
       if (code != 200) throw new IOException(s"SSE endpoint returned $code")
-      val reader = new BufferedReader(
-        new InputStreamReader(conn.getInputStream, StandardCharsets.UTF_8))
-      val lines = new Iterator[String] {
-        private var line = reader.readLine()
-        override def hasNext: Boolean = line != null && !stop()
-        override def next(): String = { val l = line; line = reader.readLine(); l }
+      try {
+        val reader = new BufferedReader(
+          new InputStreamReader(conn.getInputStream, StandardCharsets.UTF_8))
+        val lines = new Iterator[String] {
+          private var line = reader.readLine()
+          override def hasNext: Boolean = line != null && !stop()
+          override def next(): String = { val l = line; line = reader.readLine(); l }
+        }
+        // Reference metric names, reference classification (`sse.go:58-84`,
+        // SplitN on the two-byte delimiter ": "): a line with NO ": " counts
+        // "comment" iff it starts with ':' else "unknown"; a line WITH ": "
+        // counts only when its field name is id/event/data — so ": heartbeat"
+        // (splits to ["", "heartbeat"]) increments no line counter at all.
+        // One recv event per dispatched frame (`sse.go:176-179`).
+        val counted = lines.map { l =>
+          if (l.nonEmpty) {
+            val i = l.indexOf(": ")
+            val label =
+              if (i < 0) Some(if (l.startsWith(":")) "comment" else "unknown")
+              else l.substring(0, i) match {
+                case f @ ("id" | "event" | "data") => Some(f)
+                case _ => None
+              }
+            label.foreach(t =>
+              Metrics.inc("pleiades_recv_event_lines_total", "type" -> t))
+          }
+          l
+        }
+        Sse.assemble(counted).foreach { ev =>
+          Metrics.inc("pleiades_recv_events_total")
+          onEvent(ev)
+        }
+        // sse.go:167 — eof means the SERVER closed the stream; a stop()-flag
+        // drain is a graceful local shutdown, not a stream error
+        if (!stop()) Metrics.inc("pleiades_recv_errors_total", "type" -> "eof")
+      } catch {
+        case e: java.net.SocketTimeoutException =>
+          Metrics.inc("pleiades_recv_errors_total", "type" -> "body_read_timeout")
+          throw e
+        case e: IOException =>
+          Metrics.inc("pleiades_recv_errors_total", "type" -> "read_error")
+          throw e
       }
-      // Reference metric names, reference classification (`sse.go:58-84`):
-      // comment / unknown / id / event / data per line; one recv event per
-      // dispatched frame (`sse.go:176-179`).
-      val counted = lines.map { l =>
-        if (l.nonEmpty) Metrics.inc("pleiades_recv_event_lines_total",
-          "type" -> (if (l.startsWith(":")) "comment"
-          else if (l.startsWith("id: ")) "id"
-          else if (l.startsWith("event: ")) "event"
-          else if (l.startsWith("data: ")) "data"
-          else "unknown"))
-        l
-      }
-      Sse.assemble(counted).foreach { ev =>
-        Metrics.inc("pleiades_recv_events_total")
-        onEvent(ev)
-      }
-      // sse.go:167 — eof means the SERVER closed the stream; a stop()-flag
-      // drain is a graceful local shutdown, not a stream error
-      if (!stop()) Metrics.inc("pleiades_recv_errors_total", "type" -> "eof")
-    } catch {
-      case e: java.net.SocketTimeoutException =>
-        Metrics.inc("pleiades_recv_errors_total", "type" -> "body_read_timeout")
-        throw e
-      case e: IOException =>
-        Metrics.inc("pleiades_recv_errors_total", "type" -> "read_error")
-        throw e
     } finally conn.disconnect()
   }
 

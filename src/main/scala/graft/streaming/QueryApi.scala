@@ -40,8 +40,12 @@ final class QueryApi(store: CounterStore, recorder: Option[ProgressRecorder] = N
 
   private var server: HttpServer = _
   private val statusCount = new ConcurrentHashMap[(String, Int), LongAdder]()
-  private val durSum = new ConcurrentHashMap[String, DoubleAdder]()
-  private val durCount = new ConcurrentHashMap[String, LongAdder]()
+  // Both duration metrics are HISTOGRAMS in the reference (promauto
+  // NewHistogramVec with default buckets, `prom_middleware.go:13-16`,
+  // `handler.go:19-22`), so histogram_quantile()/_bucket dashboard panels
+  // keep working, not just rate(_sum)/rate(_count).
+  private val httpDur = new HistogramVec("path")
+  private val marshalDur = new HistogramVec("operation")
 
   /** Bind and start; `port=0` picks an ephemeral port. Returns the bound port. */
   def start(port: Int = 0): Int = {
@@ -78,8 +82,7 @@ final class QueryApi(store: CounterStore, recorder: Option[ProgressRecorder] = N
       if (bytes.nonEmpty) { val os = ex.getResponseBody; os.write(bytes); os.close() }
       ex.close()
       statusCount.computeIfAbsent((template, status), _ => new LongAdder).increment()
-      durSum.computeIfAbsent(template, _ => new DoubleAdder).add((System.nanoTime() - t0) / 1e9)
-      durCount.computeIfAbsent(template, _ => new LongAdder).increment()
+      httpDur.observe(template, (System.nanoTime() - t0) / 1e9)
     }
 
   private def pathTemplate(path: String): String = path match {
@@ -101,28 +104,33 @@ final class QueryApi(store: CounterStore, recorder: Option[ProgressRecorder] = N
       }
     case "/api/days" | "/api/days/" =>
       // handler.go:183-211 — unique days above the floor, string-sorted ASC.
-      // partition discovery may narrow `day` to int — don't assume width
+      // partition discovery may narrow `day` to int — don't assume width.
+      // handler.go:179 — the get_days timer starts at the top of getDays and
+      // wraps the keys query + dedup + sort; json.Marshal is OUTSIDE it.
+      val t0 = System.nanoTime()
       val days = store.availableDays(minDay).select("day").collect()
         .map(_.get(0).toString).sorted
-      // handler.go:179 get_days timer wraps ONLY the response rendering —
-      // the store query is what pleiades_web_http_duration_seconds measures
-      val t0 = System.nanoTime()
+      marshalDur.observe("get_days", (System.nanoTime() - t0) / 1e9)
       val body = days.map(jsonStr).mkString("[", ",", "]")
-      marshal("get_days", (System.nanoTime() - t0) / 1e9)
       (200, "application/json", body)
     case _ => (404, "application/json", "")
   }
 
   private def statsResponse(day: Long): (Int, String, String) = {
+    // handler.go:138-169 — the get_counters timer starts at the top of
+    // getAllCounters and wraps the store fetch + per-row (name, value)
+    // parsing; json.Marshal happens outside it, and the empty-day early
+    // return skips ObserveDuration entirely.
+    val t0 = System.nanoTime()
     val counters = store.countersForDay(day).collect()
     if (counters.isEmpty) (404, "application/json", "")
     else {
-      val t0 = System.nanoTime() // handler.go:138 get_counters marshal timer
-      val items = counters.map { r =>
-        s"""{"Name":${jsonStr(r.getString(0))},"Description":"","Value":${r.getLong(1)}}"""
+      val parsed = counters.map(r => (r.getString(0), r.getLong(1)))
+      marshalDur.observe("get_counters", (System.nanoTime() - t0) / 1e9)
+      val items = parsed.map { case (n, v) =>
+        s"""{"Name":${jsonStr(n)},"Description":"","Value":$v}"""
       }
       val body = s"""{"Since":${day * 86400},"Counters":[${items.mkString(",")}]}"""
-      marshal("get_counters", (System.nanoTime() - t0) / 1e9)
       (200, "application/json", body)
     }
   }
@@ -138,6 +146,9 @@ final class QueryApi(store: CounterStore, recorder: Option[ProgressRecorder] = N
     // clear error instead of per-request connection drops.
     val root = Paths.get(dir).toRealPath()
     (ex: HttpExchange) => {
+      // prom_middleware.go:42-51 is applied to ALL routes including the "/"
+      // file server, so the static path records duration, not just status.
+      val t0 = System.nanoTime()
       val rel = ex.getRequestURI.getPath.stripPrefix("/") match {
         case "" => "index.html"
         case p => p
@@ -162,6 +173,7 @@ final class QueryApi(store: CounterStore, recorder: Option[ProgressRecorder] = N
       if (bytes.nonEmpty) { val os = ex.getResponseBody; os.write(bytes); os.close() }
       ex.close()
       statusCount.computeIfAbsent(("/static", status), _ => new LongAdder).increment()
+      httpDur.observe("/static", (System.nanoTime() - t0) / 1e9)
     }
   }
 
@@ -182,23 +194,49 @@ final class QueryApi(store: CounterStore, recorder: Option[ProgressRecorder] = N
     }
   }
 
-  private val marshalSum = new ConcurrentHashMap[String, DoubleAdder]()
-  private val marshalCount = new ConcurrentHashMap[String, LongAdder]()
-  private def marshal(op: String, seconds: Double): Unit = {
-    marshalSum.computeIfAbsent(op, _ => new DoubleAdder).add(seconds)
-    marshalCount.computeIfAbsent(op, _ => new LongAdder).increment()
-  }
+  /** A Prometheus histogram vector with the client library's DEFAULT buckets
+    * (what `promauto.NewHistogramVec` uses when `Buckets` is unset — both
+    * reference duration metrics rely on that default): cumulative `_bucket`
+    * series per label including `le="+Inf"`, plus `_sum`/`_count`.
+    */
+  private final class HistogramVec(labelKey: String) {
+    import java.util.concurrent.atomic.AtomicLongArray
+    private val bounds =
+      Array(0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0, 10.0)
+    private val counts = new ConcurrentHashMap[String, AtomicLongArray]()
+    private val sums = new ConcurrentHashMap[String, DoubleAdder]()
 
-  /** One Prometheus summary exposition block (_sum/_count per label). */
-  private def summaryBlock(sb: StringBuilder, name: String, help: String,
-      labelKey: String, sums: ConcurrentHashMap[String, DoubleAdder],
-      counts: ConcurrentHashMap[String, LongAdder]): Unit = {
-    sb ++= s"# HELP $name $help\n"
-    sb ++= s"# TYPE $name summary\n"
-    sums.asScala.toSeq.sortBy(_._1).foreach { case (k, d) =>
-      sb ++= s"""${name}_sum{$labelKey="$k"} ${d.sum}""" + "\n"
-      sb ++= s"""${name}_count{$labelKey="$k"} ${counts.get(k).sum}""" + "\n"
+    def observe(label: String, seconds: Double): Unit = {
+      val arr = counts.computeIfAbsent(label,
+        _ => new AtomicLongArray(bounds.length + 1))
+      var i = 0
+      while (i < bounds.length && seconds > bounds(i)) i += 1
+      arr.incrementAndGet(i) // bounds.length == the +Inf bucket
+      sums.computeIfAbsent(label, _ => new DoubleAdder).add(seconds)
     }
+
+    def renderInto(sb: StringBuilder, name: String, help: String): Unit = {
+      sb ++= s"# HELP $name $help\n"
+      sb ++= s"# TYPE $name histogram\n"
+      counts.asScala.toSeq.sortBy(_._1).foreach { case (k, arr) =>
+        var cum = 0L
+        var i = 0
+        while (i < bounds.length) {
+          cum += arr.get(i)
+          sb ++= s"""${name}_bucket{$labelKey="$k",le="${fmtBound(bounds(i))}"} $cum""" + "\n"
+          i += 1
+        }
+        cum += arr.get(bounds.length)
+        sb ++= s"""${name}_bucket{$labelKey="$k",le="+Inf"} $cum""" + "\n"
+        sb ++= s"""${name}_sum{$labelKey="$k"} ${sums.get(k).sum}""" + "\n"
+        sb ++= s"""${name}_count{$labelKey="$k"} $cum""" + "\n"
+      }
+    }
+
+    // Go's exposition prints bucket bounds without trailing zeros (0.005,
+    // 0.25, 1, 10) — match it so scrape-diff tooling sees identical series.
+    private def fmtBound(d: Double): String =
+      if (d == d.floor) d.toLong.toString else d.toString
   }
 
   private def jsonStr(s: String): String =
@@ -216,8 +254,10 @@ final class QueryApi(store: CounterStore, recorder: Option[ProgressRecorder] = N
     * `pleiades_web_counter_marshal_duration_seconds{operation}`,
     * `pleiades_aggregator_event_count_total`, plus the ingest-side registry
     * in [[Metrics]]), so the reference's Grafana `dashboard.json` panels
-    * port unchanged. Durations render as `_sum`/`_count` series — the pair
-    * every reference panel's `rate(_sum)/rate(_count)` query reads.
+    * port unchanged. Durations render as HISTOGRAMS (cumulative `_bucket`
+    * with the client default bounds + `_sum`/`_count`), matching the
+    * reference's `NewHistogramVec` registrations so both
+    * `rate(_sum)/rate(_count)` and `histogram_quantile(_bucket)` panels work.
     * `graft_streaming_*` rows extend the surface with Spark-native batch
     * progress (no reference equivalent).
     */
@@ -229,10 +269,10 @@ final class QueryApi(store: CounterStore, recorder: Option[ProgressRecorder] = N
       case ((p, s), n) =>
         sb ++= s"""pleiades_web_http_response_total{path="$p",status="$s"} ${n.sum}""" + "\n"
     }
-    summaryBlock(sb, "pleiades_web_http_duration_seconds",
-      "Duration of HTTP requests", "path", durSum, durCount)
-    summaryBlock(sb, "pleiades_web_counter_marshal_duration_seconds",
-      "Time taken to generate the stats json", "operation", marshalSum, marshalCount)
+    httpDur.renderInto(sb, "pleiades_web_http_duration_seconds",
+      "Duration of HTTP requests")
+    marshalDur.renderInto(sb, "pleiades_web_counter_marshal_duration_seconds",
+      "Time taken to generate the stats json")
     Metrics.renderInto(sb)
     recorder.foreach { r =>
       val snap = r.snapshot

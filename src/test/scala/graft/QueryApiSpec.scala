@@ -78,6 +78,40 @@ class QueryApiSpec extends SparkSpec {
     assert(body.contains("""pleiades_web_http_response_total{path="/api/stats/{day}",status="200"}"""))
     assert(!body.contains("18490\"")) // no raw day in any label
     assert(body.contains("""pleiades_web_http_duration_seconds_count{path="/api/stats/{day}"}"""))
+    // the reference registers both duration metrics as HISTOGRAMS
+    // (prom_middleware.go:13-16, handler.go:19-22) — cumulative _bucket
+    // series with the client default bounds, so histogram_quantile() works
+    assert(body.contains("# TYPE pleiades_web_http_duration_seconds histogram"))
+    assert(body.contains("# TYPE pleiades_web_counter_marshal_duration_seconds histogram"))
+    assert(body.contains("""pleiades_web_http_duration_seconds_bucket{path="/api/stats/{day}",le="0.005"}"""))
+    assert(body.contains("""pleiades_web_http_duration_seconds_bucket{path="/api/stats/{day}",le="+Inf"}"""))
+    // cumulative: the +Inf bucket equals _count
+    val inf = """pleiades_web_http_duration_seconds_bucket\{path="/metrics",le="\+Inf"\} (\d+)""".r
+    val cnt = """pleiades_web_http_duration_seconds_count\{path="/metrics"\} (\d+)""".r
+    for (i <- inf.findFirstMatchIn(body); c <- cnt.findFirstMatchIn(body))
+      assert(i.group(1) == c.group(1))
+  }
+
+  test("marshal timer wraps the store fetch, not just the json rendering") {
+    graft.streaming.Metrics.reset()
+    val api3 = new QueryApi(store)
+    val p3 = api3.start()
+    try {
+      get(s"http://127.0.0.1:$p3/api/stats/18490")
+      val (_, body, _) = get(s"http://127.0.0.1:$p3/metrics")
+      // handler.go:138 — the timer spans the Keys/MGet query + parsing. A
+      // collect() through Spark takes well over a millisecond; the rendering
+      // alone is sub-microsecond, so this catches an inverted timer scope.
+      val sum = """pleiades_web_counter_marshal_duration_seconds_sum\{operation="get_counters"\} ([0-9.eE-]+)""".r
+      val s = sum.findFirstMatchIn(body).map(_.group(1).toDouble)
+      assert(s.exists(_ > 0.001), s"get_counters sum should include the store query, got $s")
+      // handler.go:145-147 — the empty-day early return skips ObserveDuration
+      get(s"http://127.0.0.1:$p3/api/stats/12345")
+      val (_, body2, _) = get(s"http://127.0.0.1:$p3/metrics")
+      val count = """pleiades_web_counter_marshal_duration_seconds_count\{operation="get_counters"\} (\d+)""".r
+      assert(count.findFirstMatchIn(body2).map(_.group(1)) == Some("1"),
+        "404 day must not observe the get_counters timer")
+    } finally api3.stop()
   }
 
   test("metric names match the reference's dashboard surface exactly") {
@@ -127,6 +161,11 @@ class QueryApiSpec extends SparkSpec {
       } catch { case _: UnsupportedOperationException => () } // no-symlink FS
       // the API stays mounted alongside the SPA, like frontend.go's router
       assert(get(s"http://127.0.0.1:$p2/api/days")._1 == 200)
+      // prom_middleware wraps ALL routes in the reference, so the static
+      // path must have a duration series matching its response counter
+      val (_, mbody, _) = get(s"http://127.0.0.1:$p2/metrics")
+      assert(mbody.contains("""pleiades_web_http_duration_seconds_count{path="/static"}"""))
+      assert(mbody.contains("""pleiades_web_http_duration_seconds_bucket{path="/static",le="+Inf"}"""))
     } finally api2.stop()
   }
 }

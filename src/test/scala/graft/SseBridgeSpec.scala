@@ -75,6 +75,58 @@ class SseBridgeSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("line classification mirrors sse.go's SplitN-on-': ' exactly") {
+    import graft.streaming.Metrics
+    Metrics.reset()
+    val (server, uri) = serve { ex =>
+      // sse.go:58-84 edge cases: ':ok' (no ': ') → comment; ': heartbeat'
+      // splits to ["", "heartbeat"] → NO line counter; 'foo: bar' (unmatched
+      // field name) → NO line counter; 'garbage' (no ': ', no ':') → unknown.
+      writeLines(ex, Seq(
+        ":ok",
+        ": heartbeat",
+        "foo: bar",
+        "garbage",
+        "event: message",
+        "id: [{\"timestamp\":1}]",
+        "data: d1",
+        "data: d2",
+        ""))
+    }
+    try {
+      SseBridge.notify(uri, "", _ => ())
+      def n(t: String) = Metrics.value("pleiades_recv_event_lines_total", "type" -> t)
+      assert(n("comment") == 1, "only ':ok' is a comment")
+      assert(n("unknown") == 1, "only 'garbage' is unknown")
+      assert(n("id") == 1 && n("event") == 1 && n("data") == 2)
+      // ': heartbeat' and 'foo: bar' must increment nothing: the five labels
+      // above account for every counted line out of the 8 non-blank lines.
+      assert(n("comment") + n("unknown") + n("id") + n("event") + n("data") == 6)
+    } finally server.stop(0)
+  }
+
+  test("connect-phase timeout counts request_timeout, not read_error") {
+    import graft.streaming.Metrics
+    Metrics.reset()
+    // A server that accepts the TCP connection but never responds: the
+    // connect phase (response-line read) times out — sse.go:120-122.
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/stream", (ex: HttpExchange) => {
+      Thread.sleep(2000) // longer than the client timeout below
+      ex.sendResponseHeaders(200, -1); ex.close()
+    })
+    server.start()
+    val uri = s"http://127.0.0.1:${server.getAddress.getPort}/stream"
+    try {
+      intercept[java.net.SocketTimeoutException] {
+        SseBridge.notify(uri, "", _ => (), readTimeoutMs = 200)
+      }
+      assert(Metrics.value("pleiades_recv_errors_total", "type" -> "request_timeout") == 1)
+      assert(Metrics.value("pleiades_recv_errors_total", "type" -> "read_error") == 0)
+      assert(Metrics.value("pleiades_recv_errors_total", "type" -> "body_read_timeout") == 0)
+    } finally server.stop(0)
+  }
+
   test("notify throws on non-200 (coordinator owns the retry)") {
     val (server, uri) = serve { ex =>
       ex.sendResponseHeaders(404, -1)
