@@ -17,13 +17,19 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
   * after each, so the measured figure includes ≥`chunks` real micro-batch
   * cycles of state update + store merge, not one monolithic batch.
   *
-  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.SoakBench [chunks]
-  * Prints one JSON line: events/s, wall seconds, batches, store rows.
+  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.SoakBench [chunks] [regime]
+  * regime = "ordered" (default; arrival = event-time order, the live
+  * stream's shape) or "unordered" (deterministic hash shuffle across the
+  * whole month — the backfill/replay shape where EVERY micro-batch touches
+  * every day partition; the reference accepts such feeds unboundedly,
+  * `web/handler.go:190`). Prints one JSON line: events/s, wall seconds,
+  * batches, store rows.
   */
 object SoakBench {
   def main(args: Array[String]): Unit = {
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val chunks = args.headOption.map(_.toInt).getOrElse(10)
+    val regime = args.lift(1).getOrElse("ordered")
     val spark = Sessions.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), "graft-soak-bench")
     import spark.implicits._
@@ -32,11 +38,13 @@ object SoakBench {
     // reference's stream carries: meta.id for dedup identity, unix-seconds
     // timestamp for event time, wiki/type/bot/minor for the fan-out,
     // length for growth)
-    // arrival order = event-time order, the live stream's actual shape:
-    // each micro-batch then touches 1-2 day partitions (an unordered feed
-    // made every batch rewrite all 30 day partitions in the merge —
-    // measured 1.1 k events/s of pure merge pathology, not throughput)
-    val msgs = Tables.events(spark, sf).orderBy("ts").select(
+    // ordered: arrival = event-time order (each micro-batch touches 1-2 day
+    // partitions). unordered: deterministic hash shuffle so every batch
+    // spans all 30 days — the regime that measured 1.1 k ev/s of pure merge
+    // pathology before mergeBatch pruned + day-clustered its rewrites.
+    val ordering =
+      if (regime == "unordered") xxhash64(col("event_id")) else col("ts")
+    val msgs = Tables.events(spark, sf).orderBy(ordering).select(
       concat(lit("[{\"topic\":\"rc\",\"partition\":0,\"timestamp\":"),
         unix_millis(col("ts").cast("timestamp")).cast("string"),
         lit("}]")).as("key"),
@@ -66,9 +74,13 @@ object SoakBench {
 
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, String)]
-    // production watermark: the time-ordered feed never delivers late data
+    // ordered feed: production 48 h watermark (it never delivers late data).
+    // unordered feed: the FIRST chunk already spans the whole month, so any
+    // bounded watermark would evict state and drop later chunks — mirror the
+    // reference's accept-late-forever posture with a month-dwarfing one.
+    val watermark = if (regime == "unordered") "3650 days" else "48 hours"
     val q = CounterPipeline.dailyCounterAgg(
-        mem.toDF.toDF("key", "value"), watermark = "48 hours")
+        mem.toDF.toDF("key", "value"), watermark = watermark)
       .writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", ckptDir)
@@ -90,7 +102,7 @@ object SoakBench {
     val rows = store.count()
     val days = store.select("day").distinct().count()
     println(s"""{"metric":"soak_events_per_sec","value":${(n / secs).round},""" +
-      s""""events":$n,"seconds":$secs,"batches":$batches,""" +
+      s""""regime":"$regime","events":$n,"seconds":$secs,"batches":$batches,""" +
       s""""store_rows":$rows,"days":$days,"sf":"$sf"}""")
     spark.stop()
   }

@@ -101,34 +101,61 @@ object CounterPipeline {
     *
     * Update mode emits the NEW TOTAL per touched key, so merge = replace:
     * re-running a failed batch writes identical values (exactly-once effect).
-    * Only the touched day partitions are rewritten (dynamic partition
-    * overwrite) — the store is tiny relative to event volume, so the rewrite
-    * cost is bounded by counter cardinality, not data scale.
+    * Only day partitions whose content GENUINELY changed are rewritten
+    * (dynamic partition overwrite): a replayed batch whose totals already
+    * match the store — or one whose late rows land on a subset of its days —
+    * touches only the differing partitions.
+    *
+    * Unordered-feed posture: the reference accepts late events unboundedly
+    * (`web/handler.go:190`), so a backfill/replay feed makes every batch
+    * touch every day. Two things keep that from degenerating (the r6 soak
+    * measured 1.1 k ev/s of pure merge pathology without them):
+    *   - rewrites are pruned to changed days via an all-column anti-join of
+    *     the batch against the store (both sides are counter-cardinality
+    *     metadata, never event-scale), and
+    *   - the merged rows are CLUSTERED BY day before the write, so each day
+    *     partition is exactly one file instead of one file per shuffle task —
+    *     without it, N days × 32 tasks of tiny files compound into the next
+    *     batch's read.
     */
   def mergeBatch(spark: SparkSession, tableDir: String)(batch: DataFrame, batchId: Long): Unit = {
-    if (!batch.isEmpty) {
-      val days = batch.select("day").distinct().collect().map(_.getLong(0))
-      val existing =
-        try {
-          spark.read.parquet(tableDir)
-            .where(col("day").isin(days.toIndexedSeq: _*))
-            .select("day", "counter", "n", "growth")
-        } catch {
-          case _: org.apache.spark.sql.AnalysisException => // first batch
-            spark.emptyDataFrame
-              .select(lit(0L).as("day"), lit("").as("counter"),
-                lit(0L).as("n"), lit(0L).as("growth")).limit(0)
+    val rows = batch.select("day", "counter", "n", "growth")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val days = rows.select("day").distinct().collect().map(_.getLong(0))
+      if (days.nonEmpty) {
+        val existing =
+          try {
+            spark.read.parquet(tableDir)
+              .where(col("day").isin(days.toIndexedSeq: _*))
+              .select("day", "counter", "n", "growth")
+          } catch {
+            case _: org.apache.spark.sql.AnalysisException => // first batch
+              spark.emptyDataFrame
+                .select(lit(0L).as("day"), lit("").as("counter"),
+                  lit(0L).as("n"), lit(0L).as("growth")).limit(0)
+          }
+        // a day changed iff the batch carries a (key, total) the store
+        // doesn't already hold — all-column anti-join, metadata-scale
+        val changedDays = rows
+          .join(existing, Seq("day", "counter", "n", "growth"), "left_anti")
+          .select("day").distinct().collect().map(_.getLong(0))
+        if (changedDays.nonEmpty) {
+          val changed = col("day").isin(changedDays.toIndexedSeq: _*)
+          val merged = rows.where(changed)
+            .unionByName(
+              existing.where(changed).join(rows.select("day", "counter"),
+                Seq("day", "counter"), "left_anti"))
+          merged
+            .repartition(col("day")) // one file per day partition
+            .write
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("day")
+            .parquet(tableDir)
         }
-      val merged = batch.select("day", "counter", "n", "growth")
-        .unionByName(
-          existing.join(batch.select("day", "counter"),
-            Seq("day", "counter"), "left_anti"))
-      merged.write
-        .mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("day")
-        .parquet(tableDir)
-    }
+      }
+    } finally rows.unpersist()
   }
 
   /** Wire the full pipeline: source → aggregate → merge sink. */

@@ -6,6 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 /** End-to-end streaming specs: fixture events (shaped like the reference's
   * SSE corpus, FIXTURES.md §2) replayed through MemoryStream → parse →
@@ -135,6 +136,45 @@ class StreamingSpec extends SparkSpec {
     assert(snapshot(crashed) == snapshot(clean))
     // untouched keys of rewritten partitions survive the merge
     assert(snapshot(crashed)((day0, "bot")) == ((1L, 0L)))
+  }
+
+  test("merge prunes unchanged days and clusters one file per day partition") {
+    val dir = Files.createTempDirectory("graft-merge-shape").toString
+    val batch = (0 until 30).flatMap(d => Seq(
+      (day0 + d, "total", 10L + d, 1L), (day0 + d, "bot", 2L, 0L)
+    )).toDF("day", "counter", "n", "growth")
+    CounterPipeline.mergeBatch(spark, dir)(batch, 0L)
+
+    def files(): Set[String] = {
+      val root = java.nio.file.Paths.get(dir)
+      Files.walk(root).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(root.relativize(_).toString).toSet
+    }
+    val after0 = files()
+    // day-clustered write: every day=<d> partition holds exactly ONE file —
+    // without the cluster, 30 days × shuffle tasks of fragments compound
+    // into every later batch's store read (the r6 unordered-soak pathology)
+    val byDay = after0.groupBy(_.split("/")(0))
+    assert(byDay.size == 30 && byDay.values.forall(_.size == 1),
+      s"expected one file per day partition, got ${byDay.view.mapValues(_.size).toMap}")
+
+    // replaying an IDENTICAL batch must rewrite nothing (changed-day prune)
+    CounterPipeline.mergeBatch(spark, dir)(batch, 0L)
+    assert(files() == after0, "identical replay must not rewrite any partition")
+
+    // a batch changing ONE day rewrites only that partition's file
+    val oneDay = Seq((day0 + 3, "total", 99L, 9L)).toDF("day", "counter", "n", "growth")
+    CounterPipeline.mergeBatch(spark, dir)(oneDay, 1L)
+    val after1 = files()
+    assert((after0 -- after1).forall(_.startsWith(s"day=${day0 + 3}/")) &&
+      (after1 -- after0).forall(_.startsWith(s"day=${day0 + 3}/")),
+      "single-day change must rewrite only that day's partition")
+    // and the untouched key of the rewritten day survives
+    val row = spark.read.parquet(dir)
+      .where(col("day") === (day0 + 3) && col("counter") === "bot")
+      .select("n").as[Long].collect()
+    assert(row.toSeq == Seq(2L))
   }
 
   test("streaming aggregation agrees with the batch twin") {
