@@ -118,6 +118,42 @@ object Dedup {
     batch.join(incrementalNearDups(corpus, batch, textCol, idCol, n)
       .select(col(idCol)), Seq(idCol), "left_anti")
 
+  /** Persist the LSH band index of a corpus as a parquet table at `dir` —
+    * the BUILD-ONCE half of the amortized dedup regime. [[incrementalNearDups]]
+    * recomputes the corpus bands on every call (the strict-measurement
+    * shape); a production pipeline builds this index once, appends each
+    * admitted batch's bands (see [[graft.streaming.CorpusIngest]]), and pays
+    * only O(batch) per probe from then on.
+    *
+    * Layout: rows clustered by `band_key` with (band_id, band_key)-sorted
+    * row groups, so a probe's equi-join scan gets parquet min/max pruning on
+    * the key it filters by. The id column is stored as `corpus_id`.
+    */
+  def writeBandIndex(docs: DataFrame, textCol: String, idCol: String,
+      dir: String, n: Int = 3): Unit =
+    bandTable(docs, textCol, idCol, n)
+      .withColumnRenamed(idCol, "corpus_id")
+      .repartition(col("band_key"))
+      .sortWithinPartitions("band_id", "band_key")
+      .write.mode("overwrite").parquet(dir)
+
+  /** Probe a persisted [[writeBandIndex]] index with a new batch: same
+    * output contract as [[incrementalNearDups]] — one row per batch doc that
+    * LSH-collides with the corpus, (id, corpus_match = smallest colliding
+    * corpus id, n_matches) — but the corpus side is the INDEX SCAN, not a
+    * recomputation. Signature work is O(batch); the batch's band table is
+    * broadcast (bounded by batch size × nBands), so the index scan streams
+    * map-side with no shuffle of the big side.
+    */
+  def probeBandIndex(spark: SparkSession, indexDir: String, batch: DataFrame,
+      textCol: String, idCol: String, n: Int = 3): DataFrame =
+    spark.read.parquet(indexDir)
+      .join(broadcast(bandTable(batch, textCol, idCol, n)),
+        Seq("band_id", "band_key"))
+      .groupBy(col(idCol))
+      .agg(min(col("corpus_id")).as("corpus_match"),
+        countDistinct(col("corpus_id")).as("n_matches"))
+
   /** Greedy near-dup removal: drop every doc that is the HIGHER id of an
     * LSH candidate pair (the min-id member of each near-dup group's pair
     * graph survives). One anti-join over the candidate pairs — the standard

@@ -59,6 +59,84 @@ object Ranking {
         ((idf * (col("tf").cast("double") * lit(k1 + 1))) / denom).as("bm25"))
   }
 
+  /** Persist the BM25 posting index at `dir` — the BUILD-ONCE half of the
+    * amortized retrieval regime ([[bm25]] recomputes tf/dl/df per call, the
+    * strict-measurement shape; a production pipeline builds this once per
+    * corpus snapshot and serves every query from it):
+    *
+    *   - `dir/postings` — (term, id, tf, dl), clustered by term with
+    *     term-sorted row groups so a query's `term IN (...)` scan gets
+    *     parquet min/max pruning (the columnar analogue of a posting list
+    *     seek),
+    *   - `dir/dfs`      — (term, df),
+    *   - `dir/stats`    — one row (n, avgdl).
+    *
+    * All stored columns are exact integers except avgdl (one IEEE divide),
+    * so a probe reproduces [[bm25]]'s scores bit-exactly.
+    */
+  def writeBm25Index(docs: DataFrame, textCol: String, idCol: String,
+      dir: String): Unit = {
+    val tf = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+      tf.withColumn("dl", sum(col("tf")).over(wDoc))
+        .repartition(col("term"))
+        .sortWithinPartitions("term")
+        .write.mode("overwrite").parquet(s"$dir/postings")
+      tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .repartition(col("term"))
+        .sortWithinPartitions("term")
+        .write.mode("overwrite").parquet(s"$dir/dfs")
+      tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+        .agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
+        .select(col("n"), (col("sum_dl").cast("double") / col("n")).as("avgdl"))
+        .write.mode("overwrite").parquet(s"$dir/stats")
+    } finally tf.unpersist()
+  }
+
+  /** Score one query (a literal term set) against a persisted
+    * [[writeBm25Index]] index: per-doc score = the FIXED-ORDER sum of the
+    * per-term BM25 contributions in the caller's term order (missing terms
+    * contribute 0.0) — a fixed IEEE expression tree, so the score is
+    * engine-reproducible without any double-sum aggregation (the repo's
+    * cross-engine discipline; see [[bm25]]'s idf note).
+    *
+    * Plan: the postings scan is filtered to the query's terms (pushed to
+    * parquet, pruned by the term-sorted row groups), dfs and the 1-row stats
+    * are broadcast, and the only shuffle is the doc-keyed aggregate over the
+    * matching postings — O(Σ df(term)) rows, never the corpus.
+    */
+  def scoreBm25Index(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      terms: Seq[String], idCol: String = "doc_id",
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "scoreBm25Index needs at least one term")
+    val postings = spark.read.parquet(s"$indexDir/postings")
+      .where(col("term").isin(terms: _*))
+    val dfs = spark.read.parquet(s"$indexDir/dfs")
+      .where(col("term").isin(terms: _*))
+    val stats = spark.read.parquet(s"$indexDir/stats")
+    val idf = (col("n").cast("double") - col("df").cast("double") + 0.5) /
+      (col("df").cast("double") + 0.5)
+    val denom = col("tf").cast("double") +
+      lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / col("avgdl")))
+    val scored = postings
+      .join(broadcast(dfs), "term")
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), col("term"),
+        ((idf * (col("tf").cast("double") * lit(k1 + 1))) / denom).as("bm25"))
+    val perTerm = terms.zipWithIndex.map { case (t, i) =>
+      max(when(col("term") === t, col("bm25"))).as(s"_b$i")
+    }
+    scored.groupBy(col(idCol))
+      .agg(perTerm.head, perTerm.tail: _*)
+      .select(col(idCol),
+        terms.indices.map(i => coalesce(col(s"_b$i"), lit(0.0)))
+          .reduce(_ + _).as("score"))
+  }
+
   /** Inverted index: per term, document frequency and the posting list of
     * the first `maxPostings` doc ids (ascending, comma-joined). Postings at
     * real scale are stored columnar per term-shard; the bounded CSV form

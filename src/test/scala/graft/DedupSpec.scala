@@ -265,6 +265,33 @@ class DedupSpec extends SparkSpec {
     assert(dropped == batchIds -- incr)
   }
 
+  test("persisted band index probe == recomputed incremental near-dedup") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val batch = docs.where($"source" === "src3")
+    val corpus = docs.where($"source" =!= "src3")
+    val dir = java.nio.file.Files.createTempDirectory("graft-band-idx").toString
+    Dedup.writeBandIndex(corpus, "text", "doc_id", dir)
+    // the amortized probe (index scan, batch bands broadcast) must return
+    // the exact rows the strict recompute form returns
+    val probed = Dedup.probeBandIndex(spark, dir, batch, "text", "doc_id")
+      .as[(Long, Long, Long)].collect().toSet
+    val recomputed = Dedup.incrementalNearDups(corpus, batch, "text", "doc_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(probed == recomputed && probed.nonEmpty)
+    // plan shape: the batch side is the broadcast build; the index scan is
+    // never exchanged before the join
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val plan = Dedup.probeBandIndex(spark, dir, batch, "text", "doc_id")
+      .queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+    assert(plan.find(_.isInstanceOf[BroadcastHashJoinExec]).isDefined,
+      s"probe should broadcast the batch bands:\n$plan")
+  }
+
   test("dedupGroups auto-promotes to reliable checkpoints and survives cache eviction") {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     spark.sparkContext.setCheckpointDir(ckpt)
