@@ -109,33 +109,56 @@ object Shards {
   }
 
   /** REAL binary emission: one little-endian uint16 file per shard (the
-    * common dataloader format; ids ≥ 65536 would take the uint32 twin),
-    * written executor-side from a shard-keyed group — same write posture
-    * as EventFiles. Returns (shard_id, n_tokens, n_bytes, path).
+    * compact dataloader format for fixture-scale vocabularies; any REAL
+    * tokenizer vocab — 32k-200k ids — exceeds uint16 and takes
+    * [[writeShardsU32]]), written executor-side from a shard-keyed group —
+    * same write posture as EventFiles. Returns
+    * (shard_id, n_tokens, n_bytes, path).
     */
   def writeShards(spark: SparkSession, tokenIds: DataFrame, idCol: String,
-      posCol: String, tidCol: String, shardTokens: Long, dir: String): DataFrame = {
+      posCol: String, tidCol: String, shardTokens: Long, dir: String): DataFrame =
+    writeShardsImpl(spark, tokenIds, idCol, posCol, tidCol, shardTokens, dir,
+      width = 2)
+
+  /** The uint32 twin: identical plan, shard boundaries, paths and manifest
+    * digests (the digest hashes token-id STRINGS, not emitted bytes — see
+    * [[manifest]]); only the encoding widens to 4 little-endian bytes per
+    * token, covering every production vocabulary size.
+    */
+  def writeShardsU32(spark: SparkSession, tokenIds: DataFrame, idCol: String,
+      posCol: String, tidCol: String, shardTokens: Long, dir: String): DataFrame =
+    writeShardsImpl(spark, tokenIds, idCol, posCol, tidCol, shardTokens, dir,
+      width = 4)
+
+  private def writeShardsImpl(spark: SparkSession, tokenIds: DataFrame,
+      idCol: String, posCol: String, tidCol: String, shardTokens: Long,
+      dir: String, width: Int): DataFrame = {
     import spark.implicits._
+    val limit = 1L << (8 * width)
     val perDoc = tokenIds.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val planned = plan(perDoc, idCol, "n", shardTokens)
     val rows = tokenIds
       .join(planned.select(col(idCol), col("shard_id")), Seq(idCol))
       .select(col("shard_id"), col(idCol).as("_id"), col(posCol).as("_pos"),
-        col(tidCol).cast("int").as("_tid"))
-      .as[(Long, Long, Long, Int)]
+        col(tidCol).cast("long").as("_tid"))
+      .as[(Long, Long, Long, Long)]
     rows.groupByKey(_._1)
       .mapGroups { (shard, it) =>
         val toks = it.toArray.sortBy(r => (r._2, r._3)).map(_._4)
-        val bytes = new Array[Byte](toks.length * 2)
+        val bytes = new Array[Byte](toks.length * width)
         var i = 0
         while (i < toks.length) {
           val t = toks(i)
-          // fail loudly: a silent low-2-byte truncation would emit corrupt
+          // fail loudly: a silent low-byte truncation would emit corrupt
           // shards only an external digest audit could catch
-          require(t >= 0 && t < 65536,
-            s"token id $t in shard $shard exceeds uint16 range; use a uint32 emitter")
-          bytes(2 * i) = (t & 0xFF).toByte
-          bytes(2 * i + 1) = ((t >> 8) & 0xFF).toByte
+          require(t >= 0 && t < limit,
+            s"token id $t in shard $shard exceeds uint${8 * width} range" +
+              (if (width == 2) "; use writeShardsU32" else ""))
+          var b = 0
+          while (b < width) {
+            bytes(width * i + b) = ((t >> (8 * b)) & 0xFF).toByte
+            b += 1
+          }
           i += 1
         }
         val path = java.nio.file.Paths.get(dir, f"shard-$shard%05d.bin")
