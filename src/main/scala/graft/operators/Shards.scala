@@ -57,14 +57,26 @@ object Shards {
     * linear scan per lookup and measured 2× SLOWER than the exploded
     * join) and one mapPartitions pass emits (id, n, doc_str) directly,
     * so the only shuffled rows are the per-doc aggregates — 1000× fewer.
-    * Memory bound is identical to [[Vocabulary.mapTokens]]'s broadcast
-    * join: the vocab must fit an executor; web-scale noise vocabularies
-    * shard the map instead.
+    * Memory bound of the fast path is identical to
+    * [[Vocabulary.mapTokens]]'s broadcast join: the vocab must fit an
+    * executor. Past `broadcastMaxBytes` (or forced via
+    * `sharded = Some(true)`) the call falls back to the SHARDED pipeline —
+    * `Vocabulary.mapTokens` with the vocab hash-partitioned on term and
+    * joined map-side per shard, then the generic [[manifest]] tail — which
+    * re-admits the exploded-token shuffle as the price of never holding the
+    * whole vocabulary in one JVM. Digests are identical via both paths
+    * (VocabularySpec).
     */
   def manifestOfDocs(docs: DataFrame, textCol: String, idCol: String,
-      vocab: DataFrame, shardTokens: Long): DataFrame = {
+      vocab: DataFrame, shardTokens: Long, sharded: Option[Boolean] = None,
+      broadcastMaxBytes: Long = Vocabulary.BroadcastMaxBytes): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    if (sharded.getOrElse(Vocabulary.autoSharded(
+        vocab.select(col("term"), col("term_id")), broadcastMaxBytes)))
+      return manifest(
+        Vocabulary.mapTokens(docs, textCol, idCol, vocab, Some(true)),
+        idCol, "pos", "term_id", shardTokens)
     val vmap = vocab.select(col("term"), col("term_id"))
       .as[(String, Long)].collect().toMap
     val bc = spark.sparkContext.broadcast(vmap)

@@ -27,17 +27,42 @@ object Vocabulary {
       .select(col("term"), (col("rank0") + 1L).as("term_id"), col("cnt"))
   }
 
+  /** Vocab sizes the broadcast fast path accepts by default: a min-count
+    * natural-language vocab is a few MB; web-scale noise vocabularies (10^8
+    * types) blow past any executor and take the sharded path.
+    */
+  val BroadcastMaxBytes: Long = 64L << 20
+
+  /** Size-based switch for the vocab join strategy: the optimizer's
+    * estimated size is free (no job) and errs conservative for aggregates —
+    * a caller who KNOWS can force either path via the `sharded` parameter.
+    */
+  private[graft] def autoSharded(vocab: DataFrame, maxBytes: Long): Boolean =
+    vocab.queryExecution.optimizedPlan.stats.sizeInBytes > maxBytes
+
   /** Map each document's tokens to vocabulary ids (OOV → 0); output one
     * row per (doc, position).
+    *
+    * Join strategy: the default BROADCASTS the vocab dim (requires
+    * vocab-fits-an-executor); past `broadcastMaxBytes` — or when forced via
+    * `sharded = Some(true)` — the vocab is HASH-PARTITIONED on term and
+    * joined map-side per shard (shuffle-hash: each task builds a hash map of
+    * its vocab shard only), so no single JVM ever holds the whole
+    * vocabulary. Output rows are identical either way (VocabularySpec).
     */
   def mapTokens(docs: DataFrame, textCol: String, idCol: String,
-      vocab: DataFrame): DataFrame =
-    docs
-      .select(col(idCol),
-        posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
-      .join(broadcast(vocab.select("term", "term_id")), Seq("term"), "left")
-      .select(col(idCol), col("pos").cast("long").as("pos"),
-        coalesce(col("term_id"), lit(0L)).as("term_id"))
+      vocab: DataFrame, sharded: Option[Boolean] = None,
+      broadcastMaxBytes: Long = BroadcastMaxBytes): DataFrame = {
+    val dim = vocab.select("term", "term_id")
+    val tokens = docs.select(col(idCol),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
+    val joined =
+      if (sharded.getOrElse(autoSharded(dim, broadcastMaxBytes)))
+        tokens.join(dim.hint("shuffle_hash"), Seq("term"), "left")
+      else tokens.join(broadcast(dim), Seq("term"), "left")
+    joined.select(col(idCol), col("pos").cast("long").as("pos"),
+      coalesce(col("term_id"), lit(0L)).as("term_id"))
+  }
 
   /** Per-source vocabulary coverage — the tokenizer-QA report run before
     * committing a vocab to a training run: token coverage ratio (what
