@@ -48,4 +48,25 @@ class SemDedupSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSet
     assert(removed.contains(11L) && !removed.contains(10L))
   }
+
+  test("default k is scale-right (k ∝ N) and matches the explicit form") {
+    val emb = Tables.embeddings(spark, sf)
+    // the contract: N / 625 vectors per cluster, floored at 8
+    val n = emb.count()
+    val expectedK = math.max(8, (n / Similarity.SemDedupClusterSize).toInt)
+    assert(Similarity.semDedupK(emb) == expectedK)
+    // the k=0 default must produce exactly the explicit-k result
+    val auto = Similarity.semDedup(emb, "embedding", "vec_id",
+      iters = 1, threshold = 0.25d)
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    val explicit = Similarity.semDedup(emb, "embedding", "vec_id",
+      k = expectedK, iters = 1, threshold = 0.25d)
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(auto == explicit)
+    // and the oracle-pinned configuration stays available unchanged
+    val pinned = Similarity.semDedup(emb, "embedding", "vec_id",
+      k = 8, iters = 1, threshold = 0.25d)
+    assert(pinned.select(max(col("cluster"))).first().getLong(0) < 8L ||
+      pinned.isEmpty)
+  }
 }
