@@ -32,38 +32,75 @@ object RangeJoin {
 
   private def bin(c: Column, w: Long): Column = floor(c / w).cast("long")
 
+  /** Rows sampled per side when deriving the automatic bin width. */
+  private val AutoWidthSampleRows = 100000
+
+  /** Derive a bin width from the data: the approximate MEDIAN interval
+    * length over a bounded sample of both sides, clamped to >= 1. The cost
+    * model's optimum sits near the typical interval length — too narrow
+    * multiplies every row by length/width+1 copies, too wide packs
+    * unrelated intervals into hot bins — so a naive caller gets a sane
+    * explode factor (~2 copies per median-length interval) instead of a
+    * degenerate one. One tiny aggregate job (LIMIT-bounded scan + a
+    * percentile sketch); a caller who knows the workload passes an explicit
+    * width and skips it.
+    */
+  def autoBinWidth(left: DataFrame, lStart: String, lEnd: String,
+      right: DataFrame, rStart: String, rEnd: String): Long = {
+    def lens(df: DataFrame, s: String, e: String) =
+      df.select((col(e).cast("double") - col(s).cast("double")).as("_len"))
+        .where(col("_len").isNotNull).limit(AutoWidthSampleRows)
+    val med = lens(left, lStart, lEnd).unionAll(lens(right, rStart, rEnd))
+      .agg(percentile_approx(col("_len"), lit(0.5), lit(10000)))
+      .first().getDouble(0)
+    math.max(1L, math.round(med))
+  }
+
   /** All (left, right) pairs whose closed intervals [lStart,lEnd] and
     * [rStart,rEnd] overlap. Bounds must be numeric (cast dates to epoch
     * days / timestamps to epoch seconds upstream) with start <= end; the two
     * sides' column names must be disjoint. Each qualifying pair is emitted
     * exactly once; the plan is a shuffle equi-join on the bin id (no
     * CartesianProduct / NestedLoop — asserted by RangeJoinSpec).
+    *
+    * `binWidth = 0` (the default) derives the width from the sampled median
+    * interval length ([[autoBinWidth]]); results are identical for ANY
+    * positive width — the width only moves cost.
     */
   def overlapJoin(left: DataFrame, right: DataFrame,
       lStart: String, lEnd: String, rStart: String, rEnd: String,
-      binWidth: Long): DataFrame = {
-    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+      binWidth: Long = 0L): DataFrame = {
+    require(binWidth >= 0, s"binWidth must be positive or 0=auto, got $binWidth")
+    val w =
+      if (binWidth > 0) binWidth
+      else autoBinWidth(left, lStart, lEnd, right, rStart, rEnd)
     val lb = left.withColumn("_lbin",
-      explode(sequence(bin(col(lStart), binWidth), bin(col(lEnd), binWidth))))
+      explode(sequence(bin(col(lStart), w), bin(col(lEnd), w))))
     val rb = right.withColumn("_rbin",
-      explode(sequence(bin(col(rStart), binWidth), bin(col(rEnd), binWidth))))
+      explode(sequence(bin(col(rStart), w), bin(col(rEnd), w))))
     lb.join(rb,
         lb("_lbin") === rb("_rbin") &&
           col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
-          lb("_lbin") === bin(greatest(col(lStart), col(rStart)), binWidth))
+          lb("_lbin") === bin(greatest(col(lStart), col(rStart)), w))
       .drop("_lbin", "_rbin")
   }
 
   /** Point-in-interval join: each row of `points` matched to every row of
     * `intervals` whose [iStart,iEnd] contains the point. A point touches
-    * exactly one bin, so no canonical-bin dedup is needed.
+    * exactly one bin, so no canonical-bin dedup is needed. `binWidth = 0`
+    * (the default) derives the width from the intervals' sampled median
+    * length (a point is a zero-length interval and would only drag the
+    * median toward a degenerate 1, so only the interval side votes).
     */
   def pointInIntervalJoin(points: DataFrame, intervals: DataFrame,
-      pCol: String, iStart: String, iEnd: String, binWidth: Long): DataFrame = {
-    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
-    val pb = points.withColumn("_pbin", bin(col(pCol), binWidth))
+      pCol: String, iStart: String, iEnd: String, binWidth: Long = 0L): DataFrame = {
+    require(binWidth >= 0, s"binWidth must be positive or 0=auto, got $binWidth")
+    val w =
+      if (binWidth > 0) binWidth
+      else autoBinWidth(intervals, iStart, iEnd, intervals, iStart, iEnd)
+    val pb = points.withColumn("_pbin", bin(col(pCol), w))
     val ib = intervals.withColumn("_ibin",
-      explode(sequence(bin(col(iStart), binWidth), bin(col(iEnd), binWidth))))
+      explode(sequence(bin(col(iStart), w), bin(col(iEnd), w))))
     pb.join(ib,
         pb("_pbin") === ib("_ibin") &&
           col(pCol) >= col(iStart) && col(pCol) <= col(iEnd))

@@ -47,6 +47,43 @@ class RangeJoinSpec extends SparkSpec {
     assert(got == want, s"got $got want $want")
   }
 
+  test("auto bin width: skewed lengths pick the median, results unchanged") {
+    // Heavily skewed widths: many short intervals (len 4-6) plus a few huge
+    // ones (len 5000). A naive caller who never thinks about bin width used
+    // to be one degenerate choice away from a len/width+1 explosion; the
+    // auto width must land at the MEDIAN (short) length, not the mean the
+    // outliers drag up, and never below 1.
+    val short = (0L until 200L).map(i => (i, i * 10L, i * 10L + 4L + (i % 3)))
+    val huge = (200L until 204L).map(i => (i, i * 10L, i * 10L + 5000L))
+    val left = (short ++ huge).toDF("lid", "ls", "le")
+    val right = (short ++ huge).map { case (i, s, e) => (i + 1000L, s, e) }
+      .toDF("rid", "rs", "re")
+    val w = RangeJoin.autoBinWidth(left, "ls", "le", right, "rs", "re")
+    assert(w >= 4L && w <= 6L, s"median short length expected, got $w")
+
+    // correctness is width-invariant: auto == explicit == naive
+    val auto = pairs(RangeJoin.overlapJoin(left, right, "ls", "le", "rs", "re"))
+    val explicit = pairs(RangeJoin.overlapJoin(left, right, "ls", "le", "rs", "re", 8L))
+    val naive = pairs(left.crossJoin(right)
+      .where(col("ls") <= col("re") && col("rs") <= col("le")))
+    assert(auto == naive && explicit == naive && naive.nonEmpty)
+
+    // degenerate all-points input (every length 0) still yields a legal width
+    val pts = Seq((1L, 5L, 5L), (2L, 9L, 9L)).toDF("lid", "ls", "le")
+    assert(RangeJoin.autoBinWidth(pts, "ls", "le",
+      pts.toDF("rid", "rs", "re"), "rs", "re") == 1L)
+
+    // point-in-interval: the interval side alone votes; auto == explicit
+    val points = Seq((1L, 5L), (2L, 16L), (3L, 2001L)).toDF("pid", "p")
+    val ivals = Seq((10L, 0L, 10L), (11L, 10L, 20L), (12L, 2000L, 2002L))
+      .toDF("iid", "is", "ie")
+    val gotAuto = RangeJoin.pointInIntervalJoin(points, ivals, "p", "is", "ie")
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val gotExp = RangeJoin.pointInIntervalJoin(points, ivals, "p", "is", "ie", 8L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(gotAuto == gotExp && gotAuto.nonEmpty)
+  }
+
   test("property: random interval sets always equal the naive join, any bin width") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
