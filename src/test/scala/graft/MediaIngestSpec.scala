@@ -79,6 +79,33 @@ class MediaIngestSpec extends SparkSpec {
     assert(ids == Set(1L, 2L, 11L))
   }
 
+  test("multi-row PNG↔BMP golden: pinned dHash values, both orientations") {
+    // GOLDEN: the seed-42 image is 300 bytes — multiple rows in both codecs
+    // (BMP 438 B / PNG 366 B encoded) — and these literal hashes lock the
+    // full decode → resample → dHash chain in both formats. A codec or
+    // sampling regression moves a value; the mirror relation alone would
+    // not catch a change that shifts both formats identically.
+    val r = raw(42)
+    assert(Multimodal.dHashBoth(Multimodal.encodeBmp(r)) ==
+      ((960037121L, 741127348L, 3031706668L, 16857401L)))
+    assert(Multimodal.dHashBoth(Multimodal.encodePng(r)) ==
+      ((3031706668L, 16857401L, 960037121L, 741127348L)))
+  }
+
+  test("reverse direction: PNG admitted first, BMP re-encode rejected") {
+    // the r6 cross-format test only probed PNG against an admitted BMP;
+    // a one-sided orientation probe would pass it and fail this one
+    val (ing, _) = mkIngest()
+    assert(ing.ingestBatch(
+      Seq((1L, Multimodal.encodePng(raw(1))), (2L, Multimodal.encodePng(raw(2))))
+        .toDF("doc_id", "payload"), 0L) == 2)
+    val n1 = ing.ingestBatch(Seq((10L, bmp(1)), (11L, bmp(3)))
+      .toDF("doc_id", "payload"), 1L)
+    assert(n1 == 1)
+    val ids = ing.corpus().get.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 11L))
+  }
+
   test("within-batch cross-format twins collapse to the min id") {
     val (ing, _) = mkIngest()
     val n = ing.ingestBatch(
