@@ -80,14 +80,13 @@ object StageProbe {
         Similarity.assignToCentroids(emb, "embedding", "vec_id", cents))
       timed("in-cluster pairs (full query)")(
         SparkEntry.queries("xq47_semdedup")(spark, sf))
-      // the scale-right configuration: k grows with the corpus (design
-      // intent, semDedup scaladoc) instead of the oracle-pinned k=8 —
-      // per-cluster pair volume stays constant as N grows
+      // the scale-right configuration — since round 7 the API DEFAULT
+      // (semDedup k=0 derives k = N/625 via semDedupK) instead of the
+      // oracle-pinned k=8: per-cluster pair volume stays constant as N grows
       CacheRegistry.releaseAll(spark)
-      timed("scaled k (N/625, oracle-free)")(
+      timed(s"scaled k (default, k=${Similarity.semDedupK(emb)})")(
         Similarity.semDedup(Tables.embeddings(spark, sf), "embedding",
-          "vec_id", k = math.max(8, (emb.count() / 625L).toInt),
-          iters = 2, threshold = 0.25d))
+          "vec_id", iters = 2, threshold = 0.25d))
     }
 
     probe("xq44") {
