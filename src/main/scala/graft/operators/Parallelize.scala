@@ -17,15 +17,32 @@ import org.apache.spark.sql.{Column, DataFrame}
 object Parallelize {
 
   /** `df` with at least `defaultParallelism` partitions: unchanged when
-    * the scan already provides them (the 100 TB case) or when `df` is
+    * the plan already provides them (the 100 TB case) or when `df` is
     * streaming (no partition introspection mid-plan); otherwise hash-
     * repartitioned on `keys` (deterministic co-location) or round-robin
     * when no keys are given.
+    *
+    * The partition estimate reads the LOGICAL plan only — the previous
+    * `df.rdd.getNumPartitions` forced a full logical→physical→RDD
+    * conversion per call just to read a count, building a lineage that was
+    * immediately discarded. A frame that already crossed a shuffle boundary
+    * (join/aggregate/sort/window/repartition) has `shuffle.partitions`
+    * tasks; a scan-rooted frame parallelizes by its file count.
     */
   def ensure(df: DataFrame, keys: Column*): DataFrame = {
     if (df.isStreaming) return df
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val crossedShuffle = df.queryExecution.optimizedPlan.exists {
+      case _: Join | _: Aggregate | _: Distinct | _: Sort | _: Window => true
+      case _: RepartitionOperation => true
+      case _ => false
+    }
+    val estimate =
+      if (crossedShuffle) spark.sessionState.conf.numShufflePartitions
+      else df.inputFiles.length // 0 for a LocalRelation -> repartition
+    if (estimate >= target) df
     else if (keys.nonEmpty) df.repartition(target, keys: _*)
     else df.repartition(target)
   }
