@@ -2126,6 +2126,55 @@ object ExtensionQueries {
              |WHERE GREATEST(CAST(c AS DOUBLE) / x.n, CAST(c AS DOUBLE) / y.n) >= 0.9
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // XQ100: df-capped containment — xq76's PRODUCTION posture, the same
+    // xq08→xq31 move: shingles in more than maxDf=50 documents leave
+    // candidate generation (boilerplate guard), intersections stay exact
+    // over FULL shingle sets. This is the scale-path twin for the one
+    // quadratic row in the sf5 sweep: xq76's uncapped co-shingle volume
+    // grows with replica² on the trendline data (230 s Spark / 477 s
+    // DuckDB at sf5) precisely because replicas share ~half their
+    // shingles corpus-wide — i.e., the df-skew regime the cap exists for.
+    // Oracle mirrors the cap rule, so the approximate candidate semantics
+    // are hash-checked, not just asserted.
+    QueryDef("xq100_containment_capped",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val excerpts = Tables.documents(s, d)
+          .where(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 10000L).as("doc_id"),
+            array_join(slice(split(col("text"), " "), 5, 24), " ").as("text"))
+        Dedup.containmentPairs(docs.unionByName(excerpts), "text", "doc_id",
+          n = 3, minContainment = 0.9, maxDf = 50L)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH all_docs AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 10000,
+             |         array_to_string(list_slice(string_split(text, ' '), 5, 28), ' ')
+             |  FROM documents WHERE doc_id % 20 = 0),
+             |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM all_docs),
+             |sh AS (SELECT DISTINCT doc_id,
+             |         CAST('0x' || substr(md5(
+             |           w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15) AS BIGINT) AS s
+             |       FROM t, UNNEST(generate_series(1, len(w) - 2)) AS u(i)),
+             |na AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+             |hot AS (SELECT s FROM sh GROUP BY 1 HAVING COUNT(*) > 50),
+             |cold AS (SELECT * FROM sh
+             |         WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.s = sh.s)),
+             |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |         FROM cold a JOIN cold b ON a.s = b.s AND a.doc_id < b.doc_id),
+             |c AS (SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS c
+             |      FROM cand JOIN sh sa ON sa.doc_id = cand.doc_a
+             |           JOIN sh sb ON sb.doc_id = cand.doc_b AND sb.s = sa.s
+             |      GROUP BY 1, 2)
+             |SELECT doc_a, doc_b,
+             |  CAST(c AS DOUBLE) / x.n AS cont_a_in_b,
+             |  CAST(c AS DOUBLE) / y.n AS cont_b_in_a
+             |FROM c JOIN na x ON doc_a = x.doc_id JOIN na y ON doc_b = y.doc_id
+             |WHERE GREATEST(CAST(c AS DOUBLE) / x.n, CAST(c AS DOUBLE) / y.n) >= 0.9
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
     // XQ77: order-free per-source table digest — XOR of per-row md5s + row
     // count per source shard: equal digests mean replicas/snapshots agree
     // without shipping content (the anti-entropy check fronting xq62's
