@@ -324,4 +324,61 @@ object Sampling {
       .where(col("_rk") <= col("target"))
       .drop("_rk")
   }
+
+  /** Token-budget mix planning — the allocation step BEFORE any mixing
+    * operator runs: given a total training-token budget, per-source target
+    * weights, and a repeat cap (max epochs per source), decide how many
+    * tokens each source contributes. Epoch-capped WATERFILL: each round
+    * splits the unspent budget over the still-uncapped sources by weight
+    * and clamps at capacity = available × maxEpochs; surplus from clamped
+    * sources re-flows next round (the standard data-mixing posture: a
+    * small high-weight source caps out at its repeat limit and the spare
+    * budget waterfalls to the rest).
+    *
+    * EVERYTHING is integer arithmetic (token counts, integer weights,
+    * floor division), so the plan is order-free and engine-exact; the only
+    * IEEE op is the reported epochs ratio (one divide on two exact longs).
+    * Up to `rounds` redistribution rounds run unconditionally (a stable
+    * round is a no-op: zero surplus ⇒ zero shares), which keeps the DuckDB
+    * oracle an unrolled-CTE mirror with no convergence test. Per-round
+    * floor-division remainders (< Σweights tokens) stay unspent —
+    * real pipelines don't chase sub-mille token dust.
+    *
+    * Scale shape: ONE corpus aggregate keyed by source; the waterfill runs
+    * on the driver over the per-source table (bounded by source count —
+    * metadata, same posture as k-means centroids). Output one row per
+    * source: (source, available_tokens, weight, cap_tokens,
+    * allocated_tokens, epochs, capped).
+    */
+  def tokenBudgetMix(docs: DataFrame, textCol: String, srcCol: String,
+      budget: Long, maxEpochs: Long, weights: Map[String, Long],
+      defaultWeight: Long = 1L, rounds: Int = 20): DataFrame = {
+    require(budget >= 0 && maxEpochs > 0 && rounds > 0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val avail = docs
+      .groupBy(col(srcCol).as("source"))
+      .agg(sum(size(split(col(textCol), " ")).cast("long"))
+        .as("available_tokens"))
+      .as[(String, Long)].collect().sortBy(_._1)
+    val w = avail.map { case (s, _) => weights.getOrElse(s, defaultWeight) }
+    val cap = avail.map { case (_, a) => a * maxEpochs }
+    val alloc = Array.fill(avail.length)(0L)
+    for (_ <- 0 until rounds) {
+      val spent = alloc.sum
+      val sumWUnc = alloc.indices
+        .collect { case i if alloc(i) < cap(i) => w(i) }.sum
+      if (sumWUnc > 0) {
+        val surplus = budget - spent
+        for (i <- alloc.indices if alloc(i) < cap(i))
+          alloc(i) = math.min(alloc(i) + surplus * w(i) / sumWUnc, cap(i))
+      }
+    }
+    avail.indices.map { i =>
+      val (s, a) = avail(i)
+      (s, a, w(i), cap(i), alloc(i),
+        alloc(i).toDouble / a.toDouble, alloc(i) >= cap(i))
+    }.toDF("source", "available_tokens", "weight", "cap_tokens",
+      "allocated_tokens", "epochs", "capped")
+  }
 }

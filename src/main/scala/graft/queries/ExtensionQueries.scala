@@ -38,6 +38,42 @@ object ExtensionQueries {
     (dir.toString, new java.io.File(dir, successRel).exists())
   }
 
+  /** DuckDB mirror of Sampling.tokenBudgetMix: the epoch-capped waterfill
+    * unrolled as CTE rounds (the kmeansCtes pattern). All arithmetic is
+    * integer (floor division `//`), so every round is engine-exact; a
+    * stable round is a no-op, so unrolling a fixed `rounds` needs no
+    * convergence test.
+    */
+  private def waterfillSql(budget: Long, maxEpochs: Long,
+      weightCase: String, rounds: Int): String = {
+    val head =
+      s"""WITH base AS (SELECT source,
+         |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail
+         |  FROM documents GROUP BY 1),
+         |a0 AS MATERIALIZED (SELECT source, avail, CAST($weightCase AS BIGINT) AS w,
+         |    avail * $maxEpochs AS cap, CAST(0 AS BIGINT) AS alloc FROM base)""".stripMargin
+    val body = (0 until rounds).map { r =>
+      // SUM over BIGINT promotes to HUGEINT in DuckDB — cast back so every
+      // round's alloc column stays BIGINT (schema parity with Spark longs).
+      // Each round is referenced twice (its aggregate + the next round), so
+      // a round MUST be MATERIALIZED: inlined, 20 rounds expand to 2^20
+      // copies of the base scan ("too many open files", measured).
+      s"""g$r AS (SELECT CAST(SUM(alloc) AS BIGINT) AS spent,
+         |    CAST(SUM(CASE WHEN alloc < cap THEN w END) AS BIGINT) AS swu FROM a$r),
+         |a${r + 1} AS MATERIALIZED (SELECT source, avail, w, cap,
+         |    CASE WHEN alloc >= cap OR swu IS NULL OR swu <= 0 THEN alloc
+         |         ELSE LEAST(alloc + ($budget - spent) * w // swu, cap)
+         |    END AS alloc
+         |  FROM a$r, g$r)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"""$head$body
+       |SELECT source, avail AS available_tokens, w AS weight,
+       |  cap AS cap_tokens, alloc AS allocated_tokens,
+       |  CAST(alloc AS DOUBLE) / CAST(avail AS DOUBLE) AS epochs,
+       |  CAST(alloc >= cap AS BIGINT) AS capped
+       |FROM a$rounds ORDER BY source""".stripMargin
+  }
+
   /** DuckDB shingle CTE shared by the minhash/jaccard oracles (3-gram
     * shingles over whitespace tokens, 1-based positions — mirrors
     * TextFunctions.shingles).
@@ -2174,6 +2210,25 @@ object ExtensionQueries {
              |FROM c JOIN na x ON doc_a = x.doc_id JOIN na y ON doc_b = y.doc_id
              |WHERE GREATEST(CAST(c AS DOUBLE) / x.n, CAST(c AS DOUBLE) / y.n) >= 0.9
              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // XQ101: token-budget mix planning — the allocation step before any
+    // mixing runs: a 20 k-token budget split over sources by weight
+    // (src0-2 get 8x), each source capped at 2 epochs of its available
+    // tokens; clamped surplus waterfalls to uncapped sources round by
+    // round. Pure integer plan (floor division), so the oracle is the
+    // unrolled-CTE mirror and hash-exact; epochs is the single IEEE
+    // divide on two exact longs. The corpus is touched by ONE aggregate;
+    // the waterfill is driver-side metadata (one row per source).
+    QueryDef("xq101_token_budget_mix",
+      (s, d) => Sampling.tokenBudgetMix(Tables.documents(s, d), "text",
+        "source", budget = 20000L, maxEpochs = 2L,
+        weights = Map("src0" -> 8L, "src1" -> 8L, "src2" -> 8L))
+        .withColumn("capped", col("capped").cast("long"))
+        .orderBy("source"),
+      Some(waterfillSql(budget = 20000L, maxEpochs = 2L,
+        weightCase =
+          "CASE WHEN source IN ('src0','src1','src2') THEN 8 ELSE 1 END",
+        rounds = 20))),
 
     // XQ77: order-free per-source table digest — XOR of per-row md5s + row
     // count per source shard: equal digests mean replicas/snapshots agree

@@ -240,4 +240,46 @@ class SamplingSpec extends SparkSpec {
     assert(split.orderBy("doc_id").collect().toSeq ==
       again.orderBy("doc_id").collect().toSeq)
   }
+
+  test("token-budget waterfill: caps bind, surplus re-flows, budget holds") {
+    import spark.implicits._
+    // hand corpus: three sources, 10 tokens each; src_a weighted 8x wants
+    // far more than its 2-epoch cap (20), so its surplus must waterfall
+    // to the light sources round by round
+    val docs = (Seq.fill(10)("a") ++ Seq.fill(10)("b") ++ Seq.fill(10)("c"))
+      .zipWithIndex.map { case (s, i) =>
+        (i.toLong, "t t t t t t t t t t".take(19), s"src_$s")
+      }.toDF("doc_id", "text", "source")
+    val plan = Sampling.tokenBudgetMix(docs, "text", "source",
+      budget = 120L, maxEpochs = 2L, weights = Map("src_a" -> 8L))
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long, Double, Boolean)].collect()
+    val bySrc = plan.map(r => r._1 -> r).toMap
+    // availability: 10 docs x 10 tokens = 100; cap = 200 each
+    assert(plan.forall(r => r._2 == 100L && r._4 == 200L))
+    // round 0 shares (sumW=10): a=96, b=12, c=12 — none capped yet; the
+    // 120-token budget allocates fully (integer dust = 0 here)
+    assert(plan.map(_._5).sum == 120L)
+    assert(bySrc("src_a")._5 == 96L && bySrc("src_b")._5 == 12L)
+    assert(plan.forall(!_._7), "no source reaches 2 epochs at this budget")
+
+    // a budget past capacity caps EVERY source at exactly maxEpochs
+    val capped = Sampling.tokenBudgetMix(docs, "text", "source",
+      budget = 10000L, maxEpochs = 2L, weights = Map("src_a" -> 8L))
+      .as[(String, Long, Long, Long, Long, Double, Boolean)].collect()
+    assert(capped.forall(r => r._5 == 200L && r._6 == 2.0 && r._7))
+
+    // mid budget: the heavy source caps, its surplus flows to the others
+    val mid = Sampling.tokenBudgetMix(docs, "text", "source",
+      budget = 450L, maxEpochs = 2L, weights = Map("src_a" -> 8L))
+      .as[(String, Long, Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(mid("src_a")._7 && mid("src_a")._5 == 200L,
+      "heavy source must cap at 2 epochs")
+    assert(mid("src_b")._5 > 45L,
+      "light sources must receive the capped source's surplus " +
+        s"(round-0 share was 45, got ${mid("src_b")._5})")
+    // never over budget, never over cap
+    assert(mid.values.map(_._5).sum <= 450L)
+  }
 }
