@@ -28,6 +28,17 @@ object Parallelize {
     * immediately discarded. A frame that already crossed a shuffle boundary
     * (join/aggregate/sort/window/repartition) has `shuffle.partitions`
     * tasks; a scan-rooted frame parallelizes by its file count.
+    *
+    * CONTRACT WEAKENING (deliberate): the estimate is optimistic, so
+    * `ensure` is a best-effort floor, not a guarantee. When AQE coalesces a
+    * small shuffle below `shuffle.partitions`, or the scan bin-packs many
+    * tiny files into fewer splits (`files.maxPartitionBytes`), the needed
+    * repartition is silently skipped — results are unchanged and only
+    * tail-task parallelism is lost, and only on inputs small enough that
+    * AQE/bin-packing fired, i.e. inputs whose absolute cost is already
+    * near the job floor. Reading the true physical partition count back
+    * would reintroduce the per-call plan materialization this estimate
+    * exists to avoid; the trade is measured (round 7) and accepted.
     */
   def ensure(df: DataFrame, keys: Column*): DataFrame = {
     if (df.isStreaming) return df

@@ -50,10 +50,15 @@ object RangeJoin {
     def lens(df: DataFrame, s: String, e: String) =
       df.select((col(e).cast("double") - col(s).cast("double")).as("_len"))
         .where(col("_len").isNotNull).limit(AutoWidthSampleRows)
-    val med = lens(left, lStart, lEnd).unionAll(lens(right, rStart, rEnd))
+    val row = lens(left, lStart, lEnd).unionAll(lens(right, rStart, rEnd))
       .agg(percentile_approx(col("_len"), lit(0.5), lit(10000)))
-      .first().getDouble(0)
-    math.max(1L, math.round(med))
+      .first()
+    // Both sides empty (or all bounds null): percentile_approx returns
+    // null. Any positive width is correct (width only moves cost, and
+    // there is no cost on empty input) — fall back to 1 instead of
+    // throwing an opaque NPE where an explicit binWidth would have
+    // returned an empty result.
+    if (row.isNullAt(0)) 1L else math.max(1L, math.round(row.getDouble(0)))
   }
 
   /** All (left, right) pairs whose closed intervals [lStart,lEnd] and

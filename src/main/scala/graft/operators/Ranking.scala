@@ -113,6 +113,12 @@ object Ranking {
       terms: Seq[String], idCol: String = "doc_id",
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "scoreBm25Index needs at least one term")
+    // The score is the sum of DISTINCT term contributions; a duplicated
+    // entry would get its own _b$i column over the same postings rows and
+    // silently score 2x. Enforce the documented term-SET contract.
+    require(terms.distinct.size == terms.size,
+      s"scoreBm25Index terms must be distinct, got duplicates: " +
+        terms.diff(terms.distinct).distinct.mkString(", "))
     val postings = spark.read.parquet(s"$indexDir/postings")
       .where(col("term").isin(terms: _*))
     val dfs = spark.read.parquet(s"$indexDir/dfs")

@@ -356,13 +356,23 @@ object Sampling {
     require(budget >= 0 && maxEpochs > 0 && rounds > 0)
     val spark = docs.sparkSession
     import spark.implicits._
+    // coalesce twice: size(split(null)) is null per row, and sum over an
+    // all-null source is null — both must read as "zero tokens available"
+    // (cap 0, capped, 0.0 epochs), not NaN/NPE downstream.
     val avail = docs
       .groupBy(col(srcCol).as("source"))
-      .agg(sum(size(split(col(textCol), " ")).cast("long"))
+      .agg(coalesce(sum(coalesce(
+        size(split(col(textCol), " ")).cast("long"), lit(0L))), lit(0L))
         .as("available_tokens"))
       .as[(String, Long)].collect().sortBy(_._1)
     val w = avail.map { case (s, _) => weights.getOrElse(s, defaultWeight) }
-    val cap = avail.map { case (_, a) => a * maxEpochs }
+    // Saturating cap: a * maxEpochs overflowing Long only happens past
+    // 9.2e18 tokens, where "capped at Long.MaxValue" and "uncapped" are
+    // indistinguishable (the budget, a Long, can never reach the cap).
+    val cap = avail.map { case (_, a) =>
+      val c = BigInt(a) * maxEpochs
+      if (c > Long.MaxValue) Long.MaxValue else c.toLong
+    }
     val alloc = Array.fill(avail.length)(0L)
     for (_ <- 0 until rounds) {
       val spent = alloc.sum
@@ -370,14 +380,20 @@ object Sampling {
         .collect { case i if alloc(i) < cap(i) => w(i) }.sum
       if (sumWUnc > 0) {
         val surplus = budget - spent
+        // surplus * w(i) can overflow Long for large budgets × weights;
+        // the DuckDB oracle promotes to HUGEINT here, so mirror it with
+        // BigInt (the quotient is <= surplus, so the result fits a Long).
         for (i <- alloc.indices if alloc(i) < cap(i))
-          alloc(i) = math.min(alloc(i) + surplus * w(i) / sumWUnc, cap(i))
+          alloc(i) = math.min(
+            alloc(i) + (BigInt(surplus) * w(i) / sumWUnc).toLong, cap(i))
       }
     }
     avail.indices.map { i =>
       val (s, a) = avail(i)
-      (s, a, w(i), cap(i), alloc(i),
-        alloc(i).toDouble / a.toDouble, alloc(i) >= cap(i))
+      // Zero-token source (empty texts): cap = 0 so it allocates nothing
+      // and reads as capped; report 0.0 epochs instead of 0/0 = NaN.
+      val epochs = if (a == 0L) 0.0 else alloc(i).toDouble / a.toDouble
+      (s, a, w(i), cap(i), alloc(i), epochs, alloc(i) >= cap(i))
     }.toDF("source", "available_tokens", "weight", "cap_tokens",
       "allocated_tokens", "epochs", "capped")
   }

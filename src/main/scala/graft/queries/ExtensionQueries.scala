@@ -69,7 +69,8 @@ object ExtensionQueries {
     s"""$head$body
        |SELECT source, avail AS available_tokens, w AS weight,
        |  cap AS cap_tokens, alloc AS allocated_tokens,
-       |  CAST(alloc AS DOUBLE) / CAST(avail AS DOUBLE) AS epochs,
+       |  CASE WHEN avail = 0 THEN 0.0
+       |       ELSE CAST(alloc AS DOUBLE) / CAST(avail AS DOUBLE) END AS epochs,
        |  CAST(alloc >= cap AS BIGINT) AS capped
        |FROM a$rounds ORDER BY source""".stripMargin
   }

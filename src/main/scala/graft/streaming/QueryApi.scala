@@ -228,7 +228,11 @@ final class QueryApi(store: CounterStore, recorder: Option[ProgressRecorder] = N
         }
         cum += arr.get(bounds.length)
         sb ++= s"""${name}_bucket{$labelKey="$k",le="+Inf"} $cum""" + "\n"
-        sb ++= s"""${name}_sum{$labelKey="$k"} ${sums.get(k).sum}""" + "\n"
+        // A scrape can interleave a label's FIRST observe() between its
+        // counts insert and its sums insert — materialize the sums entry
+        // here instead of assuming it exists.
+        sb ++= s"""${name}_sum{$labelKey="$k"} ${
+          sums.computeIfAbsent(k, _ => new DoubleAdder).sum}""" + "\n"
         sb ++= s"""${name}_count{$labelKey="$k"} $cum""" + "\n"
       }
     }

@@ -123,4 +123,17 @@ class RangeJoinSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
       s"range join must not plan a product:\n$plan")
   }
+
+  test("auto bin width on empty/all-null inputs returns empty, not NPE") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long, Long)].toDF("lid", "ls", "le")
+    val emptyR = Seq.empty[(Long, Long, Long)].toDF("rid", "rs", "re")
+    // binWidth = 0 (auto) must behave like any explicit width here: an
+    // empty result, not a NullPointerException from the null percentile.
+    assert(RangeJoin.overlapJoin(empty, emptyR, "ls", "le", "rs", "re").count() == 0L)
+    val allNull = Seq((1L, null.asInstanceOf[java.lang.Long],
+      null.asInstanceOf[java.lang.Long])).toDF("lid", "ls", "le")
+    assert(RangeJoin.overlapJoin(allNull,
+      allNull.toDF("rid", "rs", "re"), "ls", "le", "rs", "re").count() == 0L)
+  }
 }

@@ -43,5 +43,10 @@ class RankingSpec extends SparkSpec {
     // the term IN (...) filter must reach the parquet scan, not sit above it
     assert(plan.contains("PushedFilters") && plan.contains("In(term"),
       s"expected term pushdown into the postings scan:\n$plan")
+    // duplicated query terms would silently double-count a term's
+    // contribution — the term-set contract is enforced at entry
+    intercept[IllegalArgumentException] {
+      Ranking.scoreBm25Index(spark, dir, Seq("join", "join"))
+    }
   }
 }

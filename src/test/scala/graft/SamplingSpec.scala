@@ -282,4 +282,39 @@ class SamplingSpec extends SparkSpec {
     // never over budget, never over cap
     assert(mid.values.map(_._5).sum <= 450L)
   }
+
+  test("token-budget waterfill: zero-token source gets 0.0 epochs, not NaN") {
+    import spark.implicits._
+    // src_empty contributes only null texts -> 0 available tokens. It must
+    // read as capped (cap 0) with epochs 0.0, and its weight must leave the
+    // waterfill so the full budget lands on the real source.
+    val docs = Seq(
+      (0L, "t t t t t t t t t t", "src_real"),
+      (1L, null.asInstanceOf[String], "src_empty"),
+      (2L, null.asInstanceOf[String], "src_empty"))
+      .toDF("doc_id", "text", "source")
+    val plan = Sampling.tokenBudgetMix(docs, "text", "source",
+      budget = 15L, maxEpochs = 2L, weights = Map("src_empty" -> 100L))
+      .as[(String, Long, Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    val empty = plan("src_empty")
+    assert(empty._2 == 0L && empty._4 == 0L && empty._5 == 0L && empty._7)
+    assert(empty._6 == 0.0 && !empty._6.isNaN)
+    // its (huge) weight is excluded from round 1 on, so src_real gets all 15
+    assert(plan("src_real")._5 == 15L)
+  }
+
+  test("token-budget waterfill: no Long overflow at extreme budget x weight") {
+    import spark.implicits._
+    val docs = Seq((0L, "t t t t", "a"), (1L, "t t t t", "b"))
+      .toDF("doc_id", "text", "source")
+    // surplus * w would overflow Long (~9e18 * 1e6); the BigInt share must
+    // still allocate each source exactly its 8-token capacity.
+    val plan = Sampling.tokenBudgetMix(docs, "text", "source",
+      budget = Long.MaxValue / 2, maxEpochs = 2L,
+      weights = Map("a" -> 1000000L), defaultWeight = 1L)
+      .as[(String, Long, Long, Long, Long, Double, Boolean)].collect()
+    assert(plan.forall(r => r._5 == 8L && r._7 && r._6 == 2.0),
+      s"both sources must cap at 8 tokens, got ${plan.mkString(";")}")
+  }
 }
