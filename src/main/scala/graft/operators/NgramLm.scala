@@ -70,6 +70,16 @@ object NgramLm {
   def scoreDocs(train: DataFrame, docs: DataFrame, textCol: String,
       idCol: String): DataFrame = {
     val (c12, c1, v) = fit(train, textCol, idCol)
+    scoreAgainst(docs, textCol, idCol, c12, c1, v)
+  }
+
+  /** The scoring join, shared verbatim by the strict ([[scoreDocs]]) and
+    * amortized ([[scoreLmIndex]]) forms so the two regimes cannot drift:
+    * P(w2|w1) assembled from the count tables, −ln P quantized per bigram,
+    * integer-summed per doc.
+    */
+  private def scoreAgainst(docs: DataFrame, textCol: String, idCol: String,
+      c12: DataFrame, c1: DataFrame, v: DataFrame): DataFrame = {
     val p = (coalesce(col("c12"), lit(0L)) + lit(1L)).cast("double") /
       (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")
     bigrams(docs, textCol, idCol)
@@ -84,4 +94,45 @@ object NgramLm {
         (col("nll_q").cast("double") / lit(1e6) / col("n_bigrams").cast("double"))
           .as("avg_nll"))
   }
+
+  /** Persist the trained LM as a read-optimized index — the amortized
+    * (build-once / probe-N) regime for model-based quality filtering, the
+    * same posture as `Dedup.writeBandIndex` / `Ranking.writeBm25Index`: the
+    * reference corpus is tokenized and counted ONCE; every later batch pays
+    * only its own scoring join. Layout: `c12/` bigram counts sorted by
+    * (w1, w2) (delta-friendly parquet, prefix locality for the join),
+    * `c1/` context counts sorted by w1, `stats/` the 1-row vocabulary size.
+    * In the CCNet regime the reference corpus — and so this index — is
+    * fixed-size while the scored stream is unbounded: at 100 TB the index
+    * tables are broadcast candidates and the probe's only shuffle is its
+    * own doc-keyed aggregate.
+    */
+  def writeLmIndex(train: DataFrame, textCol: String, idCol: String,
+      dir: String): Unit = {
+    // Locally-scoped persist (the writeBm25Index pattern), not trackedCache:
+    // the index build must not hold — or release — session-wide cache state
+    // owned by the caller.
+    val c12 = bigrams(train, textCol, idCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      c12.orderBy("w1", "w2").write.mode("overwrite").parquet(s"$dir/c12")
+      c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
+        .orderBy("w1").write.mode("overwrite").parquet(s"$dir/c1")
+      train.select(explode(split(col(textCol), " ")).as("tok"))
+        .agg(countDistinct(col("tok")).as("v"))
+        .write.mode("overwrite").parquet(s"$dir/stats")
+    } finally c12.unpersist()
+  }
+
+  /** Score a batch against a persisted [[writeLmIndex]] index — bit-identical
+    * to [[scoreDocs]] over the same train split (the probe join is the same
+    * `scoreAgainst` tree; only the count tables' origin differs).
+    */
+  def scoreLmIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    scoreAgainst(docs, textCol, idCol,
+      spark.read.parquet(s"$indexDir/c12"),
+      spark.read.parquet(s"$indexDir/c1"),
+      spark.read.parquet(s"$indexDir/stats"))
 }

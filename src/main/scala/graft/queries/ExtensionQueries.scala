@@ -3097,6 +3097,56 @@ object ExtensionQueries {
              |         ROW_NUMBER() OVER (PARTITION BY query_no ORDER BY score DESC, doc_id) AS rk
              |       FROM per)
              |SELECT CAST(query_no AS BIGINT) AS query_no, CAST(rk AS BIGINT) AS rk, doc_id, score
-             |FROM rk WHERE rk <= 5 ORDER BY query_no, rk""".stripMargin))
+             |FROM rk WHERE rk <= 5 ORDER BY query_no, rk""".stripMargin)),
+
+    // XQ102: the AMORTIZED-index regime for model-based quality filtering —
+    // xq48 correctly retrains the add-one bigram LM from the reference
+    // split every strict round; a production pipeline trains ONCE
+    // (NgramLm.writeLmIndex: (w1,w2)-sorted bigram counts + context counts
+    // + 1-row V) and scores every incoming batch against the persisted
+    // counts. One persisted build, then THREE probe batches (src3 split by
+    // doc_id%3), each paying only its own bigram generate + count-table
+    // join + doc-keyed aggregate — the reference corpus is never
+    // re-tokenized. Scores are bit-identical to xq48's strict form (shared
+    // scoreAgainst tree; NgramLmSpec pins it).
+    QueryDef("xq102_lm_index_probe",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val (dir, ready) =
+          indexScratch("lm-index", d, "documents", "stats/_SUCCESS")
+        if (!ready)
+          NgramLm.writeLmIndex(docs.where(col("source") === "src0"),
+            "text", "doc_id", dir)
+        (0L until 3L).map { p =>
+          NgramLm.scoreLmIndex(s, dir,
+            docs.where(col("source") === "src3" &&
+              pmod(col("doc_id"), lit(3)) === p),
+            "text", "doc_id")
+            .withColumn("probe_no", lit(p))
+        }.reduce(_ unionByName _)
+          .select("probe_no", "doc_id", "n_bigrams", "nll_q", "avg_nll")
+          .orderBy("probe_no", "doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+             |bg AS (SELECT doc_id, source, w[i] AS w1, w[i+1] AS w2
+             |       FROM t, UNNEST(generate_series(1, len(w) - 1)) AS u(i)),
+             |c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+             |        FROM bg WHERE source = 'src0' GROUP BY 1, 2),
+             |c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+             |v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM
+             |        (SELECT unnest(string_split(text, ' ')) AS tok
+             |         FROM documents WHERE source = 'src0')),
+             |q AS (SELECT bg.doc_id,
+             |        CAST(floor(-ln(CAST(COALESCE(c12.c12, 0) + 1 AS DOUBLE)
+             |                       / CAST(COALESCE(c1.c1, 0) + v.v AS DOUBLE))
+             |             * 1000000 + 0.5) AS BIGINT) AS q
+             |      FROM bg LEFT JOIN c12 ON bg.w1 = c12.w1 AND bg.w2 = c12.w2
+             |              LEFT JOIN c1 ON bg.w1 = c1.w1, v
+             |      WHERE bg.source = 'src3')
+             |SELECT CAST(doc_id % 3 AS BIGINT) AS probe_no, doc_id,
+             |  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             |  CAST(SUM(q) AS BIGINT) AS nll_q,
+             |  CAST(SUM(q) AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS DOUBLE) AS avg_nll
+             |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

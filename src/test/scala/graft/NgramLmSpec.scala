@@ -38,4 +38,17 @@ class NgramLmSpec extends SparkSpec {
     val b = NgramLm.scoreDocs(docs.repartition(11), docs.repartition(7), "text", "doc_id")
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  test("persisted-index probe is bit-identical to the strict recompute") {
+    val docs = Tables.documents(spark, sf)
+    val trainSplit = docs.where(org.apache.spark.sql.functions.col("source") === "src0")
+    val batch = docs.where(org.apache.spark.sql.functions.col("source") === "src3")
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm-idx").toString
+    NgramLm.writeLmIndex(trainSplit, "text", "doc_id", dir)
+    val strict = NgramLm.scoreDocs(trainSplit, batch, "text", "doc_id")
+    val probed = NgramLm.scoreLmIndex(spark, dir, batch, "text", "doc_id")
+    assert(probed.count() > 0)
+    assert(strict.exceptAll(probed).isEmpty && probed.exceptAll(strict).isEmpty,
+      "index probe must reproduce the strict scores bit-exactly")
+  }
 }
