@@ -90,9 +90,31 @@ object SoakBench {
 
     val slice = math.max(1, n / chunks)
     val t0 = System.nanoTime()
+    // Per-chunk state-store sizes (round 8): the one streaming axis the
+    // throughput figure can't show is whether state GROWS WITHOUT BOUND
+    // under a long replay. After each forced drain, read the last batch's
+    // state-operator metrics: the dedup store (dropDuplicatesWithinWatermark)
+    // must PLATEAU at ~events-per-watermark-window under the ordered feed
+    // (eviction working), while the aggregate store is bounded by
+    // days × counters by construction. Under the unordered regime the
+    // watermark deliberately spans the whole feed (see above), so dedup
+    // state growing to ~n IS the correct, documented behavior there.
+    val stateRows = scala.collection.mutable.ArrayBuffer.empty[String]
+    var finalDedupRows = -1L
     msgs.grouped(slice).foreach { g =>
       mem.addData(g.toIndexedSeq)
       q.processAllAvailable() // force a full batch cycle incl. merge
+      val p = q.lastProgress
+      val dedup = p.stateOperators
+        .find(_.operatorName.toLowerCase.contains("dedup"))
+      val agg = p.stateOperators
+        .find(_.operatorName.toLowerCase.contains("aggregate"))
+      finalDedupRows = dedup.map(_.numRowsTotal).getOrElse(-1L)
+      stateRows += s"""{"batch":${p.batchId},""" +
+        s""""dedup_rows":${dedup.map(_.numRowsTotal).getOrElse(-1L)},""" +
+        s""""dedup_evicted":${dedup.map(_.numRowsRemoved).getOrElse(-1L)},""" +
+        s""""agg_rows":${agg.map(_.numRowsTotal).getOrElse(-1L)},""" +
+        s""""state_mb":${p.stateOperators.map(_.memoryUsedBytes).sum / (1 << 20)}}"""
     }
     val secs = (System.nanoTime() - t0) / 1e9
     val batches = q.lastProgress.batchId + 1
@@ -101,9 +123,16 @@ object SoakBench {
     val store = spark.read.parquet(tableDir)
     val rows = store.count()
     val days = store.select("day").distinct().count()
+    // plateau check: final dedup state must be a small fraction of the
+    // total feed when the watermark is bounded (ordered regime)
+    val plateaued =
+      if (regime == "unordered") "null" // unbounded watermark by design
+      else (finalDedupRows >= 0 && finalDedupRows < n / 4).toString
     println(s"""{"metric":"soak_events_per_sec","value":${(n / secs).round},""" +
       s""""regime":"$regime","events":$n,"seconds":$secs,"batches":$batches,""" +
-      s""""store_rows":$rows,"days":$days,"sf":"$sf"}""")
+      s""""store_rows":$rows,"days":$days,""" +
+      s""""dedup_state_plateaued":$plateaued,""" +
+      s""""state_per_chunk":${stateRows.mkString("[", ",", "]")},"sf":"$sf"}""")
     spark.stop()
   }
 }

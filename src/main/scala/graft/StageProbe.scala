@@ -115,6 +115,59 @@ object StageProbe {
       timed("full")(SparkEntry.queries("rq29_range_join")(spark, sf))
     }
 
+    // xq100 df-capped containment: mirror the round-8 pruned path stage by
+    // stage (same persist structure: sh cached, survivors cached). The
+    // round-7 shape — candidates straight into the hot fan-out — measured
+    // 18.9M pairs × ~30 hot shingles = 579M join rows (76.9 s of the 79 s
+    // row); the bound prune below (c_cold + min(ha,hb)) / min(na,nb) cuts
+    // candidates to the survivors before any hot shingle is touched.
+    probe("xq100") {
+      import graft.operators.CacheRegistry.Cacheable
+      val maxDf = 50L
+      val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      val excerpts = Tables.documents(spark, sf)
+        .where(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 10000L).as("doc_id"),
+          array_join(slice(split(col("text"), " "), 5, 24), " ").as("text"))
+      val sh = Shingles.hashed(docs.unionByName(excerpts), "text", "doc_id", 3)
+        .distinct().trackedCache
+      timed("shingles distinct (cached)")(sh)
+      val hotKeys = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .where(col("df") > maxDf).select("shingle")
+      timed("hot keys")(hotKeys)
+      val nShuffle = spark.sessionState.conf.numShufflePartitions
+      val cold = sh.join(hotKeys, Seq("shingle"), "left_anti")
+        .select(col("doc_id"), col("shingle"))
+        .repartition(nShuffle, col("shingle"))
+      val hot = sh.join(hotKeys, Seq("shingle"), "left_semi")
+        .select(col("doc_id"), col("shingle"))
+      val coldCounts = cold.select(col("doc_id").as("doc_a"), col("shingle"))
+        .join(cold.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
+        .where(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c_cold"))
+      timed("cold pair self-join")(coldCounts)
+      val perDoc = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        .join(hot.groupBy("doc_id").agg(count(lit(1)).as("n_hot")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_sh"),
+          coalesce(col("n_hot"), lit(0L)).as("n_hot"))
+      val pruned = coldCounts
+        .join(perDoc.toDF("doc_a", "na", "ha"), "doc_a")
+        .join(perDoc.toDF("doc_b", "nb", "hb"), "doc_b")
+        .where((col("c_cold") + least(col("ha"), col("hb"))).cast("double") >=
+          lit(0.9) * least(col("na"), col("nb")).cast("double"))
+        .trackedCache
+      timed("bound prune (cached)")(pruned)
+      val hotCounts = pruned.select("doc_a", "doc_b")
+        .join(hot.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+        .join(hot.select(col("doc_id").as("doc_b"), col("shingle")),
+          Seq("doc_b", "shingle"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c_hot"))
+      timed("hot add on survivors")(hotCounts)
+      timed("full query")(
+        SparkEntry.queries("xq100_containment_capped")(spark, sf))
+    }
+
     spark.stop()
   }
 }
