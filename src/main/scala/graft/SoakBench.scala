@@ -107,8 +107,9 @@ object SoakBench {
       val p = q.lastProgress
       val dedup = p.stateOperators
         .find(_.operatorName.toLowerCase.contains("dedup"))
+      // the streaming-agg operator reports as "stateStoreSave"
       val agg = p.stateOperators
-        .find(_.operatorName.toLowerCase.contains("aggregate"))
+        .find(o => !o.operatorName.toLowerCase.contains("dedup"))
       finalDedupRows = dedup.map(_.numRowsTotal).getOrElse(-1L)
       stateRows += s"""{"batch":${p.batchId},""" +
         s""""dedup_rows":${dedup.map(_.numRowsTotal).getOrElse(-1L)},""" +

@@ -115,6 +115,24 @@ object StageProbe {
       timed("full")(SparkEntry.queries("rq29_range_join")(spark, sf))
     }
 
+    // xq23 per-doc top-terms is map-only by spec (ScanPlanSpec) — the only
+    // candidate costs are the parquet text decode, the native TopTerms
+    // count+rank pass, and the output's global sort (the one exchange, on
+    // ~3 rows/doc). Stage rows separate the three so the sf5 2.29x row can
+    // be adjudicated scan-constant (or not) with numbers.
+    probe("xq23") {
+      val docs = Tables.documents(spark, sf)
+      timed("text decode (scan floor)")(
+        docs.select(col("doc_id"), length(col("text")).as("len")))
+      timed("top-terms map (no sort)")(
+        docs.select(col("doc_id"),
+          explode(graft.expressions.TopTerms(col("text"), 3)).as("_t"))
+          .select(col("doc_id"), col("_t.rk").as("rk"),
+            col("_t.term").as("term"), col("_t.tf").as("tf")))
+      timed("full query (with global sort)")(
+        SparkEntry.queries("xq23_top_terms")(spark, sf))
+    }
+
     // xq100 df-capped containment: mirror the round-8 pruned path stage by
     // stage (same persist structure: sh cached, survivors cached). The
     // round-7 shape — candidates straight into the hot fan-out — measured
