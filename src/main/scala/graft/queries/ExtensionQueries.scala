@@ -777,13 +777,21 @@ object ExtensionQueries {
         // former explode+repartition+groupBy+row_number form shuffled
         // every token occurrence for what never needed to leave its row
         // (4.4x DuckDB at sf1); tie-break (tf DESC, term binary ASC) is
-        // identical.
-        Tables.documents(s, d)
-          .select(col("doc_id"),
-            explode(graft.expressions.TopTerms(col("text"), 3)).as("_t"))
-          .select(col("doc_id"), col("_t.rk").as("rk"),
-            col("_t.term").as("term"), col("_t.tf").as("tf"))
-          .orderBy("doc_id", "rk")
+        // identical. Cached before the output sort (round 8): a global
+        // ORDER BY range-samples its input first, so an uncached map
+        // stage runs TWICE — the sf5 StageProbe read 1.9 s of map work
+        // under a 6.2 s query; the cache halves the compute at the cost
+        // of spilling the (skinny) result rows once.
+        {
+          import graft.operators.CacheRegistry.Cacheable
+          Tables.documents(s, d)
+            .select(col("doc_id"),
+              explode(graft.expressions.TopTerms(col("text"), 3)).as("_t"))
+            .select(col("doc_id"), col("_t.rk").as("rk"),
+              col("_t.term").as("term"), col("_t.tf").as("tf"))
+            .trackedCache
+            .orderBy("doc_id", "rk")
+        }
       },
       Some("""WITH tf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
              |cnt AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tf GROUP BY 1, 2),
