@@ -211,6 +211,43 @@ class DedupSpec extends SparkSpec {
     assert(jac.count() == 0, "jaccard must miss the asymmetric pair")
   }
 
+  test("capped containment: bound prune keeps exact values, hot adds back") {
+    // Corpus where the TRUE pair's containment depends on hot shingles:
+    // every doc opens with a 39-doc boilerplate header (hot at maxDf=10);
+    // doc 2 is an excerpt of doc 1 whose COLD overlap alone (18/26 = 0.69)
+    // sits BELOW the 0.8 threshold — only the hot add-back lifts it over
+    // (24/26 = 0.92). A prune that dropped candidates before adding the
+    // hot contribution, or added it wrong, fails this test. Doc 4 is pure
+    // boilerplate: contained in everything, but its overlap is 100% hot —
+    // the documented df-cap trade-off says capped candidate generation
+    // misses it, and ONLY it.
+    val boiler = "standard legal disclaimer text goes right here"
+    val docs = (Seq(
+      1L -> (boiler + " " + (1 to 40).map("tok" + _).mkString(" ")),
+      2L -> (boiler + " " + (5 to 24).map("tok" + _).mkString(" ")),
+      4L -> boiler) ++
+      (10L to 45L).map(i => i -> s"$boiler unique u${i}a u${i}b u${i}c u${i}d"))
+      .toDF("doc_id", "text")
+    def collectPairs(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double, Double)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val uncapped = collectPairs(
+      Dedup.containmentPairs(docs, "text", "doc_id", minContainment = 0.8))
+    val capped = collectPairs(Dedup.containmentPairs(
+      docs, "text", "doc_id", minContainment = 0.8, maxDf = 10L))
+    // uncapped sees the excerpt pair AND doc 4 contained in every doc
+    assert(uncapped.contains((1L, 2L)) && uncapped.contains((1L, 4L)))
+    // capped keeps exactly the pairs with any cold overlap — here (1,2) —
+    // with values IDENTICAL to the exact form (hot contribution restored)
+    assert(capped.keySet == Set((1L, 2L)),
+      s"capped must keep only the cold-overlap pair, got ${capped.keySet}")
+    assert(capped((1L, 2L)) == uncapped((1L, 2L)),
+      "capped values must equal the exact (uncapped) containment")
+    // and that value (excerpt side, c/nb) is only reachable WITH the hot
+    // add-back: cold alone reads 18/26 = 0.69
+    assert(capped((1L, 2L))._2 > 0.9 && capped((1L, 2L))._2 < 0.95)
+  }
+
   test("hard negatives: wrong-label only, correctly ranked, k per anchor") {
     val emb = Tables.embeddings(spark, sf)
     val got = Similarity.hardNegatives(emb, "embedding", "vec_id", "label", 5)
