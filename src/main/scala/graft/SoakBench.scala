@@ -107,9 +107,11 @@ object SoakBench {
       val p = q.lastProgress
       val dedup = p.stateOperators
         .find(_.operatorName.toLowerCase.contains("dedup"))
-      // the streaming-agg operator reports as "stateStoreSave"
-      val agg = p.stateOperators
-        .find(o => !o.operatorName.toLowerCase.contains("dedup"))
+      // the streaming-agg operator reports as "stateStoreSave"; match it
+      // positively (not "whatever isn't the dedup store") so a plan that
+      // ever grows a third stateful operator can't silently misattribute
+      // agg_rows — absent operator reports -1
+      val agg = p.stateOperators.find(_.operatorName == "stateStoreSave")
       finalDedupRows = dedup.map(_.numRowsTotal).getOrElse(-1L)
       stateRows += s"""{"batch":${p.batchId},""" +
         s""""dedup_rows":${dedup.map(_.numRowsTotal).getOrElse(-1L)},""" +

@@ -389,7 +389,11 @@ object Dedup {
     * sizes and the intersection counts still use the full shingle sets, so
     * every reported Jaccard value is exact. Pairs whose entire overlap is
     * boilerplate shingles may be missed (the standard df-cap trade-off);
-    * maxDf <= 0 disables the cap.
+    * maxDf <= 0 disables the cap. The capped path bound-prunes candidates
+    * before the hot add-back (round 9, mirroring containmentPairs' xq100
+    * fix): a candidate whose upper-bound Jaccard
+    * (c_cold + min(ha,hb)) / (na + nb - c_cold - min(ha,hb)) misses
+    * `minJaccard` can never qualify — lossless, see the inline proof.
     */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3, minJaccard: Double = 0.0, maxDf: Long = 0L): DataFrame = {
@@ -398,13 +402,34 @@ object Dedup {
       .withColumnRenamed(idCol, "doc_id").distinct()
       .trackedCache
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    intersectionCounts(sh, maxDf)
-      .join(counts.toDF("doc_a", "na"), "doc_a")
-      .join(counts.toDF("doc_b", "nb"), "doc_b")
+    def jacOut(pairs: DataFrame, c: Column): DataFrame = pairs
       .select(col("doc_a"), col("doc_b"),
-        (col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
+        (c.cast("double") / (col("na") + col("nb") - c).cast("double"))
           .as("jaccard"))
       .where(col("jaccard") >= minJaccard)
+    if (maxDf <= 0L)
+      jacOut(
+        intersectionCounts(sh, 0L)
+          .join(counts.toDF("doc_a", "na"), "doc_a")
+          .join(counts.toDF("doc_b", "nb"), "doc_b"),
+        col("c"))
+    else
+      // Same bound prune as containmentPairs (round 9): c <= c_ub =
+      // c_cold + min(ha,hb), and j(c) = c/(na+nb-c) is monotone in c with
+      // c_ub <= min(na,nb) (c_cold <= min(na-ha, nb-hb)), so
+      // fl(c_ub/(na+nb-c_ub)) >= fl(c/(na+nb-c)) — numerator grows,
+      // integer denominator shrinks, correctly-rounded division is
+      // monotone in both. Pruning on the SAME division the final filter
+      // uses keeps every boundary pair; minJaccard = 0 keeps everything.
+      jacOut(hotColdCounts(sh, maxDf) { (coldCounts, hotPerDoc) =>
+        val perDoc = perDocHotMeta(counts, hotPerDoc)
+        val cUb = col("c_cold") + least(col("ha"), col("hb"))
+        coldCounts
+          .join(perDoc.toDF("doc_a", "na", "ha"), "doc_a")
+          .join(perDoc.toDF("doc_b", "nb", "hb"), "doc_b")
+          .where(cUb.cast("double") /
+            (col("na") + col("nb") - cUb).cast("double") >= lit(minJaccard))
+      }, col("c"))
   }
 
   /** Shingle-containment pairs — the ASYMMETRIC near-dup relation Jaccard
@@ -443,42 +468,21 @@ object Dedup {
           .join(counts.toDF("doc_b", "nb"), "doc_b"),
         col("c"))
     } else {
-      val hotKeys = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .where(col("df") > maxDf).select("shingle")
-      // see intersectionCounts for the repartition-pin rationale
-      val cold = sh.join(hotKeys, Seq("shingle"), "left_anti")
-        .select(col("doc_id"), col("shingle"))
-        .repartition(numShufflePartitions(sh), col("shingle"))
-      val hot = sh.join(hotKeys, Seq("shingle"), "left_semi")
-        .select(col("doc_id"), col("shingle"))
-      val coldCounts = cold.select(col("doc_id").as("doc_a"), col("shingle"))
-        .join(cold.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
-        .where(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c_cold"))
-      // (n_sh, n_hot) per doc: the same per-doc metadata joins the current
-      // final projection pays, moved BEFORE the hot add so they feed the
-      // bound prune as well.
-      val perDoc = counts
-        .join(hot.groupBy("doc_id").agg(count(lit(1)).as("n_hot")),
-          Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_sh"),
-          coalesce(col("n_hot"), lit(0L)).as("n_hot"))
-      // Cached: the pruned survivor set feeds the hot-contribution join AND
-      // the final assembly — uncached, the cold pair self-join (the probe's
-      // 7 s stage at sf5) would execute twice.
-      val pruned = coldCounts
-        .join(perDoc.toDF("doc_a", "na", "ha"), "doc_a")
-        .join(perDoc.toDF("doc_b", "nb", "hb"), "doc_b")
-        .where((col("c_cold") + least(col("ha"), col("hb"))).cast("double") >=
-          lit(minContainment) * least(col("na"), col("nb")).cast("double"))
-        .trackedCache
-      val hotCounts = pruned.select("doc_a", "doc_b")
-        .join(hot.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
-        .join(hot.select(col("doc_id").as("doc_b"), col("shingle")),
-          Seq("doc_b", "shingle"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c_hot"))
-      contOut(pruned.join(hotCounts, Seq("doc_a", "doc_b"), "left"),
-        col("c_cold") + coalesce(col("c_hot"), lit(0L)))
+      // Bound prune in DIVISION form — the same correctly-rounded division
+      // the final filter evaluates, so c_ub >= c gives
+      // fl(c_ub/minN) >= fl(c/minN) by monotonicity and the prune is
+      // lossless for EVERY representable threshold (the earlier
+      // multiplication form fl(t*minN) could exceed c on exact-boundary
+      // thresholds like 5.0/7.0 while fl(c/minN) >= t still held,
+      // wrongly pruning a boundary pair).
+      contOut(hotColdCounts(sh, maxDf) { (coldCounts, hotPerDoc) =>
+        val perDoc = perDocHotMeta(counts, hotPerDoc)
+        coldCounts
+          .join(perDoc.toDF("doc_a", "na", "ha"), "doc_a")
+          .join(perDoc.toDF("doc_b", "nb", "hb"), "doc_b")
+          .where((col("c_cold") + least(col("ha"), col("hb"))).cast("double") /
+            least(col("na"), col("nb")).cast("double") >= lit(minContainment))
+      }, col("c"))
     }
   }
 
@@ -488,48 +492,74 @@ object Dedup {
     * DISTINCT (doc_id, shingle) set, persisted by the caller (it feeds both
     * join sides). See ngramJaccardPairs for the maxDf skew-cap contract.
     */
-  private def intersectionCounts(sh: DataFrame, maxDf: Long): DataFrame = {
-    val interCounts =
-      if (maxDf > 0L) {
-        // Shingle sets partition into cold (df <= maxDf) and hot. The cold
-        // self-join generates candidates AND their cold-intersection counts
-        // in one grouped pass; the hot contribution is then added per
-        // candidate by joining each pair against doc_a's (few) hot shingles
-        // — never the O(df²) hot-shingle self-join. Exact totals:
-        // |A∩B| = |A∩B ∩ cold| + |A∩B ∩ hot|.
-        val hotKeys = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .where(col("df") > maxDf).select("shingle")
-        // Explicit non-coalescible partitioning for the pair-generating
-        // self-join: shingle hashes shuffle few bytes but each reduce row
-        // fans out quadratically per bucket, so AQE's byte-based coalescing
-        // would serialize the candidate generation (same trap as
-        // fuzzyDedupPairs — measured 2x on xq76 at sf1).
-        val cold = sh.join(hotKeys, Seq("shingle"), "left_anti")
-          .select(col("doc_id"), col("shingle"))
-          .repartition(numShufflePartitions(sh), col("shingle"))
-        val hot = sh.join(hotKeys, Seq("shingle"), "left_semi")
-          .select(col("doc_id"), col("shingle"))
-        val coldCounts = cold.select(col("doc_id").as("doc_a"), col("shingle"))
-          .join(cold.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
-          .where(col("doc_a") < col("doc_b"))
-          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c_cold"))
-        val hotCounts = coldCounts.select("doc_a", "doc_b")
-          .join(hot.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
-          .join(hot.select(col("doc_id").as("doc_b"), col("shingle")),
-            Seq("doc_b", "shingle"))
-          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c_hot"))
-        coldCounts.join(hotCounts, Seq("doc_a", "doc_b"), "left")
-          .select(col("doc_a"), col("doc_b"),
-            (col("c_cold") + coalesce(col("c_hot"), lit(0L))).as("c"))
-      } else {
-        val shP = sh.repartition(numShufflePartitions(sh), col("shingle"))
-        shP.select(col("doc_id").as("doc_a"), col("shingle"))
-          .join(shP.toDF("doc_b", "shingle"), "shingle")
-          .where(col("doc_a") < col("doc_b"))
-          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
-      }
-    interCounts
+  private def intersectionCounts(sh: DataFrame, maxDf: Long): DataFrame =
+    if (maxDf > 0L)
+      hotColdCounts(sh, maxDf)((coldCounts, _) => coldCounts)
+        .select("doc_a", "doc_b", "c")
+    else {
+      val shP = sh.repartition(numShufflePartitions(sh), col("shingle"))
+      shP.select(col("doc_id").as("doc_a"), col("shingle"))
+        .join(shP.toDF("doc_b", "shingle"), "shingle")
+        .where(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
+    }
+
+  /** The single copy of the df-capped hot/cold candidate machinery (round
+    * 9 — previously duplicated between [[intersectionCounts]] and
+    * [[containmentPairs]], where an AQE-pin fix applied to one copy could
+    * silently miss the other). Shingle sets partition into cold
+    * (df <= maxDf) and hot. The cold self-join generates candidates AND
+    * their cold-intersection counts in one grouped pass; the hot
+    * contribution is then added per SURVIVING candidate by joining each
+    * pair against its (few) hot shingles — never the O(df²) hot-shingle
+    * self-join. Exact totals: |A∩B| = |A∩B ∩ cold| + |A∩B ∩ hot|.
+    *
+    * `refine(coldCounts, hotPerDoc)` lets the caller enrich and BOUND-PRUNE
+    * the (doc_a, doc_b, c_cold) candidate frame before the hot add-back
+    * (hotPerDoc = per-doc hot-shingle counts, the prune metadata); it must
+    * keep doc_a/doc_b/c_cold and may add columns. The refined set is
+    * cached once — it feeds both the hot-contribution join and the final
+    * assembly, and uncached the cold pair self-join (the dominant stage at
+    * sf5) would execute twice. Returns the refined columns plus exact
+    * `c` = c_cold + c_hot.
+    */
+  private def hotColdCounts(sh: DataFrame, maxDf: Long)(
+      refine: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val hotKeys = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf).select("shingle")
+    // Explicit non-coalescible partitioning for the pair-generating
+    // self-join: shingle hashes shuffle few bytes but each reduce row
+    // fans out quadratically per bucket, so AQE's byte-based coalescing
+    // would serialize the candidate generation (same trap as
+    // fuzzyDedupPairs — measured 2x on xq76 at sf1).
+    val cold = sh.join(hotKeys, Seq("shingle"), "left_anti")
+      .select(col("doc_id"), col("shingle"))
+      .repartition(numShufflePartitions(sh), col("shingle"))
+    val hot = sh.join(hotKeys, Seq("shingle"), "left_semi")
+      .select(col("doc_id"), col("shingle"))
+    val coldCounts = cold.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(cold.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c_cold"))
+    val hotPerDoc = hot.groupBy("doc_id").agg(count(lit(1)).as("n_hot"))
+    val refined = refine(coldCounts, hotPerDoc).trackedCache
+    val hotCounts = refined.select("doc_a", "doc_b")
+      .join(hot.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(hot.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c_hot"))
+    refined.join(hotCounts, Seq("doc_a", "doc_b"), "left")
+      .withColumn("c", col("c_cold") + coalesce(col("c_hot"), lit(0L)))
   }
+
+  /** (doc_id, n_sh, n_hot) per document — the metadata the bound prunes
+    * join onto each candidate side (n_hot coalesced to 0 for all-cold
+    * docs).
+    */
+  private def perDocHotMeta(counts: DataFrame, hotPerDoc: DataFrame): DataFrame =
+    counts.join(hotPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("n_hot"), lit(0L)).as("n_hot"))
 
   /** The session's configured shuffle parallelism — used with
     * REPARTITION_BY_NUM to pin compute-dense exchanges that AQE's

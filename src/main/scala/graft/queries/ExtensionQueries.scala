@@ -48,7 +48,8 @@ object ExtensionQueries {
       weightCase: String, rounds: Int): String = {
     val head =
       s"""WITH base AS (SELECT source,
-         |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail
+         |    CAST(COALESCE(SUM(COALESCE(len(string_split(text, ' ')), 0)), 0)
+         |      AS BIGINT) AS avail
          |  FROM documents GROUP BY 1),
          |a0 AS MATERIALIZED (SELECT source, avail, CAST($weightCase AS BIGINT) AS w,
          |    avail * $maxEpochs AS cap, CAST(0 AS BIGINT) AS alloc FROM base)""".stripMargin

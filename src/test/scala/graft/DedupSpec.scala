@@ -248,6 +248,59 @@ class DedupSpec extends SparkSpec {
     assert(capped((1L, 2L))._2 > 0.9 && capped((1L, 2L))._2 < 0.95)
   }
 
+  test("capped containment: exact-boundary threshold survives the prune") {
+    // The division-form prune contract (round 9): a pair sitting EXACTLY
+    // on the threshold must survive. Engineered rounding case c=7,
+    // minN=25: fl(fl(7/25) * 25) = 7.000000000000001 > 7, so the old
+    // multiplication-form prune (c >= t * minN) dropped this pair even
+    // though the final filter fl(c/minN) >= t keeps it. Docs 1/2 share a
+    // 9-token run (7 shingles, all cold); 41 skew docs make the corpus
+    // carry hot shingles so the capped branch is exercised with
+    // ha = hb = 0 (bound exactly tight: c_ub = c).
+    val run = (1 to 9).map("r" + _).mkString(" ")
+    val a = ((1 to 10).map("a" + _) ++ Seq(run) ++ (11 to 21).map("a" + _))
+      .mkString(" ") // 30 tokens -> na = 28
+    val b = ((1 to 9).map("b" + _) ++ Seq(run) ++ (10 to 18).map("b" + _))
+      .mkString(" ") // 27 tokens -> nb = 25
+    val corpus = (Seq(1L -> a, 2L -> b) ++ (100L to 140L).map(i =>
+      i -> s"hotA hotB hotC hotD hotE u${i}x u${i}y"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.containmentPairs(corpus, "text", "doc_id",
+      minContainment = 7.0 / 25.0, maxDf = 10L)
+      .where(col("doc_a") === 1L && col("doc_b") === 2L)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(capped.toSeq == Seq((1L, 2L, 7.0 / 28.0, 7.0 / 25.0)),
+      s"exact-boundary pair must survive the prune: ${capped.toSeq}")
+  }
+
+  test("capped jaccard: bound prune keeps exact values, hot adds back") {
+    // Jaccard twin of the containment prune test (round 9): pair (1,2)'s
+    // cold-only jaccard 18/(45+25-18) = 0.346 sits BELOW the 0.45
+    // threshold — only the hot add-back lifts the true value
+    // 23/(45+25-23) = 0.489 over it, so a prune that ignored the hot
+    // upper-bound term would drop the pair. (The closest noise pair, two
+    // boilerplate docs, reads 6/14 = 0.43 — still under the threshold.)
+    val boiler = "standard legal disclaimer text goes right here"
+    val docs = (Seq(
+      1L -> (boiler + " " + (1 to 40).map("tok" + _).mkString(" ")),
+      2L -> (boiler + " " + (5 to 24).map("tok" + _).mkString(" "))) ++
+      (10L to 45L).map(i => i -> s"$boiler unique u${i}a u${i}b u${i}c u${i}d"))
+      .toDF("doc_id", "text")
+    def collectJac(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+    val uncapped = collectJac(
+      Dedup.ngramJaccardPairs(docs, "text", "doc_id", minJaccard = 0.45))
+    val capped = collectJac(Dedup.ngramJaccardPairs(
+      docs, "text", "doc_id", minJaccard = 0.45, maxDf = 10L))
+    assert(capped.keySet == Set((1L, 2L)),
+      s"capped must keep only the cold-overlap pair, got ${capped.keySet}")
+    assert(capped((1L, 2L)) == uncapped((1L, 2L)),
+      "capped values must equal the exact (uncapped) jaccard")
+    // only reachable WITH the hot contribution: cold alone reads 0.346
+    assert(capped((1L, 2L)) > 0.45 && capped((1L, 2L)) < 0.55)
+  }
+
   test("hard negatives: wrong-label only, correctly ranked, k per anchor") {
     val emb = Tables.embeddings(spark, sf)
     val got = Similarity.hardNegatives(emb, "embedding", "vec_id", "label", 5)

@@ -21,16 +21,19 @@ def main():
     sp = load(sys.argv[1])
     du = load(sys.argv[2])
     paired = {k: (sp[k], du[k]) for k in sp
-              if k in du and du[k] is not None and sp[k] >= 0}
+              if k in du and du[k] is not None and sp[k] is not None
+              and sp[k] >= 0}
     ts = sum(s for s, _ in paired.values())
     td = sum(d for _, d in paired.values())
     print(f"paired queries: {len(paired)}")
-    print(f"paired total:   spark {ts:.2f} s vs duck {td:.2f} s = {ts/td:.2f}x")
+    ratio = f"{ts/td:.2f}x" if td > 0 else "n/a (duck total 0)"
+    print(f"paired total:   spark {ts:.2f} s vs duck {td:.2f} s = {ratio}")
     cb = {k: v for k, v in paired.items() if v[1] >= 0.1}
     cs = sum(s for s, _ in cb.values())
     cd = sum(d for _, d in cb.values())
+    cratio = f"{cs/cd:.2f}x" if cd > 0 else "n/a"
     print(f"compute-bearing (duck >= 0.1 s): {len(cb)} queries, "
-          f"spark {cs:.2f} vs duck {cd:.2f} = {cs/cd:.2f}x")
+          f"spark {cs:.2f} vs duck {cd:.2f} = {cratio}")
     print(f"floor-dominated rows (duck < 0.1 s): {len(paired) - len(cb)}")
     print("\nworst ratios among compute-bearing:")
     for k, (s, d) in sorted(cb.items(), key=lambda kv: -kv[1][0]/kv[1][1])[:8]:
