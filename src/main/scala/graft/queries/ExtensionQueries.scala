@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{TextFunctions, UrlFunctions}
-import graft.operators.{Bpe, Chunking, Cleaning, Decontamination, Dedup, Dsir, Multimodal, NgramLm, QualityClassifier, Ranking, Redaction, RepeatedNgrams, Sampling, Shards, Similarity, TextStats, Vocabulary, ZOrder}
+import graft.operators.{Bpe, Chunking, Cleaning, Decontamination, Dedup, Dsir, IndexStore, Multimodal, NgramLm, QualityClassifier, Ranking, Redaction, RepeatedNgrams, Sampling, Shards, Similarity, TextStats, Vocabulary, ZOrder}
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2.4 XQ* — the LLM-data-pipeline operator surface (north star):
@@ -14,29 +14,21 @@ import org.apache.spark.sql.functions._
   */
 object ExtensionQueries {
 
-  /** Scratch directory for a persisted-index query (xq98/xq99), keyed by the
-    * INPUT's identity — path plus the source parquet's file names, sizes and
-    * mtimes — so a regenerated SF dir invalidates the cache while repeated
-    * runs over the same data reuse the built index. Returns (dir, ready):
-    * `ready` requires the parquet `_SUCCESS` marker at `successRel`, so a
-    * crashed half-build rebuilds instead of serving partial data.
+  /** Index location for a persisted-index query (xq98/xq99/xq102/xq103) —
+    * the build/validate/reuse contract (input-identity key, `_SUCCESS`
+    * completeness guard, build-once) lives in [[IndexStore]]; this just
+    * points it at the SF dir's source table.
     *
-    * This is the POINT of the amortized-index queries, not a bench dodge:
+    * Amortization is the POINT of these queries, not a bench dodge:
     * build-once + probe-N is the regime a production pipeline runs in, and
     * the strict harness's per-round min then measures a real probe against a
     * really-persisted index (round 1 still pays the full build).
     */
-  private def indexScratch(tag: String, sfDir: String, table: String,
-      successRel: String): (String, Boolean) = {
-    def fp(f: java.io.File): String =
-      if (f.isDirectory)
-        f.listFiles().sortBy(_.getName).map(fp).mkString("[", ",", "]")
-      else s"${f.getName}:${f.length}:${f.lastModified}"
-    val src = new java.io.File(sfDir, table + ".parquet")
-    val key = Integer.toHexString((sfDir + "|" + fp(src)).hashCode)
-    val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-$tag-$key")
-    (dir.toString, new java.io.File(dir, successRel).exists())
-  }
+  private def tableIndex(tag: String, sfDir: String, table: String,
+      successRel: String)(build: String => Unit): String =
+    IndexStore.ensure(tag,
+      Seq(new java.io.File(sfDir, table + ".parquet").toString),
+      successRel)(build)
 
   /** DuckDB mirror of Sampling.tokenBudgetMix: the epoch-capped waterfill
     * unrolled as CTE rounds (the kmeansCtes pattern). All arithmetic is
@@ -3017,10 +3009,9 @@ object ExtensionQueries {
     QueryDef("xq98_band_index_probe",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val (dir, ready) = indexScratch("band-index", d, "documents", "_SUCCESS")
-        if (!ready)
+        val dir = tableIndex("band-index", d, "documents", "_SUCCESS")(
           Dedup.writeBandIndex(docs.where(col("source") =!= "src3"),
-            "text", "doc_id", dir)
+            "text", "doc_id", _))
         (0L until 3L).map { p =>
           Dedup.probeBandIndex(s, dir,
             docs.where(col("source") === "src3" && pmod(col("doc_id"), lit(3)) === p),
@@ -3063,9 +3054,8 @@ object ExtensionQueries {
     QueryDef("xq99_bm25_index_probe",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val (dir, ready) =
-          indexScratch("bm25-index", d, "documents", "stats/_SUCCESS")
-        if (!ready) Ranking.writeBm25Index(docs, "text", "doc_id", dir)
+        val dir = tableIndex("bm25-index", d, "documents", "stats/_SUCCESS")(
+          Ranking.writeBm25Index(docs, "text", "doc_id", _))
         val queries = Seq(
           0L -> Seq("join", "hash"),
           1L -> Seq("scan", "filter", "merge"),
@@ -3121,11 +3111,9 @@ object ExtensionQueries {
     QueryDef("xq102_lm_index_probe",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val (dir, ready) =
-          indexScratch("lm-index", d, "documents", "stats/_SUCCESS")
-        if (!ready)
+        val dir = tableIndex("lm-index", d, "documents", "stats/_SUCCESS")(
           NgramLm.writeLmIndex(docs.where(col("source") === "src0"),
-            "text", "doc_id", dir)
+            "text", "doc_id", _))
         (0L until 3L).map { p =>
           NgramLm.scoreLmIndex(s, dir,
             docs.where(col("source") === "src3" &&
