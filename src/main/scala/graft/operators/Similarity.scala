@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.CacheRegistry.Cacheable
 
@@ -471,18 +471,28 @@ object Similarity {
     qRow match {
       case None => Seq.empty[(Int, Long, Double)].toDF("sub", "code", "d2")
       case Some(row) =>
-        val q: Seq[Double] = row.getSeq[Double](0).toIndexedSeq
-        def dot(a: Seq[Double], b: Seq[Double]): Double = {
-          var s = 0.0d; var i = 0
-          while (i < a.length) { s += a(i) * b(i); i += 1 }
-          s
-        }
         val cbLocal = cb.collect()
           .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toIndexedSeq))
-        cbLocal.toSeq.map { case (sub, code, cvec) =>
-          val qv = q.slice(sub * subDim, sub * subDim + subDim)
-          (sub, code, (dot(qv, qv) - 2.0d * dot(qv, cvec)) + dot(cvec, cvec))
-        }.toDF("sub", "code", "d2")
+        lutEntries(row.getSeq[Double](0).toIndexedSeq, cbLocal, subDim)
+          .toDF("sub", "code", "d2")
+    }
+  }
+
+  /** One query's m·k ADC LUT entries against a local codebook — the strict
+    * left-to-right dot fold and (aa − 2ab) + bb tree shared by every LUT
+    * builder (bit-identical to VectorDot / [[l2d2]]).
+    */
+  private def lutEntries(q: IndexedSeq[Double],
+      cbLocal: Array[(Int, Long, IndexedSeq[Double])],
+      subDim: Int): Seq[(Int, Long, Double)] = {
+    def dot(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0d; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    cbLocal.toSeq.map { case (sub, code, cvec) =>
+      val qv = q.slice(sub * subDim, sub * subDim + subDim)
+      (sub, code, (dot(qv, qv) - 2.0d * dot(qv, cvec)) + dot(cvec, cvec))
     }
   }
 
@@ -537,6 +547,75 @@ object Similarity {
       .select(col(idCol), (col("dqs").cast("double") / lit(1e9)).as("adc_dist2"))
       .orderBy(col("adc_dist2").asc, col(idCol))
       .limit(kNN)
+  }
+
+  /** Persisted PQ index — the amortized build-once/probe-N posture for ANN
+    * serving (the band/BM25/LM-index regime applied to [[pqTopK]]):
+    * production ANN never retrains codebooks per query, it trains and
+    * encodes ONCE at ingest and answers every query batch from the stored
+    * codes. Layout under `dir` (manage the lifecycle with
+    * [[IndexStore]], commit marker `stats/_SUCCESS`):
+    *  - `codebook/` (sub, cluster, cvec) — m·k rows, broadcast at probe
+    *  - `codes/`    (id, sub, code)      — N·m rows, the only per-corpus
+    *    state a probe scans (2 small ints + an id per row; raw vectors are
+    *    never read again)
+    *  - `stats/`    (m, sub_dim, k, iters) — 1 row, written LAST so a
+    *    crashed build is detected by the missing marker.
+    */
+  def writePqIndex(emb: DataFrame, vecCol: String, idCol: String, dir: String,
+      m: Int = 4, subDim: Int = 16, k: Int = 16, iters: Int = 2): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cb = pqTrain(emb, vecCol, idCol, m, subDim, k, iters)
+    cb.write.mode("overwrite").parquet(dir + "/codebook")
+    pqEncode(emb, vecCol, idCol, cb, m, subDim)
+      .withColumnRenamed(idCol, "id")
+      .write.mode("overwrite").parquet(dir + "/codes")
+    Seq((m, subDim, k, iters)).toDF("m", "sub_dim", "k", "iters")
+      .write.mode("overwrite").parquet(dir + "/stats")
+  }
+
+  /** ADC top-k for a BATCH of query vectors against a persisted PQ index —
+    * scoring is bit-identical to [[pqTopK]]'s (same driver-built LUT fold,
+    * same 1e-9 quantize-then-integer-sum). The query batch is
+    * driver-bounded by contract (a serving batch, not a corpus): one
+    * collect builds each query's m·k-row LUT, the union of LUTs broadcasts,
+    * and the probe is a single codes-scan join + (query, id)-keyed integer
+    * aggregate + per-query top-k window. A query id present in the corpus
+    * is excluded from its own neighbors, matching pqTopK.
+    *
+    * Returns (query_id, rk, `idCol`, adc_dist2) ranked within each query.
+    */
+  def probePqIndex(spark: SparkSession, dir: String, queries: DataFrame,
+      vecCol: String, idCol: String, kNN: Int): DataFrame = {
+    import spark.implicits._
+    val st = spark.read.parquet(dir + "/stats").collect()(0)
+    val subDim = st.getAs[Int]("sub_dim")
+    val cbLocal = spark.read.parquet(dir + "/codebook").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toIndexedSeq))
+    val qs = queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+    val lut = qs.toSeq.flatMap { case (qid, q) =>
+      lutEntries(q, cbLocal, subDim).map { case (sub, code, d2) =>
+        (qid, sub, code, d2)
+      }
+    }.toDF("query_id", "sub", "code", "d2")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adc_dist2").asc, col(idCol))
+    spark.read.parquet(dir + "/codes")
+      .join(broadcast(lut), Seq("sub", "code"))
+      .select(col("query_id"), col("id"),
+        floor(col("d2") * lit(1e9) + lit(0.5)).cast("long").as("dq"))
+      .groupBy("query_id", "id")
+      .agg(sum(col("dq")).as("dqs"))
+      .where(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as(idCol),
+        (col("dqs").cast("double") / lit(1e9)).as("adc_dist2"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= kNN)
+      .select("query_id", "rk", idCol, "adc_dist2")
   }
 
   /** Scalar int8 quantization (the FAISS "SQ8" regime): each dimension is

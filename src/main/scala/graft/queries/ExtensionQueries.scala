@@ -221,8 +221,14 @@ object ExtensionQueries {
     * Lloyd's unrolled as CTEs (the xq41 pattern with L2 argmin), then codes,
     * the query's m×k lookup table, and the 1e-9-quantized ADC sum.
     */
-  private def pqOracle(m: Int, subDim: Int, k: Int, iters: Int,
-      queryId: Long, kNN: Int): String = {
+  /** The shared CTE chain of the PQ oracles: per-subspace slices, `iters`
+    * Lloyd rounds (quantized-integer centroid sums), final codebooks
+    * c<s>_<iters> and per-vector codes code<s> — everything up to (but not
+    * including) a query's LUT. Shared by [[pqOracle]] (xq57 strict) and
+    * [[pqProbeOracle]] (xq103 persisted-index probe) so the two regimes
+    * provably score against the same training math.
+    */
+  private def pqCtes(m: Int, subDim: Int, k: Int, iters: Int): String = {
     val sb = new StringBuilder
     sb ++= "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
     for (s <- 0 until m) {
@@ -256,7 +262,17 @@ object ExtensionQueries {
                 |dm$s AS (SELECT vec_id, MIN(d2) AS md FROM d$s GROUP BY 1),
                 |code$s AS (SELECT d.vec_id, MIN(d.cluster) AS code
                 |        FROM d$s d JOIN dm$s mm ON d.vec_id = mm.vec_id AND d.d2 = mm.md
-                |        GROUP BY 1),
+                |        GROUP BY 1)""".stripMargin
+    }
+    sb.toString
+  }
+
+  private def pqOracle(m: Int, subDim: Int, k: Int, iters: Int,
+      queryId: Long, kNN: Int): String = {
+    val sb = new StringBuilder
+    sb ++= pqCtes(m, subDim, k, iters)
+    for (s <- 0 until m) {
+      sb ++= s""",
                 |lut$s AS (SELECT c.cluster AS code, ${oL2("q.v", "c.cvec")} AS d2
                 |        FROM c${s}_$iters c,
                 |             (SELECT v FROM e$s WHERE vec_id = $queryId) q),
@@ -270,6 +286,41 @@ object ExtensionQueries {
               |WHERE vec_id <> $queryId
               |GROUP BY 1
               |ORDER BY adc_dist2 ASC, vec_id LIMIT $kNN""".stripMargin
+    sb.toString
+  }
+
+  /** DuckDB twin of Similarity.probePqIndex for a batch of corpus query
+    * ids: the same training/encode CTEs as xq57's oracle, a per-query LUT,
+    * quantized ADC sums and a per-query ROW_NUMBER top-k (ties broken by
+    * vec_id, matching the Spark window).
+    */
+  private def pqProbeOracle(m: Int, subDim: Int, k: Int, iters: Int,
+      queryIds: Seq[Long], kNN: Int): String = {
+    val ids = queryIds.mkString(", ")
+    val sb = new StringBuilder
+    sb ++= pqCtes(m, subDim, k, iters)
+    for (s <- 0 until m) {
+      sb ++= s""",
+                |lutp$s AS (SELECT qe.vec_id AS query_id, c.cluster AS code,
+                |          ${oL2("qe.v", "c.cvec")} AS d2
+                |        FROM c${s}_$iters c,
+                |             (SELECT vec_id, v FROM e$s WHERE vec_id IN ($ids)) qe),
+                |adcp$s AS (SELECT l.query_id, co.vec_id,
+                |          CAST(floor(l.d2 * 1000000000.0 + 0.5) AS BIGINT) AS dq
+                |        FROM code$s co JOIN lutp$s l ON co.code = l.code)""".stripMargin
+    }
+    sb ++= s""",
+              |g AS (SELECT query_id, vec_id,
+              |        CAST(SUM(dq) AS DOUBLE) / 1000000000.0 AS adc_dist2
+              |      FROM (${(0 until m).map(s => s"SELECT query_id, vec_id, dq FROM adcp$s").mkString(" UNION ALL ")})
+              |      WHERE vec_id <> query_id
+              |      GROUP BY 1, 2),
+              |r AS (SELECT query_id, vec_id, adc_dist2,
+              |        ROW_NUMBER() OVER (PARTITION BY query_id
+              |                           ORDER BY adc_dist2 ASC, vec_id) AS rk
+              |      FROM g)
+              |SELECT query_id, CAST(rk AS BIGINT) AS rk, vec_id, adc_dist2
+              |FROM r WHERE rk <= $kNN ORDER BY query_id, rk""".stripMargin
     sb.toString
   }
 
@@ -3144,6 +3195,29 @@ object ExtensionQueries {
              |  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
              |  CAST(SUM(q) AS BIGINT) AS nll_q,
              |  CAST(SUM(q) AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS DOUBLE) AS avg_nll
-             |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // XQ103: the AMORTIZED-index regime for ANN serving — xq57 correctly
+    // retrains its PQ codebooks every strict round (its 4.95x-at-sf5 row is
+    // adjudicated trainer floor); production ANN trains + encodes ONCE
+    // (Similarity.writePqIndex: codebook + codes + stats parquet via
+    // IndexStore) and answers every query batch from the stored codes. One
+    // persisted build, then a 3-query batch scored in a single ADC pass:
+    // codes-scan join against the broadcast per-query LUTs, quantized
+    // integer sums, per-query top-10. Scoring is bit-identical to xq57's
+    // strict form (shared LUT fold + quantize-then-sum; PqSpec pins it).
+    QueryDef("xq103_pq_index_probe",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val dir = tableIndex("pq-index", d, "embeddings", "stats/_SUCCESS")(
+          Similarity.writePqIndex(emb, "embedding", "vec_id", _,
+            m = 4, subDim = 16, k = 16, iters = 2))
+        Similarity.probePqIndex(s, dir,
+          emb.where(col("vec_id").isin(7L, 11L, 23L)),
+          "embedding", "vec_id", kNN = 10)
+          .orderBy("query_id", "rk")
+      },
+      Some(pqProbeOracle(m = 4, subDim = 16, k = 16, iters = 2,
+        queryIds = Seq(7L, 11L, 23L), kNN = 10)))
   )
 }

@@ -104,6 +104,28 @@ class PqSpec extends SparkSpec {
     assert(mismatch.count() == 0, "cell pruning must not change ADC distances")
   }
 
+  test("persisted PQ index probe == strict pqTopK, bit for bit") {
+    // The amortized-regime contract (round 9, xq103): scoring a query
+    // batch against the PERSISTED codebook+codes must reproduce the strict
+    // retrain-per-query path exactly — same LUT doubles (parquet
+    // round-trips IEEE doubles losslessly), same quantized integer sums,
+    // same tie-broken ranking.
+    val dir = java.nio.file.Files.createTempDirectory("pq-index-spec").toString
+    Similarity.writePqIndex(emb, "embedding", "vec_id", dir, M, SubDim, K, 2)
+    val probe = Similarity.probePqIndex(spark, dir,
+      emb.where(col("vec_id").isin(7L, 11L)), "embedding", "vec_id", kNN = 10)
+      .orderBy("query_id", "rk").collect().toSeq
+    val strict = Seq(7L, 11L).flatMap { qid =>
+      Similarity.pqTopK(emb, "embedding", "vec_id", qid, 10, M, SubDim, K, 2)
+        .collect().toSeq.zipWithIndex.map { case (r, i) =>
+          (qid, (i + 1).toLong, r.getLong(0), r.getDouble(1))
+        }
+    }
+    assert(probe.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))) == strict,
+      "probe must equal the strict per-query top-k exactly")
+  }
+
   test("PQ pipeline is deterministic under repartitioning") {
     val a = Similarity.pqTopK(emb, "embedding", "vec_id", 7L, 10, M, SubDim, K, 2)
       .collect().toSeq
