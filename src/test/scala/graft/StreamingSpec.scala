@@ -138,6 +138,93 @@ class StreamingSpec extends SparkSpec {
     assert(snapshot(crashed)((day0, "bot")) == ((1L, 0L)))
   }
 
+  test("torn-write window: kill between partition rewrite and checkpoint commit, engine replay converges") {
+    // The remaining exactly-once edge (round-9 brief): foreachBatch runs
+    // mergeBatch BEFORE the engine writes commits/<N>, so a kill in that
+    // window leaves the store ALREADY REWRITTEN while the checkpoint says
+    // batch N never ran. On restart the engine itself replays batch N —
+    // same offsets from offsets/<N>, state store rolled back, hence the
+    // same update-mode totals — against the already-merged store. The
+    // earlier partial-failure test drives mergeBatch by hand; this one
+    // drives the REAL restart machinery: run a file-drop stream to
+    // completion, then rewind the checkpoint to byte-for-byte the on-disk
+    // state of a kill inside batch N's torn window (offsets/<N> and the
+    // source's batch-N file map present — both are written at planning
+    // time — commits/<N> and everything later absent) for N = the
+    // data-carrying merge batch of the second feed, and restart. The
+    // engine must replay that merge and converge to the batch twin.
+    val dropDir = Files.createTempDirectory("graft-torn-drop").toString
+    val ckpt = Files.createTempDirectory("graft-torn-ckpt").toString
+    val tableDir = Files.createTempDirectory("graft-torn-store").toString
+    val batch1 = (1 to 40).map(i =>
+      event(i.toLong, t(day0, 0) + i * 997, s"w${i % 3}wiki",
+        if (i % 3 == 0) "edit" else "new",
+        len = if (i % 2 == 0) Some((i.toLong, 2L * i)) else None))
+    // second feed touches BOTH days so the replayed merge spans partitions
+    val batch2 = (41 to 80).map(i =>
+      event(i.toLong, t(day0 + (i % 2), i % 22) + i * 131, s"w${i % 3}wiki",
+        if (i % 4 == 0) "categorize" else "edit",
+        bot = i % 5 == 0,
+        len = if (i % 3 == 0) Some((2L * i, i.toLong)) else None))
+    def run(): Unit = {
+      // a stopped query deregisters its checkpoint asynchronously; the
+      // restart must wait out the concurrent-checkpoint guard
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val q = CounterPipeline.start(spark,
+        CounterPipeline.fromFileDrop(spark, dropDir), tableDir, ckpt,
+        trigger = Trigger.ProcessingTime(0))
+      try q.processAllAvailable() finally q.stop()
+    }
+    def commitFiles(): Seq[java.io.File] =
+      new java.io.File(ckpt, "commits").listFiles().toSeq
+        .filter(_.getName.forall(_.isDigit))
+    def snap(): Set[(Long, String, Long, Long)] =
+      spark.read.parquet(tableDir).select("day", "counter", "n", "growth")
+        .as[(Long, String, Long, Long)].collect().toSet
+
+    graft.sources.EventFiles.writeBatch(batch1.toDF("key", "value"), dropDir)
+    run()
+    val committedAfterRun1 = commitFiles().map(_.getName.toLong).max
+    graft.sources.EventFiles.writeBatch(batch2.toDF("key", "value"), dropDir)
+    run()
+    val twin = CounterDerivation.forRecentchange(
+      Recentchange.parse((batch1 ++ batch2).toDF("key", "value")))
+      .groupBy("day", "counter")
+      .agg(count(lit(1)).as("n"), sum("lendiff").as("growth"))
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(snap() == twin, "precondition: clean two-feed run equals batch twin")
+
+    // the tear: N = the first batch of the second feed (it carries all 40
+    // new files — the file source is unthrottled here). The store keeps
+    // every merged partition; the checkpoint is rewound to mid-batch-N:
+    // keep offsets/<N> and sources/0/<N>, drop commits/<N> and every later
+    // metadata entry (a crash can never have written those — commits/<N>
+    // precedes offsets/<N+1>). Checksum twins go with their files, as
+    // ChecksumFileSystem would otherwise refuse the replayed commit.
+    val n = committedAfterRun1 + 1
+    assert(commitFiles().exists(_.getName.toLong == n),
+      "second run must have committed the merge batch")
+    def rewind(rel: String, keepUpTo: Long): Unit = {
+      val dir = new java.io.File(ckpt, rel)
+      if (dir.isDirectory) dir.listFiles().foreach { f =>
+        val id = f.getName.stripPrefix(".").stripSuffix(".crc")
+        if (id.nonEmpty && id.forall(_.isDigit) && id.toLong > keepUpTo)
+          assert(f.delete(), s"could not tear $f")
+      }
+    }
+    rewind("commits", n - 1)
+    rewind("offsets", n)
+    rewind("sources/0", n)
+
+    run() // restart: the engine replays merge batch N itself
+    assert(snap() == twin,
+      "engine-replayed merge must converge to the batch-twin counters")
+    assert(commitFiles().exists(_.getName.toLong == n),
+      "replay must re-commit the torn batch")
+  }
+
   test("merge prunes unchanged days and clusters one file per day partition") {
     val dir = Files.createTempDirectory("graft-merge-shape").toString
     val batch = (0 until 30).flatMap(d => Seq(
