@@ -111,8 +111,47 @@ object StageProbe {
       timed("full")(SparkEntry.queries("rq18_cte_selfjoin")(spark, sf))
     }
 
+    // rq29 decomposition (round 9): the suspects are (a) the input scans,
+    // (b) the bin explode + equi-join + exact-predicate candidate pass,
+    // (c) the two-phase countDistinct aggregate over the join output. The
+    // join-output cardinality is printed alongside: at the replicated SFs
+    // each window key repeats ~SF/0.1 times, so the pair count (and
+    // therefore any engine's enumerate-the-overlaps cost) grows
+    // quadratically-with-replication — the adjudication needs that number
+    // on record.
     probe("rq29") {
-      timed("full")(SparkEntry.queries("rq29_range_join")(spark, sf))
+      val epoch = lit("1970-01-01").cast("date")
+      val w = Tables.orders(spark, sf)
+        .where(col("o_orderkey") % 997 === 0)
+        .select(col("o_orderkey").as("window_id"),
+          datediff(col("o_orderdate").cast("date"), epoch).cast("long").as("ws"))
+        .withColumn("we", col("ws") + lit(29L))
+      val li = Tables.lineitem(spark, sf)
+        .select(col("l_orderkey"),
+          datediff(col("l_shipdate").cast("date"), epoch).cast("long").as("ls"),
+          floor(col("l_quantity")).as("qd"))
+        .withColumn("le", col("ls") + col("qd"))
+        .drop("qd")
+      timed("scan: windows")(w)
+      timed("scan: lineitem intervals")(li)
+      val joined = RangeJoin.overlapJoin(li, w, "ls", "le", "ws", "we",
+        binWidth = 32L)
+      timed("bin join (explode+equi+pred)")(joined)
+      println(f"STAGE  join output pairs${""}%-17s ${joined.count()}%12d")
+      // the window-grouped metrics alone (count/min collapse map-side to
+      // ~150 groups — no exchange to speak of): everything the full query
+      // pays beyond this row is the exact (window, order) distinct
+      timed("join + window-grouped agg only")(
+        joined.groupBy("window_id")
+          .agg(count(lit(1)).as("n_lines"), min(col("ls")).as("first_ship_day")))
+      timed("join + distinct-bearing aggs")(
+        joined.groupBy("window_id", "l_orderkey")
+          .agg(count(lit(1)).as("c"), min(col("ls")).as("mls"))
+          .groupBy("window_id")
+          .agg(sum(col("c")).as("n_lines"), count(lit(1)).as("n_orders"),
+            min(col("mls")).as("first_ship_day")))
+      timed("full (join+agg+sort)")(SparkEntry.queries("rq29_range_join")(spark, sf))
+      timed("full again (steady state)")(SparkEntry.queries("rq29_range_join")(spark, sf))
     }
 
     // xq23 per-doc top-terms is map-only by spec (ScanPlanSpec) — the only

@@ -498,12 +498,19 @@ object RelationalQueries {
             floor(col("l_quantity")).as("qd"))
           .withColumn("le", col("ls") + col("qd"))
           .drop("qd")
+        // Two-level exact aggregate instead of count+countDistinct+min in
+        // one pass (round 9): the mixed-distinct form plans an Expand that
+        // triples the 20M-pair join output before any reduction. Level 1
+        // collapses the pairs to distinct (window, order) rows; level 2 is
+        // window-cardinality. Identical integer results.
         graft.operators.RangeJoin.overlapJoin(li, w,
           "ls", "le", "ws", "we", binWidth = 32L)
+          .groupBy("window_id", "l_orderkey")
+          .agg(count(lit(1)).as("c"), min(col("ls")).as("mls"))
           .groupBy("window_id")
-          .agg(count(lit(1)).as("n_lines"),
-            countDistinct(col("l_orderkey")).as("n_orders"),
-            min(col("ls")).as("first_ship_day"))
+          .agg(sum(col("c")).as("n_lines"),
+            count(lit(1)).as("n_orders"),
+            min(col("mls")).as("first_ship_day"))
           .orderBy("window_id")
       },
       Some("""WITH w AS (
