@@ -154,6 +154,35 @@ object StageProbe {
       timed("full again (steady state)")(SparkEntry.queries("rq29_range_join")(spark, sf))
     }
 
+    // xq88/xq94 audio decomposition (round 9): both are map-only decode
+    // chains (ScanPlanSpec), so the stage rows isolate (a) the text scan +
+    // UTF-8 bytes, (b) the WAV container encode (2x byte expansion +
+    // header), (c) the javax.sound RIFF parse + PCM frame read, (d) the
+    // full per-sample stats/trim loops + sort. (b)-(a) and (c)-(b) are the
+    // codec costs the "decode-bound linear" adjudication claims — this
+    // puts numbers on them.
+    probe("xq88") {
+      val docs = Tables.documents(spark, sf)
+      timed("text scan + utf8 bytes")(
+        docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("raw")))
+      val assets = Multimodal.audioAssets(docs)
+      timed("+ wav container encode")(assets.select("doc_id", "n_bytes"))
+      val parsed = {
+        val sp = spark
+        import sp.implicits._
+        assets.select("doc_id", "payload").as[(Long, Array[Byte])]
+          .mapPartitions(_.map { case (id, p) =>
+            val (rate, _, dataLen) = Multimodal.readPcm16(p)
+            (id, rate, dataLen)
+          }).toDF("doc_id", "rate", "n")
+      }
+      timed("+ riff parse + pcm read")(parsed)
+      timed("full xq88 (stats loop + sort)")(
+        SparkEntry.queries("xq88_audio_features")(spark, sf))
+      timed("full xq94 (trim loop + sort)")(
+        SparkEntry.queries("xq94_audio_trim")(spark, sf))
+    }
+
     // xq23 per-doc top-terms is map-only by spec (ScanPlanSpec) — the only
     // candidate costs are the parquet text decode, the native TopTerms
     // count+rank pass, and the output's global sort (the one exchange, on

@@ -62,7 +62,30 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_.getAs[Array[Byte]]("frame_bytes").length == 32))
   }
 
-  test("WAV round trip: javax.sound decodes rate, samples, and exact sums") {
+  test("riff chunk walk: extra/odd-sized chunks skipped, wrong formats rejected") {
+    // The r9 handwritten parser must behave like a real RIFF reader, not a
+    // fixed-offset hack: an unknown odd-length LIST chunk spliced between
+    // fmt and data (with its spec-mandated pad byte) must be walked over,
+    // and non-PCM16-mono payloads must be rejected exactly as the
+    // javax.sound path rejected them.
+    val raw = Array.tabulate(10)(i => (i * 25).toByte)
+    val wav = Multimodal.encodeWav(raw)
+    val junk = "LIST".getBytes("US-ASCII") ++ Array[Byte](3, 0, 0, 0) ++
+      "abc".getBytes("US-ASCII") ++ Array[Byte](0)
+    val spliced = wav.slice(0, 36) ++ junk ++ wav.slice(36, wav.length)
+    assert(Multimodal.decodeAudio(spliced) == Multimodal.decodeAudio(wav),
+      "unknown chunk must not change the decode")
+    val stereo = wav.clone(); stereo(22) = 2
+    intercept[IllegalArgumentException](Multimodal.decodeAudio(stereo))
+    val wide = wav.clone(); wide(34) = 24
+    intercept[IllegalArgumentException](Multimodal.decodeAudio(wide))
+    val float32 = wav.clone(); float32(20) = 3
+    intercept[IllegalArgumentException](Multimodal.decodeAudio(float32))
+    intercept[IllegalArgumentException](
+      Multimodal.decodeAudio("not a wav at all".getBytes("US-ASCII")))
+  }
+
+  test("WAV round trip: header-parsed rate, samples, and exact sums") {
     val raw = Array.tabulate(200)(i => i.toByte)
     val wav = Multimodal.encodeWav(raw)
     assert(new String(wav.slice(0, 4)) == "RIFF" && new String(wav.slice(8, 12)) == "WAVE")
