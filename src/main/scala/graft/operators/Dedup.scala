@@ -424,11 +424,15 @@ object Dedup {
       jacOut(hotColdCounts(sh, maxDf) { (coldCounts, hotPerDoc) =>
         val perDoc = perDocHotMeta(counts, hotPerDoc)
         val cUb = col("c_cold") + least(col("ha"), col("hb"))
-        coldCounts
+        val withMeta = coldCounts
           .join(perDoc.toDF("doc_a", "na", "ha"), "doc_a")
           .join(perDoc.toDF("doc_b", "nb", "hb"), "doc_b")
-          .where(cUb.cast("double") /
+        // threshold 0 keeps everything by construction — skip the per-row
+        // predicate rather than evaluate a tautology on every candidate
+        if (minJaccard > 0)
+          withMeta.where(cUb.cast("double") /
             (col("na") + col("nb") - cUb).cast("double") >= lit(minJaccard))
+        else withMeta
       }, col("c"))
   }
 
@@ -477,11 +481,14 @@ object Dedup {
       // wrongly pruning a boundary pair).
       contOut(hotColdCounts(sh, maxDf) { (coldCounts, hotPerDoc) =>
         val perDoc = perDocHotMeta(counts, hotPerDoc)
-        coldCounts
+        val withMeta = coldCounts
           .join(perDoc.toDF("doc_a", "na", "ha"), "doc_a")
           .join(perDoc.toDF("doc_b", "nb", "hb"), "doc_b")
-          .where((col("c_cold") + least(col("ha"), col("hb"))).cast("double") /
-            least(col("na"), col("nb")).cast("double") >= lit(minContainment))
+        if (minContainment > 0)
+          withMeta.where(
+            (col("c_cold") + least(col("ha"), col("hb"))).cast("double") /
+              least(col("na"), col("nb")).cast("double") >= lit(minContainment))
+        else withMeta
       }, col("c"))
     }
   }
