@@ -150,6 +150,36 @@ object StageProbe {
           .groupBy("window_id")
           .agg(sum(col("c")).as("n_lines"), count(lit(1)).as("n_orders"),
             min(col("mls")).as("first_ship_day")))
+      // interval-union n_orders: a window (fixed length 29) overlaps a line
+      // iff ws ∈ [ls-29, le], so an ORDER overlaps iff ws falls in the
+      // UNION of its lines' shifted intervals — merge each order's ≤7
+      // intervals driver-free (array fold), then count merged intervals
+      // containing each of the ~150 distinct window starts via the
+      // broadcast point-in-interval join: the distinct never materializes
+      val shifted = li.groupBy("l_orderkey")
+        .agg(sort_array(collect_list(
+          struct((col("ls") - lit(29L)).as("ms"), col("le").as("me"))))
+          .as("ivs"))
+      val emptyIvs = array().cast("array<struct<ms:bigint,me:bigint>>")
+      val merged = shifted.select(col("l_orderkey"),
+        explode(aggregate(col("ivs"), emptyIvs,
+          (acc, x) => when(size(acc) === 0 ||
+              x.getField("ms") > element_at(acc, -1).getField("me"),
+            concat(acc, array(x)))
+            .otherwise(concat(slice(acc, lit(1), size(acc) - 1),
+              array(struct(element_at(acc, -1).getField("ms").as("ms"),
+                greatest(element_at(acc, -1).getField("me"),
+                  x.getField("me")).as("me"))))))).as("iv"))
+        .select(col("l_orderkey"), col("iv.ms").as("ms"), col("iv.me").as("me"))
+      timed("order interval-union build")(merged)
+      val nOrders = RangeJoin.pointInIntervalJoin(
+        w.select("window_id", "ws"), merged, "ws", "ms", "me", binWidth = 32L)
+        .groupBy("window_id").agg(count(lit(1)).as("n_orders"))
+      timed("union-build + point-count n_orders")(nOrders)
+      val aggA = joined.groupBy("window_id")
+        .agg(count(lit(1)).as("n_lines"), min(col("ls")).as("first_ship_day"))
+      timed("assembled union-scheme query")(
+        aggA.join(nOrders, "window_id").orderBy("window_id"))
       timed("full (join+agg+sort)")(SparkEntry.queries("rq29_range_join")(spark, sf))
       timed("full again (steady state)")(SparkEntry.queries("rq29_range_join")(spark, sf))
     }
