@@ -4,6 +4,7 @@ import graft.operators._
 import graft.queries.QueryDef
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Per-stage wall-clock breakdown of the bench's most expensive queries —
   * the evidence behind BASELINE.md's floor-profile / fix decisions. Each
@@ -109,6 +110,84 @@ object StageProbe {
 
     probe("rq18") {
       timed("full")(SparkEntry.queries("rq18_cte_selfjoin")(spark, sf))
+    }
+
+    // rq02 decomposition (round 9): TPC-H Q1 reads 13.1x at sf5 — is that
+    // the parquet scan or the decimal-routed aggregation? Stage rows: scan
+    // floor (count over the same columns), raw double sums (NOT
+    // deterministic — probe-only lower bound), the shipped decimal form,
+    // and the cents-quantized long form (posture 3: exact integer sums,
+    // one final division — bit-identical to the decimal route because both
+    // compute the same exact rational sum then round once).
+    probe("rq02") {
+      val li = Tables.lineitem(spark, sf).select("l_returnflag",
+        "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      timed("scan floor (count-shaped agg)")(
+        li.groupBy("l_returnflag", "l_linestatus").agg(count(lit(1)).as("n")))
+      timed("double sums (nondeterministic LB)")(
+        li.groupBy("l_returnflag", "l_linestatus")
+          .agg(sum("l_quantity"), sum("l_extendedprice"),
+            sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
+            sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+              * (lit(1.0) + col("l_tax"))),
+            avg("l_quantity"), count(lit(1))))
+      def cents(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        floor(c * lit(100.0d) + lit(0.5d)).cast("long")
+      timed("cents-long sums (posture 3)")(
+        li.groupBy("l_returnflag", "l_linestatus")
+          .agg((sum(col("l_quantity").cast("long")).cast("double")).as("sum_qty"),
+            (sum(cents(col("l_extendedprice"))).cast("double") / lit(100.0d))
+              .as("sum_base_price"),
+            (sum(cents(col("l_extendedprice")) *
+              (lit(100L) - cents(col("l_discount")) / lit(1L))).cast("double")
+              / lit(10000.0d)).as("sum_disc_price"),
+            (sum(cents(col("l_extendedprice")) *
+              (lit(100L) - floor(col("l_discount") * 100.0d + 0.5d).cast("long")) *
+              (lit(100L) + floor(col("l_tax") * 100.0d + 0.5d).cast("long")))
+              .cast("double") / lit(1000000.0d)).as("sum_charge"),
+            (sum(col("l_quantity").cast("long")).cast("double") /
+              count(lit(1))).as("avg_qty"),
+            count(lit(1)).as("count_order")))
+      // overflow-safe hybrid: per-row exact integer product in LONG
+      // (codegen-cheap), summed as DECIMAL(38,0) (no 2^63 ceiling at
+      // 100 TB group sizes), scale moved in decimal, ONE final cast
+      val centsQ = floor(col("l_extendedprice") * 100.0d + 0.5d).cast("long")
+      val dQ = lit(100L) - floor(col("l_discount") * 100.0d + 0.5d).cast("long")
+      val tQ = lit(100L) + floor(col("l_tax") * 100.0d + 0.5d).cast("long")
+      timed("long-product + decimal38 sums")(
+        li.groupBy("l_returnflag", "l_linestatus")
+          .agg(sum(col("l_quantity").cast("long")).cast("double").as("sum_qty"),
+            (sum(centsQ.cast(DecimalType(38, 0))) / lit(100))
+              .cast("double").as("sum_base_price"),
+            (sum((centsQ * dQ).cast(DecimalType(38, 0))) / lit(10000))
+              .cast("double").as("sum_disc_price"),
+            (sum((centsQ * dQ * tQ).cast(DecimalType(38, 0))) / lit(1000000))
+              .cast("double").as("sum_charge"),
+            (sum(col("l_quantity").cast("long")).cast("double") /
+              count(lit(1))).as("avg_qty"),
+            count(lit(1)).as("count_order")))
+      // split-long exact sums: per-row product stays a LONG, summed as TWO
+      // long sums (hi = x / 1e6, lo = x % 1e6; S = 1e6·Σhi + Σlo exactly,
+      // recombined per GROUP in decimal for the one final cast) — long-sum
+      // speed with ~9e12-rows-per-group overflow headroom
+      def splitSum(x: org.apache.spark.sql.Column, scaleDiv: Long) = {
+        val hi = sum((x / lit(1000000L)).cast("long")).cast(DecimalType(38, 0))
+        val lo = sum(pmod(x, lit(1000000L))).cast(DecimalType(38, 0))
+        ((hi * lit(1000000L) + lo) / lit(scaleDiv)).cast("double")
+      }
+      timed("split-long product sums")(
+        li.groupBy("l_returnflag", "l_linestatus")
+          .agg(sum(col("l_quantity").cast("long")).cast("double").as("sum_qty"),
+            splitSum(centsQ, 100L).as("sum_base_price"),
+            splitSum(centsQ * dQ, 10000L).as("sum_disc_price"),
+            splitSum(centsQ * dQ * tQ, 1000000L).as("sum_charge"),
+            (sum(col("l_quantity").cast("long")).cast("double") /
+              count(lit(1))).as("avg_qty"),
+            count(lit(1)).as("count_order")))
+      timed("full rq02 (decimal route)")(
+        SparkEntry.queries("rq02_tpch_q1")(spark, sf))
+      timed("full rq02 again")(
+        SparkEntry.queries("rq02_tpch_q1")(spark, sf))
     }
 
     // rq29 decomposition (round 9): the suspects are (a) the input scans,

@@ -54,16 +54,48 @@ object RelationalQueries {
     // RQ2: TPC-H Q1-style multi-aggregate (sum/avg/count by flag+status).
     QueryDef("rq02_tpch_q1",
       (s, d) => {
-        val disc1 = lit(1) - col("l_discount").cast(DecimalType(4, 2))
-        val tax1  = lit(1) + col("l_tax").cast(DecimalType(4, 2))
+        // Round 9: the decimal-routed aggregation was 3x the cost of the
+        // whole scan (StageProbe at sf5: decimal route 2.9-3.7 s vs a
+        // 0.92 s scan floor — per-row Decimal multiply/add dominates).
+        // Replaced by SPLIT-LONG EXACT SUMS, still posture 3 of the
+        // determinism contract: every money value is an exact integer in
+        // cents (2-decimal data; floor(x*100+0.5) recovers the integer
+        // from the double exactly), the per-row products are exact longs
+        // (cents × discount-% × tax-% ≤ 1e11), and each product is summed
+        // as TWO long sums — hi = x div 1e6, lo = x mod 1e6, recombined
+        // per GROUP as S = 1e6·Σhi + Σlo in decimal for the single final
+        // cast. Long-sum speed (0.86 s at sf5, at the nondeterministic
+        // double-sum floor) with ~9e12 rows-per-group overflow headroom —
+        // MORE than DECIMAL(18,2)'s own $1e16 ceiling at 100 TB. Exactness
+        // of the integral division: (x - lo) is an exact multiple of 1e6
+        // below 2^53, so the double division is exact. The final decimal
+        // expression (S / 10^k, scale ≥ k) is the same exact rational the
+        // decimal route computed, so the one double rounding matches the
+        // unchanged DuckDB oracle bit-for-bit (hash-verified).
+        val cents = floor(col("l_extendedprice") * lit(100.0d) + lit(0.5d))
+          .cast("long")
+        val dsc = lit(100L) -
+          floor(col("l_discount") * lit(100.0d) + lit(0.5d)).cast("long")
+        val tax = lit(100L) +
+          floor(col("l_tax") * lit(100.0d) + lit(0.5d)).cast("long")
+        def splitSum(x: org.apache.spark.sql.Column, scaleDiv: Long)
+            : org.apache.spark.sql.Column = {
+          val lo = pmod(x, lit(1000000L))
+          val hi = ((x - lo) / lit(1000000L)).cast("long")
+          ((sum(hi).cast(DecimalType(38, 0)) *
+            lit(1000000L).cast(DecimalType(7, 0)) +
+            sum(lo).cast(DecimalType(38, 0))) /
+            lit(scaleDiv).cast(DecimalType(7, 0))).cast("double")
+        }
+        val qtySum = sum(col("l_quantity").cast("long"))
         Tables.lineitem(s, d)
           .groupBy("l_returnflag", "l_linestatus")
           .agg(
-            dsum(col("l_quantity")).as("sum_qty"),
-            dsum(col("l_extendedprice")).as("sum_base_price"),
-            sum(d2("l_extendedprice") * disc1).cast("double").as("sum_disc_price"),
-            sum(d2("l_extendedprice") * disc1 * tax1).cast("double").as("sum_charge"),
-            QueryDef.davg(col("l_quantity")).as("avg_qty"),
+            qtySum.cast("double").as("sum_qty"),
+            splitSum(cents, 100L).as("sum_base_price"),
+            splitSum(cents * dsc, 10000L).as("sum_disc_price"),
+            splitSum(cents * dsc * tax, 1000000L).as("sum_charge"),
+            (qtySum.cast("double") / count(lit(1))).as("avg_qty"),
             count(lit(1)).as("count_order"))
           .orderBy("l_returnflag", "l_linestatus")
       },

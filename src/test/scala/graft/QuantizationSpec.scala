@@ -42,4 +42,50 @@ class QuantizationSpec extends SparkSpec {
     assert(a.orderBy("vec_id").collect().toSeq == b.orderBy("vec_id").collect().toSeq,
       "sq8 codes must not depend on partitioning")
   }
+
+  test("split-long exact sums equal the decimal route bit-for-bit") {
+    // rq02's round-9 aggregation: money doubles -> exact cents longs,
+    // per-row products summed as (hi = x div 1e6, lo = x mod 1e6) long
+    // pairs, recombined per group in decimal for one final cast. The
+    // contract is bit-identity with the decimal(18,2) route on ANY
+    // 2-decimal data — pinned here on adversarial values: prices at the
+    // TPC-H ceiling, epsilon-carrying doubles (0.07, 104853.95, ...),
+    // discount/tax extremes, and products straddling the 1e6 split so hi
+    // and lo both carry weight, across enough rows to exercise partial
+    // aggregation on both plans.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val rows = (1 to 50000).map { i =>
+      val price = ((i % 10485395) + 7) / 100.0
+      val disc = (i % 11) / 100.0
+      val tax = (i % 9) / 100.0
+      (i % 7, price, disc, tax)
+    }
+    val df = spark.createDataFrame(rows).toDF("g", "price", "disc", "tax")
+      .repartition(13)
+    val cents = floor(col("price") * lit(100.0d) + lit(0.5d)).cast("long")
+    val dsc = lit(100L) - floor(col("disc") * lit(100.0d) + lit(0.5d)).cast("long")
+    val tax1 = lit(100L) + floor(col("tax") * lit(100.0d) + lit(0.5d)).cast("long")
+    def splitSum(x: org.apache.spark.sql.Column, scaleDiv: Long) = {
+      val lo = pmod(x, lit(1000000L))
+      val hi = ((x - lo) / lit(1000000L)).cast("long")
+      ((sum(hi).cast(DecimalType(38, 0)) *
+        lit(1000000L).cast(DecimalType(7, 0)) +
+        sum(lo).cast(DecimalType(38, 0))) /
+        lit(scaleDiv).cast(DecimalType(7, 0))).cast("double")
+    }
+    val fast = df.groupBy("g").agg(
+      splitSum(cents, 100L).as("base"),
+      splitSum(cents * dsc, 10000L).as("disc_price"),
+      splitSum(cents * dsc * tax1, 1000000L).as("charge"))
+    val d1 = lit(1) - col("disc").cast(DecimalType(4, 2))
+    val t1 = lit(1) + col("tax").cast(DecimalType(4, 2))
+    val slow = df.groupBy("g").agg(
+      sum(col("price").cast(DecimalType(18, 2))).cast("double").as("base"),
+      sum(col("price").cast(DecimalType(18, 2)) * d1).cast("double").as("disc_price"),
+      sum(col("price").cast(DecimalType(18, 2)) * d1 * t1).cast("double").as("charge"))
+    val f = fast.orderBy("g").collect().toSeq
+    val s = slow.orderBy("g").collect().toSeq
+    assert(f == s, s"split-long must equal the decimal route exactly:\n$f\n$s")
+  }
 }
