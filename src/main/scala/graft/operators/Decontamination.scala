@@ -66,6 +66,54 @@ object Decontamination {
         (col("span_grams") + lit(n - 1).cast("long")).as("span_tokens"))
   }
 
+  /** Excision — the step AFTER [[contaminatedSpans]] locates benchmark
+    * overlap (round 9; locating was implemented, removing was not):
+    * rewrite each training document with every token covered by a
+    * contaminated n-gram dropped. A hit at gram position p covers tokens
+    * [p, p+n-1]; the union of covered positions is removed and the
+    * surviving tokens reassemble in order. Returns every training doc as
+    * (idCol, text_clean, n_tokens, n_kept, n_removed) — uncontaminated
+    * docs pass through byte-identical, fully-contaminated docs come back
+    * empty with n_kept = 0.
+    *
+    * Scale shape: the eval vocabulary broadcasts (benchmarks are small by
+    * definition); the hit → covered-token fan-out (≤ n rows per hit)
+    * touches only contaminated positions; the anti-join and the per-doc
+    * ordered reassembly are one doc-keyed exchange. Pure integer/string
+    * ops — oracle hash-exact.
+    */
+  def exciseSpans(train: DataFrame, eval: DataFrame, textCol: String,
+      idCol: String, n: Int = 8): DataFrame = {
+    val evalGrams = Shingles.hashed(eval, textCol, idCol, n)
+      .select("shingle").distinct()
+    val hits = Shingles.hashedWithPos(train, textCol, idCol, n)
+      .join(broadcast(evalGrams), "shingle")
+      .select(col(idCol), col("pos"))
+    val covered = hits
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1).cast("long")))
+          .as("pos"))
+      .distinct()
+    val toks = train
+      .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("tok"))
+    val kept = toks.join(covered, Seq(idCol, "pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok"))).as("text_clean"),
+        count(lit(1)).as("n_kept"))
+    train
+      .select(col(idCol), size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .withColumn("n_removed", col("n_tokens") - col("n_kept"))
+  }
+
   /** Boilerplate/repetition score: 1 - distinct/total shingles per doc —
     * high values flag template or repeated content.
     */

@@ -3218,6 +3218,51 @@ object ExtensionQueries {
           .orderBy("query_id", "rk")
       },
       Some(pqProbeOracle(m = 4, subDim = 16, k = 16, iters = 2,
-        queryIds = Seq(7L, 11L, 23L), kNN = 10)))
+        queryIds = Seq(7L, 11L, 23L), kNN = 10))),
+
+    // XQ104: decontamination EXCISION — xq39 locates benchmark-overlap
+    // spans; this is the production step after it: rewrite each training
+    // doc with every token covered by a contaminated 4-gram removed
+    // (Decontamination.exciseSpans). Uncontaminated docs pass through
+    // byte-identical, fully-contaminated docs come back empty — both
+    // hash-checked, since the oracle reassembles the same surviving
+    // tokens with string_agg in position order.
+    QueryDef("xq104_decontaminate_excise",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Decontamination.exciseSpans(
+          docs.where(col("source") =!= "src0"),
+          docs.where(col("source") === "src0"),
+          "text", "doc_id", n = 4)
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+             |g AS (SELECT doc_id, source, CAST(i - 1 AS BIGINT) AS pos,
+             |        CAST('0x' || substr(md5(
+             |          array_to_string(list_slice(w, i, i + 3), ' ')), 1, 15) AS BIGINT) AS gram
+             |      FROM t, UNNEST(generate_series(1, len(w) - 3)) AS u(i)),
+             |ev AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+             |hits AS (SELECT g.doc_id, g.pos FROM g JOIN ev USING (gram)
+             |         WHERE g.source <> 'src0'),
+             |cov AS (SELECT DISTINCT doc_id, pos + u.k AS pos
+             |        FROM hits, UNNEST(generate_series(0, 3)) AS u(k)),
+             |tok AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, w[i] AS tok
+             |        FROM t, UNNEST(generate_series(1, len(w))) AS u(i)
+             |        WHERE source <> 'src0'),
+             |kept AS (SELECT tk.doc_id,
+             |           string_agg(tk.tok, ' ' ORDER BY tk.pos) AS text_clean,
+             |           CAST(COUNT(*) AS BIGINT) AS n_kept
+             |         FROM tok tk
+             |         WHERE NOT EXISTS (SELECT 1 FROM cov
+             |                           WHERE cov.doc_id = tk.doc_id
+             |                             AND cov.pos = tk.pos)
+             |         GROUP BY 1),
+             |base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens
+             |         FROM t WHERE source <> 'src0')
+             |SELECT b.doc_id, COALESCE(k.text_clean, '') AS text_clean,
+             |       b.n_tokens, COALESCE(k.n_kept, 0) AS n_kept,
+             |       b.n_tokens - COALESCE(k.n_kept, 0) AS n_removed
+             |FROM base b LEFT JOIN kept k USING (doc_id)
+             |ORDER BY b.doc_id""".stripMargin))
   )
 }
