@@ -76,11 +76,15 @@ object Decontamination {
     * docs pass through byte-identical, fully-contaminated docs come back
     * empty with n_kept = 0.
     *
-    * Scale shape: the eval vocabulary broadcasts (benchmarks are small by
-    * definition); the hit → covered-token fan-out (≤ n rows per hit)
-    * touches only contaminated positions; the anti-join and the per-doc
-    * ordered reassembly are one doc-keyed exchange. Pure integer/string
-    * ops — oracle hash-exact.
+    * Scale shape — the TEXT never rides a shuffle: the eval vocabulary
+    * broadcasts (benchmarks are small by definition), the hit →
+    * covered-token fan-out (≤ n rows per hit) touches only contaminated
+    * positions, and the ONLY exchange is the per-doc covered-position
+    * LIST (hit docs only, a few longs each). The rewrite itself is a
+    * map-side indexed array filter over the split tokens — at 100 TB a
+    * collect_list reassembly would instead shuffle the entire corpus
+    * text, which is why this shape is load-bearing, not cosmetic. Pure
+    * integer/string ops — oracle hash-exact.
     */
   def exciseSpans(train: DataFrame, eval: DataFrame, textCol: String,
       idCol: String, n: Int = 8): DataFrame = {
@@ -89,29 +93,30 @@ object Decontamination {
     val hits = Shingles.hashedWithPos(train, textCol, idCol, n)
       .join(broadcast(evalGrams), "shingle")
       .select(col(idCol), col("pos"))
-    val covered = hits
+    // distinct covered positions folded to one small array per HIT doc —
+    // covered positions always fall inside the doc (a hit at p implies
+    // p + n - 1 <= last token), so |array| is also the removal count
+    val coveredList = hits
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + lit(n - 1).cast("long")))
           .as("pos"))
       .distinct()
-    val toks = train
-      .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
-      .select(col(idCol), col("pos").cast("long").as("pos"), col("tok"))
-    val kept = toks.join(covered, Seq(idCol, "pos"), "left_anti")
       .groupBy(col(idCol))
-      .agg(
-        concat_ws(" ",
-          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
-            x => x.getField("tok"))).as("text_clean"),
-        count(lit(1)).as("n_kept"))
+      .agg(collect_list(col("pos")).as("_cov"))
     train
-      .select(col(idCol), size(split(col(textCol), " ")).cast("long").as("n_tokens"))
-      .join(kept, Seq(idCol), "left")
+      .join(coveredList, Seq(idCol), "left")
+      .select(col(idCol), split(col(textCol), " ").as("_toks"),
+        coalesce(col("_cov"), array().cast("array<long>")).as("_cov"))
       .select(col(idCol),
-        coalesce(col("text_clean"), lit("")).as("text_clean"),
-        col("n_tokens"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
-      .withColumn("n_removed", col("n_tokens") - col("n_kept"))
+        concat_ws(" ", transform(
+          filter(
+            transform(col("_toks"),
+              (t, i) => struct(t.as("t"), i.cast("long").as("i"))),
+            s => !array_contains(col("_cov"), s.getField("i"))),
+          s => s.getField("t"))).as("text_clean"),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        (size(col("_toks")) - size(col("_cov"))).cast("long").as("n_kept"),
+        size(col("_cov")).cast("long").as("n_removed"))
   }
 
   /** Boilerplate/repetition score: 1 - distinct/total shingles per doc —
