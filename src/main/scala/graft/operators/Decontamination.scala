@@ -77,14 +77,13 @@ object Decontamination {
     * empty with n_kept = 0.
     *
     * Scale shape — the TEXT never rides a shuffle: the eval vocabulary
-    * broadcasts (benchmarks are small by definition), the hit →
-    * covered-token fan-out (≤ n rows per hit) touches only contaminated
-    * positions, and the ONLY exchange is the per-doc covered-position
-    * LIST (hit docs only, a few longs each). The rewrite itself is a
-    * map-side indexed array filter over the split tokens — at 100 TB a
-    * collect_list reassembly would instead shuffle the entire corpus
-    * text, which is why this shape is load-bearing, not cosmetic. Pure
-    * integer/string ops — oracle hash-exact.
+    * broadcasts (benchmarks are small by definition), and the ONLY
+    * exchange carries the hit POSITIONS (hit docs only, a few longs
+    * each), folded map-side into disjoint covered RANGES per doc. The
+    * rewrite itself is a map-side indexed array filter over the split
+    * tokens — at 100 TB a collect_list reassembly would instead shuffle
+    * the entire corpus text, which is why this shape is load-bearing,
+    * not cosmetic. Pure integer/string ops — oracle hash-exact.
     */
   def exciseSpans(train: DataFrame, eval: DataFrame, textCol: String,
       idCol: String, n: Int = 8): DataFrame = {
@@ -93,30 +92,45 @@ object Decontamination {
     val hits = Shingles.hashedWithPos(train, textCol, idCol, n)
       .join(broadcast(evalGrams), "shingle")
       .select(col(idCol), col("pos"))
-    // distinct covered positions folded to one small array per HIT doc —
-    // covered positions always fall inside the doc (a hit at p implies
-    // p + n - 1 <= last token), so |array| is also the removal count
-    val coveredList = hits
-      .select(col(idCol),
-        explode(sequence(col("pos"), col("pos") + lit(n - 1).cast("long")))
-          .as("pos"))
-      .distinct()
+    // hit windows [p, p+n-1] merged into DISJOINT ranges per doc (array
+    // fold over the sorted hit positions — map-side after the one
+    // hit-keyed exchange). Ranges, not a position list, on purpose: the
+    // per-token membership test is then O(#spans), so a long heavily
+    // contaminated doc costs O(len · spans) instead of the O(len²) cliff
+    // a covered-position array_contains would hit when covered ≈ len.
+    val emptyRanges = array().cast("array<struct<lo:bigint,hi:bigint>>")
+    val coveredRanges = hits
       .groupBy(col(idCol))
-      .agg(collect_list(col("pos")).as("_cov"))
+      .agg(sort_array(collect_list(col("pos"))).as("_ps"))
+      .select(col(idCol),
+        aggregate(col("_ps"), emptyRanges, (acc, p) =>
+          when(size(acc) === 0 ||
+              p > element_at(acc, -1).getField("hi") + lit(1L),
+            concat(acc, array(struct(p.as("lo"),
+              (p + lit(n - 1).cast("long")).as("hi")))))
+            .otherwise(concat(slice(acc, lit(1), size(acc) - 1),
+              array(struct(element_at(acc, -1).getField("lo").as("lo"),
+                greatest(element_at(acc, -1).getField("hi"),
+                  p + lit(n - 1).cast("long")).as("hi")))))).as("_cov"))
+    // removal count = Σ range widths (ranges are disjoint and in-doc)
+    val nCovered = coalesce(aggregate(col("_cov"), lit(0L),
+      (s, r) => s + (r.getField("hi") - r.getField("lo") + lit(1L))), lit(0L))
     train
-      .join(coveredList, Seq(idCol), "left")
+      .join(coveredRanges, Seq(idCol), "left")
       .select(col(idCol), split(col(textCol), " ").as("_toks"),
-        coalesce(col("_cov"), array().cast("array<long>")).as("_cov"))
+        coalesce(col("_cov"), emptyRanges).as("_cov"))
       .select(col(idCol),
         concat_ws(" ", transform(
           filter(
             transform(col("_toks"),
               (t, i) => struct(t.as("t"), i.cast("long").as("i"))),
-            s => !array_contains(col("_cov"), s.getField("i"))),
+            s => !exists(col("_cov"), r =>
+              s.getField("i") >= r.getField("lo") &&
+                s.getField("i") <= r.getField("hi"))),
           s => s.getField("t"))).as("text_clean"),
         size(col("_toks")).cast("long").as("n_tokens"),
-        (size(col("_toks")) - size(col("_cov"))).cast("long").as("n_kept"),
-        size(col("_cov")).cast("long").as("n_removed"))
+        (size(col("_toks")) - nCovered).cast("long").as("n_kept"),
+        nCovered.cast("long").as("n_removed"))
   }
 
   /** Boilerplate/repetition score: 1 - distinct/total shingles per doc —

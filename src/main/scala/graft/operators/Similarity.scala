@@ -597,6 +597,10 @@ object Similarity {
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+    // a repeated id would duplicate its LUT rows and silently double every
+    // ADC sum for that query — refuse rather than mis-rank
+    require(qs.map(_._1).distinct.length == qs.length,
+      "duplicate query ids in the probe batch")
     val lut = qs.toSeq.flatMap { case (qid, q) =>
       lutEntries(q, cbLocal, subDim).map { case (sub, code, d2) =>
         (qid, sub, code, d2)

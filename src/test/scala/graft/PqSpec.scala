@@ -126,6 +126,17 @@ class PqSpec extends SparkSpec {
       "probe must equal the strict per-query top-k exactly")
   }
 
+  test("probe refuses duplicate query ids (silent double-count guard)") {
+    val dir = java.nio.file.Files.createTempDirectory("pq-dup-spec").toString
+    Similarity.writePqIndex(emb, "embedding", "vec_id", dir, M, SubDim, K, 2)
+    val dup = emb.where(col("vec_id") === 7L)
+      .unionByName(emb.where(col("vec_id") === 7L))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.probePqIndex(spark, dir, dup, "embedding", "vec_id", 5)
+    }
+    assert(e.getMessage.contains("duplicate query ids"))
+  }
+
   test("PQ pipeline is deterministic under repartitioning") {
     val a = Similarity.pqTopK(emb, "embedding", "vec_id", 7L, 10, M, SubDim, K, 2)
       .collect().toSeq
