@@ -225,7 +225,7 @@ object Multimodal {
   }
 
   // ------------------------------------------------------------------
-  // Audio: real WAV (RIFF/PCM16) encode + javax.sound.sampled decode
+  // Audio: real WAV (RIFF/PCM16) encode + zero-copy chunk-walk decode
   // ------------------------------------------------------------------
 
   /** Audio sample rate for synthesized WAV assets. */
@@ -361,8 +361,8 @@ object Multimodal {
     (rate, dataOff, dataLen)
   }
 
-  /** REAL decode of one WAV payload via `javax.sound.sampled` into exact
-    * integer amplitude statistics.
+  /** REAL decode of one WAV payload (header-parsed via [[readPcm16]])
+    * into exact integer amplitude statistics.
     */
   def decodeAudio(payload: Array[Byte]): (Int, Long, Long, Long, Long, Long) = {
     val (rate, dataOff, dataLen) = readPcm16(payload)
