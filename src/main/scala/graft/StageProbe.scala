@@ -139,7 +139,7 @@ object StageProbe {
             (sum(cents(col("l_extendedprice"))).cast("double") / lit(100.0d))
               .as("sum_base_price"),
             (sum(cents(col("l_extendedprice")) *
-              (lit(100L) - cents(col("l_discount")) / lit(1L))).cast("double")
+              (lit(100L) - cents(col("l_discount")))).cast("double")
               / lit(10000.0d)).as("sum_disc_price"),
             (sum(cents(col("l_extendedprice")) *
               (lit(100L) - floor(col("l_discount") * 100.0d + 0.5d).cast("long")) *

@@ -41,13 +41,20 @@ object IndexStore {
   final case class Handle(dir: String, ready: Boolean)
 
   /** Recursive (name, length, mtime) fingerprint — cheap (pure metadata,
-    * no content read) and sufficient: parquet writers never update a file
-    * in place without changing length or mtime.
+    * no content read) and sufficient for parquet inputs: writers create
+    * new files rather than rewriting in place. Known limit: a same-length
+    * in-place rewrite inside the filesystem's mtime granularity (1 s on
+    * some filesystems; `lastModified` reports ms where available) is
+    * invisible to metadata — callers needing content-level identity must
+    * hash the data themselves.
     */
   private def fingerprint(f: File): String =
-    if (f.isDirectory)
-      f.listFiles().sortBy(_.getName).map(fingerprint).mkString("[", ",", "]")
-    else s"${f.getName}:${f.length}:${f.lastModified}"
+    if (f.isDirectory) {
+      val kids = f.listFiles()
+      require(kids != null,
+        s"cannot list index input directory ${f.getPath} (IO or permission error)")
+      kids.sortBy(_.getName).map(fingerprint).mkString(s"[n=${kids.length};", ",", "]")
+    } else s"${f.getName}:${f.length}:${f.lastModified}"
 
   /** The identity key for `inputs` under `tag`: 16 hex chars of MD5 over
     * path + fingerprint per input. Exposed so callers can log/inspect which

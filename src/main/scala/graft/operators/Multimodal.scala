@@ -340,6 +340,10 @@ object Multimodal {
     while (off + 8 <= payload.length && (rate < 0 || dataOff < 0)) {
       val id = tag(off)
       val len = u32(off + 4).toInt
+      // chunk sizes >= 2^31 wrap negative in the Int cast; a malformed
+      // size would otherwise stall or rewind the walk — fail loudly
+      // instead (the old javax.sound path threw on such payloads too)
+      require(len >= 0, s"malformed RIFF chunk size at offset $off: $len")
       if (id == "fmt ") {
         require(len >= 16, s"fmt chunk too short: $len")
         val codec = u16(off + 8)
@@ -354,8 +358,10 @@ object Multimodal {
         dataOff = off + 8
         dataLen = math.min(len, payload.length - dataOff)
       }
-      // chunks are word-aligned: odd sizes carry a pad byte
-      off += 8 + len + (len & 1)
+      // chunks are word-aligned: odd sizes carry a pad byte; advance in
+      // Long so a near-Int.MaxValue size can't wrap the offset negative
+      val next = off.toLong + 8L + len.toLong + (len & 1)
+      off = if (next > payload.length) payload.length else next.toInt
     }
     require(rate > 0 && dataOff >= 0, "missing fmt or data chunk")
     (rate, dataOff, dataLen)

@@ -83,6 +83,19 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.decodeAudio(float32))
     intercept[IllegalArgumentException](
       Multimodal.decodeAudio("not a wav at all".getBytes("US-ASCII")))
+    // malformed chunk sizes must raise, never stall the walk: a size with
+    // the top bit set wraps negative in the Int cast (a crafted -8 would
+    // otherwise advance the offset by zero and loop forever)
+    val negLen = wav.clone()
+    negLen(16) = 0xF8.toByte; negLen(17) = 0xFF.toByte
+    negLen(18) = 0xFF.toByte; negLen(19) = 0xFF.toByte
+    intercept[IllegalArgumentException](Multimodal.decodeAudio(negLen))
+    // a huge-but-positive size must terminate (offset clamps to payload
+    // end) and report the missing data chunk rather than wrap negative
+    val hugeLen = wav.clone()
+    hugeLen(16) = 0xF0.toByte; hugeLen(17) = 0xFF.toByte
+    hugeLen(18) = 0xFF.toByte; hugeLen(19) = 0x7F.toByte
+    intercept[IllegalArgumentException](Multimodal.decodeAudio(hugeLen))
   }
 
   test("WAV round trip: header-parsed rate, samples, and exact sums") {
