@@ -90,6 +90,40 @@ object RangeJoin {
       .drop("_lbin", "_rbin")
   }
 
+  /** Per-key disjoint interval union: collapse each key's closed intervals
+    * [startCol, endCol] into the minimal set of disjoint intervals covering
+    * the same points, one output row per merged interval (same column
+    * names). The classic sweep — sort by start, extend the open interval
+    * while the next start is <= the current end — runs entirely inside the
+    * row via `sort_array` + a SQL `aggregate` fold, so the only exchange is
+    * the per-key `collect_list` shuffle and no state ever reaches the
+    * driver. The per-key interval count must be row-sized (it is collected
+    * into one array value); callers with unbounded keys cap upstream.
+    *
+    * Disjointness is what downstream counting relies on: a point lies in at
+    * most ONE merged interval per key, so `pointInIntervalJoin` against the
+    * output counts each (point, key) containment exactly once — a distinct
+    * that never materializes (the rq29 union path).
+    */
+  def mergeIntervals(df: DataFrame, keyCol: String,
+      startCol: String, endCol: String): DataFrame = {
+    val sorted = df.groupBy(keyCol)
+      .agg(sort_array(collect_list(
+        struct(col(startCol).cast("long").as("ms"),
+          col(endCol).cast("long").as("me")))).as("_ivs"))
+    val emptyIvs = array().cast("array<struct<ms:bigint,me:bigint>>")
+    sorted.select(col(keyCol),
+      explode(aggregate(col("_ivs"), emptyIvs,
+        (acc, x) => when(size(acc) === 0 ||
+            x.getField("ms") > element_at(acc, -1).getField("me"),
+          concat(acc, array(x)))
+          .otherwise(concat(slice(acc, lit(1), size(acc) - 1),
+            array(struct(element_at(acc, -1).getField("ms").as("ms"),
+              greatest(element_at(acc, -1).getField("me"),
+                x.getField("me")).as("me"))))))).as("_iv"))
+      .select(col(keyCol), col("_iv.ms").as(startCol), col("_iv.me").as(endCol))
+  }
+
   /** Point-in-interval join: each row of `points` matched to every row of
     * `intervals` whose [iStart,iEnd] contains the point. A point touches
     * exactly one bin, so no canonical-bin dedup is needed. `binWidth = 0`

@@ -515,36 +515,10 @@ object RelationalQueries {
     // condition would plan as a product; graft.operators.RangeJoin bins the
     // day domain (width 32) and equi-joins on the bin with canonical-bin
     // exactly-once semantics. The oracle states the same join as the naive
-    // inequality join DuckDB can afford at oracle scale.
+    // inequality join DuckDB can afford at oracle scale. n_orders takes one
+    // of two hash-identical paths behind a size gate — see rq29Plan.
     QueryDef("rq29_range_join",
-      (s, d) => {
-        val epoch = lit("1970-01-01").cast("date")
-        val w = Tables.orders(s, d)
-          .where(col("o_orderkey") % 997 === 0)
-          .select(col("o_orderkey").as("window_id"),
-            datediff(col("o_orderdate").cast("date"), epoch).cast("long").as("ws"))
-          .withColumn("we", col("ws") + lit(29L))
-        val li = Tables.lineitem(s, d)
-          .select(col("l_orderkey"),
-            datediff(col("l_shipdate").cast("date"), epoch).cast("long").as("ls"),
-            floor(col("l_quantity")).as("qd"))
-          .withColumn("le", col("ls") + col("qd"))
-          .drop("qd")
-        // Two-level exact aggregate instead of count+countDistinct+min in
-        // one pass (round 9): the mixed-distinct form plans an Expand that
-        // triples the 20M-pair join output before any reduction. Level 1
-        // collapses the pairs to distinct (window, order) rows; level 2 is
-        // window-cardinality. Identical integer results.
-        graft.operators.RangeJoin.overlapJoin(li, w,
-          "ls", "le", "ws", "we", binWidth = 32L)
-          .groupBy("window_id", "l_orderkey")
-          .agg(count(lit(1)).as("c"), min(col("ls")).as("mls"))
-          .groupBy("window_id")
-          .agg(sum(col("c")).as("n_lines"),
-            count(lit(1)).as("n_orders"),
-            min(col("mls")).as("first_ship_day"))
-          .orderBy("window_id")
-      },
+      (s, d) => rq29Plan(s, d, unionPath = None),
       Some("""WITH w AS (
              |  SELECT o_orderkey AS window_id,
              |         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS ws,
