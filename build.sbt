@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// No "[success] Total time" trailer: harness runs (runMain graft.Bench)
+// are machine-parsed from the END of stdout, and the trailer would sit
+// between the program's final JSON line and the parser.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

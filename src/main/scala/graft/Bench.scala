@@ -64,7 +64,11 @@ object Bench {
       n -> (if (valid.nonEmpty) valid.min else -1.0)
     }
     val errors = results.collect { case (n, v) if v < 0 => "\"" + n + "\"" }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ms precision: per-query noise floor is far above 1 ms, and a shorter
+    // line survives longer in the harness's bounded (last-2000-chars) tail.
+    def ms(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // oracle-only queries (deliberately non-scale plans kept as correctness
@@ -74,7 +78,17 @@ object Bench {
     val scaleTotal = results
       .collect { case (n, v) if v >= 0 && !oracleOnly(n) => v }.sum
     val ooJson = oracleOnly.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","scale_path_total":$scaleTotal,"oracle_only":$ooJson,"queries":$qs,"errors":${errors.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    // Key order is deliberate: the harness snapshots only the LAST 2000
+    // chars of stdout, so the verdict-bearing keys (errors, totals, metric)
+    // go at the END of the line — a front-truncated tail still reads them.
+    val line = s"""{"queries":$qs,"oracle_only":$ooJson,"errors":${errors.mkString("[", ",", "]")},"scale_path_total":${ms(scaleTotal)},"value":${ms(total)},"unit":"sec","sf":"$sfDir","metric":"total"}"""
+    // Durable twin of the stdout line: the full per-query map outlives any
+    // tail truncation (committed per round alongside BASELINE.md).
+    try {
+      val w = new java.io.PrintWriter("BENCH_LAST.json", "UTF-8")
+      try w.println(line) finally w.close()
+    } catch { case _: Throwable => () }
+    println(line)
     spark.stop()
   }
 }

@@ -137,6 +137,33 @@ object Dedup {
       .sortWithinPartitions("band_id", "band_key")
       .write.mode("overwrite").parquet(dir)
 
+  /** Append-delta refresh of a [[writeBandIndex]] index — the
+    * [[IndexStore.ensureIncremental]] `buildDelta` half. The prior
+    * generation's parquet is reused VERBATIM (hard links, O(1) per file);
+    * shingling + MinHash run ONLY over `delta.newFiles`, so an appended
+    * crawl batch costs O(batch) signatures while already-indexed corpus
+    * files are never re-read. The appended rows land in their own
+    * band_key-clustered, (band_id, band_key)-sorted files, so probes keep
+    * the per-file min/max pruning [[writeBandIndex]] establishes; the
+    * append's job commit writes `_SUCCESS` LAST, so a crash mid-refresh
+    * leaves a not-ready generation (IndexStore's completeness guard).
+    */
+  def appendBandIndex(spark: SparkSession, delta: IndexStore.AppendDelta,
+      newDir: String, textCol: String, idCol: String, n: Int = 3): Unit = {
+    IndexStore.linkData(delta.priorDir, newDir)
+    if (delta.newFiles.isEmpty) {
+      // input grew only by non-data files: the linked generation is
+      // already complete — commit it explicitly.
+      new java.io.File(newDir, "_SUCCESS").createNewFile()
+    } else {
+      bandTable(spark.read.parquet(delta.newFiles: _*), textCol, idCol, n)
+        .withColumnRenamed(idCol, "corpus_id")
+        .repartition(col("band_key"))
+        .sortWithinPartitions("band_id", "band_key")
+        .write.mode("append").parquet(newDir)
+    }
+  }
+
   /** Probe a persisted [[writeBandIndex]] index with a new batch: same
     * output contract as [[incrementalNearDups]] — one row per batch doc that
     * LSH-collides with the corpus, (id, corpus_match = smallest colliding

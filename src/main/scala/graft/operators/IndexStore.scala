@@ -102,4 +102,123 @@ object IndexStore {
     }
     h.dir
   }
+
+  // ------------------------------------------------------------------
+  // Append-delta refresh: when the input GREW (files appended, nothing
+  // renamed/removed/rewritten), a new generation can reuse the prior
+  // generation's data verbatim and index only the new files — the
+  // ingest-append posture a production corpus actually runs in, where a
+  // nightly crawl batch must not trigger a full corpus re-signature.
+  // ------------------------------------------------------------------
+
+  /** Input manifest a ready generation records ([[ensureIncremental]]):
+    * one line per DATA file, `path|length|mtime`. Hidden files (`_*`/`.*`
+    * — `_SUCCESS`, checksums) are excluded on BOTH sides of the subset
+    * check because Spark readers ignore them and an append rewrites the
+    * input's own `_SUCCESS`, which must not veto the delta path.
+    */
+  private val ManifestRel = "_graft_inputs.txt"
+
+  private def isHidden(name: String): Boolean =
+    name.startsWith("_") || name.startsWith(".")
+
+  private def dataFiles(f: File): Seq[File] =
+    if (f.isDirectory) {
+      val kids = f.listFiles()
+      require(kids != null,
+        s"cannot list index input directory ${f.getPath} (IO or permission error)")
+      kids.sortBy(_.getName).toSeq.filterNot(k => isHidden(k.getName))
+        .flatMap(dataFiles)
+    } else Seq(f)
+
+  private def manifestLines(inputs: Seq[String]): Seq[String] =
+    inputs.flatMap(p => dataFiles(new File(p)))
+      .map(f => s"${f.getAbsolutePath}|${f.length}|${f.lastModified}")
+
+  /** A detected append-only delta: `priorDir` is the ready prior
+    * generation to reuse; `newFiles` the input data files it has not seen
+    * (absolute paths — feed them straight to `spark.read`).
+    */
+  final case class AppendDelta(priorDir: String, newFiles: Seq[String])
+
+  /** Find a ready prior generation of `tag` whose recorded input files are
+    * a SUBSET of the current input's data files — same path, length, and
+    * mtime for every recorded file, i.e. the input only grew. A renamed,
+    * removed, or in-place-rewritten file breaks the subset and returns
+    * None (full rebuild). Of several qualifying generations the one
+    * covering the most files wins (smallest delta).
+    */
+  def findAppendDelta(tag: String, inputs: Seq[String],
+      successRel: String = "_SUCCESS",
+      baseDir: String = sys.props("java.io.tmpdir")): Option[AppendDelta] = {
+    val current = manifestLines(inputs)
+    val currentSet = current.toSet
+    val base = new File(baseDir)
+    // exact-name match, not prefix: tag "band" must not adopt a
+    // generation of tag "band-v2" that happens to share inputs.
+    val genName = s"graft-$tag-[0-9a-f]{16}"
+    val gens = Option(base.listFiles()).getOrElse(Array.empty[File])
+      .filter(d => d.isDirectory && d.getName.matches(genName) &&
+        new File(d, successRel).exists() && new File(d, ManifestRel).exists())
+    val candidates = gens.flatMap { d =>
+      val prior = scala.io.Source.fromFile(new File(d, ManifestRel), "UTF-8")
+        .getLines().toSeq
+      if (prior.nonEmpty && prior.forall(currentSet.contains)) {
+        val priorPaths = prior.map(_.split('|')(0)).toSet
+        val fresh = current.filterNot(l => priorPaths.contains(l.split('|')(0)))
+        Some((prior.size, AppendDelta(d.getPath, fresh.map(_.split('|')(0)))))
+      } else None
+    }
+    candidates.sortBy(-_._1).headOption.map(_._2)
+  }
+
+  /** Hard-link (copy if the filesystem refuses links) every data file of a
+    * prior generation into `toDir` — the O(new files) reuse step of an
+    * append-delta build on a local filesystem; a cluster pipeline would
+    * use the storage layer's cheap server-side copy. Markers and manifests
+    * are NOT carried over: the new generation must earn its own success
+    * marker (a crash mid-refresh leaves a not-ready dir).
+    */
+  def linkData(fromDir: String, toDir: String): Unit = {
+    val to = new File(toDir)
+    to.mkdirs()
+    dataFiles(new File(fromDir)).foreach { f =>
+      val dst = new File(to, f.getName).toPath
+      try java.nio.file.Files.createLink(dst, f.toPath)
+      catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+        java.nio.file.Files.copy(f.toPath, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING) }
+    }
+  }
+
+  /** [[ensure]] with the append-delta fast path: if not ready and a prior
+    * generation covers a subset of the input's files, `buildDelta` runs
+    * with that generation and the new files only; otherwise `buildFull`
+    * runs. Either way the build must commit `successRel`, and the ready
+    * generation records its input manifest so the NEXT append can delta
+    * off it. Identity/completeness semantics are unchanged from [[ensure]]
+    * — the delta path only changes who computes the bytes.
+    */
+  def ensureIncremental(tag: String, inputs: Seq[String],
+      successRel: String = "_SUCCESS",
+      baseDir: String = sys.props("java.io.tmpdir"))
+      (buildFull: String => Unit)
+      (buildDelta: (AppendDelta, String) => Unit): String = {
+    val h = resolve(tag, inputs, successRel, baseDir)
+    if (!h.ready) {
+      findAppendDelta(tag, inputs, successRel, baseDir) match {
+        case Some(d) => buildDelta(d, h.dir)
+        case None => buildFull(h.dir)
+      }
+      require(new File(h.dir, successRel).exists(),
+        s"index build '$tag' completed without writing $successRel under " +
+          s"${h.dir} — refusing to treat a markerless build as ready")
+    }
+    val mf = new File(h.dir, ManifestRel)
+    if (!mf.exists()) {
+      val w = new java.io.PrintWriter(mf, "UTF-8")
+      try manifestLines(inputs).foreach(w.println) finally w.close()
+    }
+    h.dir
+  }
 }

@@ -107,7 +107,13 @@ object RangeJoin {
     */
   def mergeIntervals(df: DataFrame, keyCol: String,
       startCol: String, endCol: String): DataFrame = {
-    val sorted = df.groupBy(keyCol)
+    // A null-bounded interval contains no points under SQL comparison
+    // semantics, so dropping it preserves the union's point set — and
+    // keeps nulls out of the fold, where `ms > last.me` would evaluate
+    // null and silently route the row into the merge branch.
+    val sorted = df
+      .where(col(startCol).isNotNull && col(endCol).isNotNull)
+      .groupBy(keyCol)
       .agg(sort_array(collect_list(
         struct(col(startCol).cast("long").as("ms"),
           col(endCol).cast("long").as("me")))).as("_ivs"))

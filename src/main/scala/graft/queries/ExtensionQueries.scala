@@ -3263,6 +3263,86 @@ object ExtensionQueries {
              |       b.n_tokens, COALESCE(k.n_kept, 0) AS n_kept,
              |       b.n_tokens - COALESCE(k.n_kept, 0) AS n_removed
              |FROM base b LEFT JOIN kept k USING (doc_id)
-             |ORDER BY b.doc_id""".stripMargin))
+             |ORDER BY b.doc_id""".stripMargin)),
+
+    // XQ105: APPEND-DELTA index refresh — the regime between xq42 (strict
+    // full rebuild every round) and xq98 (build-once over a static corpus):
+    // the corpus GROWS. Generation A (even doc_ids of the non-src3 corpus)
+    // is indexed in full; the odd half then arrives as appended parquet
+    // files, IndexStore.findAppendDelta detects the file-level superset,
+    // and generation 2 hard-links A's index data and MinHash-signatures
+    // ONLY the new files (Dedup.appendBandIndex) — the already-indexed
+    // corpus is never re-read. The probe answers from generation 2; the
+    // oracle states FULL-REBUILD semantics over the whole corpus, so the
+    // hash match IS the proof that probe-after-append ≡ full rebuild.
+    QueryDef("xq105_band_index_append",
+      (s, d) => {
+        val staged = stageAppendedCorpus(s, d)
+        val dir = IndexStore.ensureIncremental("band-inc", Seq(staged))(
+          Dedup.writeBandIndex(s.read.parquet(staged), "text", "doc_id", _))(
+          (delta, nd) => Dedup.appendBandIndex(s, delta, nd, "text", "doc_id"))
+        Dedup.probeBandIndex(s, dir,
+          Tables.documents(s, d).where(col("source") === "src3"),
+          "text", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+              |sh_all AS (SELECT doc_id, source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+              |           FROM t, UNNEST(generate_series(1, len(w)-2)) AS u(i)),
+              |sig AS (SELECT doc_id, source,
+              |  ${mhMin(1)}, ${mhMin(2)},
+              |  ${mhMin(3)}, ${mhMin(4)},
+              |  ${mhMin(5)}, ${mhMin(6)},
+              |  ${mhMin(7)}, ${mhMin(8)}
+              |  FROM sh_all GROUP BY doc_id, source),
+              |bands AS (
+              |  SELECT doc_id, source, 0 AS band_id, mh1 || '|' || mh2 AS band_key FROM sig
+              |  UNION ALL SELECT doc_id, source, 1, mh3 || '|' || mh4 FROM sig
+              |  UNION ALL SELECT doc_id, source, 2, mh5 || '|' || mh6 FROM sig
+              |  UNION ALL SELECT doc_id, source, 3, mh7 || '|' || mh8 FROM sig)
+              |SELECT b.doc_id, MIN(c.doc_id) AS corpus_match,
+              |       CAST(COUNT(DISTINCT c.doc_id) AS BIGINT) AS n_matches
+              |FROM bands b JOIN bands c
+              |  ON b.band_id = c.band_id AND b.band_key = c.band_key
+              | AND b.source = 'src3' AND c.source <> 'src3'
+              |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin))
   )
+
+  /** xq105's two-generation staged corpus: generation A (even doc_ids of
+    * the non-src3 corpus) written first and indexed in full, generation B
+    * (odd doc_ids) APPENDED as new parquet files — a real file-level
+    * append of one growing table. Keyed by the SF documents identity, so
+    * re-runs of a fully staged corpus skip straight to the ready index;
+    * a half-staged leftover (crash before the B marker) is wiped and
+    * restaged, and the rewrite's fresh mtimes correctly invalidate any
+    * index generation built over the old staging.
+    */
+  private def stageAppendedCorpus(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val srcPath = new java.io.File(d, "documents.parquet").toString
+    val staged = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-band-stage-${IndexStore.identityKey(Seq(srcPath))}")
+    val done = new java.io.File(staged, "_graft_staged_b")
+    if (!done.exists()) {
+      def wipe(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+        f.delete(); ()
+      }
+      wipe(staged)
+      val docs = Tables.documents(s, d).where(col("source") =!= "src3")
+      docs.where(pmod(col("doc_id"), lit(2)) === 0)
+        .write.mode("overwrite").parquet(staged.toString)
+      // generation 1: full build over the A-only corpus; its recorded
+      // manifest is what generation 2's delta detection runs against.
+      IndexStore.ensureIncremental("band-inc", Seq(staged.toString))(
+        Dedup.writeBandIndex(s.read.parquet(staged.toString),
+          "text", "doc_id", _))(
+        (delta, nd) => Dedup.appendBandIndex(s, delta, nd, "text", "doc_id"))
+      docs.where(pmod(col("doc_id"), lit(2)) === 1)
+        .write.mode("append").parquet(staged.toString)
+      done.createNewFile()
+    }
+    staged.toString
+  }
 }

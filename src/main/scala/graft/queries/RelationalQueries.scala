@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -32,6 +33,116 @@ object RelationalQueries {
       |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
       |GROUP BY n.n_name
       |ORDER BY n.n_name""".stripMargin
+
+  /** Union path triggers only past this many lineitem rows — below it the
+    * pair stream is small enough that the default two-level aggregate's
+    * (window, order) dedup costs less than the merge machinery's extra
+    * per-order shuffle (measured: sf0.1/sf1 are default-path territory,
+    * sf5's ~30M-row pair join is where the dedup shuffle dominates).
+    */
+  private val Rq29UnionRowGate = 20000000L
+
+  /** Union path also requires the per-order line count to stay row-sized:
+    * mergeIntervals collects each key's intervals into ONE array value, so
+    * a key with millions of intervals would build a row-width blob. TPC-H
+    * bounds lines-per-order at 7; the cap guards non-TPC-H shaped inputs.
+    */
+  private val Rq29PerKeyCap = 100000L
+
+  /** rq29's plan: two hash-identical paths behind a size gate.
+    *
+    * Shared shape — audit windows `w` (every 997th order, [ws, ws+29] in
+    * epoch days) against lineitem transit intervals [ls, ls+floor(qty)];
+    * per window: pair count, distinct-order count, earliest ship day.
+    *
+    * DEFAULT path (small inputs): RangeJoin.overlapJoin pairs + a two-level
+    * exact aggregate. Level 1 collapses pairs to distinct (window, order)
+    * rows — the single-pass count+countDistinct+min form would plan an
+    * Expand that triples the pair stream before any reduction — level 2 is
+    * per-window cardinality.
+    *
+    * UNION path (large inputs): n_lines/first_ship_day reduce the pair
+    * stream in ONE level (no distinct anywhere in the plan); n_orders
+    * avoids the (window, order) dedup shuffle entirely. A window [ws,ws+29]
+    * overlaps [ls,le] iff the POINT ws lies in the dilated interval
+    * [ls-29, le], so merging each order's dilated intervals into a disjoint
+    * set (RangeJoin.mergeIntervals) turns "window overlaps order" into a
+    * point containment that holds in at most ONE merged interval per
+    * order — pointInIntervalJoin emits each (window, order) exactly once
+    * with nothing but the per-order merge shuffle, whose payload is bounded
+    * by lines-per-order (the gate's second condition), never by window
+    * fan-out. Both final aggregates are window-sized; the join between them
+    * is inner and loss-free (a window with an overlapping line has an
+    * overlapping order and vice versa).
+    *
+    * `unionPath = Some(b)` pins the branch (Rq29PathSpec proves both paths
+    * hash-identical); `None` gates on measured input size: total lineitem
+    * rows (a parquet-metadata count) and, only once that passes, the exact
+    * max lines-per-order (one map-side-combined count shuffle of a single
+    * long column — noise next to the 20M-pair join it decides about).
+    */
+  private[graft] def rq29Plan(s: SparkSession, d: String,
+      unionPath: Option[Boolean]): DataFrame = {
+    val epoch = lit("1970-01-01").cast("date")
+    val w = Tables.orders(s, d)
+      .where(col("o_orderkey") % 997 === 0)
+      .select(col("o_orderkey").as("window_id"),
+        datediff(col("o_orderdate").cast("date"), epoch).cast("long").as("ws"))
+      .withColumn("we", col("ws") + lit(29L))
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"),
+        datediff(col("l_shipdate").cast("date"), epoch).cast("long").as("ls"),
+        floor(col("l_quantity")).as("qd"))
+      .withColumn("le", col("ls") + col("qd"))
+      .drop("qd")
+    val useUnion = unionPath.getOrElse {
+      Tables.lineitem(s, d).count() >= Rq29UnionRowGate && {
+        val mx = li.groupBy("l_orderkey").count()
+          .agg(max(col("count"))).first().getLong(0)
+        mx <= Rq29PerKeyCap
+      }
+    }
+    if (!useUnion) {
+      graft.operators.RangeJoin.overlapJoin(li, w,
+        "ls", "le", "ws", "we", binWidth = 32L)
+        .groupBy("window_id", "l_orderkey")
+        .agg(count(lit(1)).as("c"), min(col("ls")).as("mls"))
+        .groupBy("window_id")
+        .agg(sum(col("c")).as("n_lines"),
+          count(lit(1)).as("n_orders"),
+          min(col("mls")).as("first_ship_day"))
+        .orderBy("window_id")
+    } else {
+      val lineAgg = graft.operators.RangeJoin.overlapJoin(li, w,
+        "ls", "le", "ws", "we", binWidth = 32L)
+        .groupBy("window_id")
+        .agg(count(lit(1)).as("n_lines"),
+          min(col("ls")).as("first_ship_day"))
+      val dilated = li.select(col("l_orderkey"),
+        (col("ls") - lit(29L)).as("ds"), col("le").as("de"))
+      val merged = graft.operators.RangeJoin.mergeIntervals(
+        dilated, "l_orderkey", "ds", "de")
+      val orderAgg = graft.operators.RangeJoin.pointInIntervalJoin(
+        w.select(col("window_id"), col("ws")), merged,
+        "ws", "ds", "de", binWidth = 32L)
+        .groupBy("window_id")
+        .agg(count(lit(1)).as("n_orders"))
+      lineAgg.join(orderAgg, "window_id")
+        .select(col("window_id"), col("n_lines"), col("n_orders"),
+          col("first_ship_day"))
+        .orderBy("window_id")
+    }
+  }
+
+
+  /** The oracle-side twin of [[partsupp]] — a CTE spliced into the Q2/Q9/
+    * Q20 oracle SQL.
+    */
+  private val PartsuppCte: String =
+    """ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |  CAST((l_partkey * 7919 + l_suppkey * 4547) % 900 + 100 AS BIGINT) AS ps_supplycost,
+      |  CAST((l_partkey * 31 + l_suppkey * 17) % 10000 AS BIGINT) AS ps_availqty
+      |  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem))""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -1043,6 +1154,258 @@ object RelationalQueries {
       Some(s"""SELECT l_returnflag,
               |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
               |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
-              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
+              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // RQ48: TPC-H Q2 (minimum-cost supplier) — the correlated-min-subquery
+    // classic. Spark states the correlation as a per-part window min over
+    // the region-restricted supplier pool; the part filters are applied
+    // BEFORE the window (the per-part min is unaffected by filtering the
+    // part dimension, and the window shuffle shrinks ~100x). The oracle
+    // keeps the textbook decorrelated min-join form.
+    QueryDef("rq48_tpch_q2",
+      (s, d) => {
+        val eu = partsupp(s, d)
+          .join(Tables.part(s, d)
+            .where(col("p_size") === 5 && col("p_type") === "STANDARD")
+            .select("p_partkey", "p_name"),
+            col("ps_partkey") === col("p_partkey"))
+          .join(Tables.supplier(s, d), col("ps_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, d)),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d).where(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+        eu.withColumn("_min",
+            min(col("ps_supplycost")).over(Window.partitionBy(col("ps_partkey"))))
+          .where(col("ps_supplycost") === col("_min"))
+          .select(col("s_acctbal"), col("s_name"), col("n_name"),
+            col("p_partkey"), col("p_name"),
+            col("ps_suppkey").as("s_suppkey"),
+            col("ps_supplycost").as("supplycost"))
+          .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+            col("p_partkey"), col("s_suppkey"))
+          .limit(100)
+      },
+      Some(s"""WITH $PartsuppCte,
+              |eu AS (SELECT ps.ps_partkey, ps.ps_suppkey, ps.ps_supplycost,
+              |         s.s_name, s.s_acctbal, n.n_name
+              |       FROM ps
+              |       JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+              |       JOIN nation n ON s.s_nationkey = n.n_nationkey
+              |       JOIN region r ON n.n_regionkey = r.r_regionkey
+              |       WHERE r.r_name = 'EUROPE')
+              |SELECT e.s_acctbal, e.s_name, e.n_name,
+              |       p.p_partkey, p.p_name,
+              |       e.ps_suppkey AS s_suppkey, e.ps_supplycost AS supplycost
+              |FROM eu e
+              |JOIN part p ON e.ps_partkey = p.p_partkey
+              |WHERE p.p_size = 5 AND p.p_type = 'STANDARD'
+              |  AND e.ps_supplycost = (SELECT MIN(e2.ps_supplycost) FROM eu e2
+              |                         WHERE e2.ps_partkey = e.ps_partkey)
+              |ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey, s_suppkey
+              |LIMIT 100""".stripMargin)),
+
+    // RQ49: TPC-H Q8 (national market share) — two roles for nation (the
+    // customer's nation restricts the market via region, the supplier's
+    // nation is the share dimension), a CASE'd numerator over a shared
+    // denominator, both exact-decimal sums divided once as doubles.
+    QueryDef("rq49_tpch_q8",
+      (s, d) => {
+        val rev = d2("l_extendedprice") *
+          (lit(1) - col("l_discount").cast(DecimalType(4, 2)))
+        val custNation = Tables.nation(s, d)
+          .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
+        val suppNation = Tables.nation(s, d)
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+        Tables.lineitem(s, d)
+          .join(Tables.part(s, d).where(col("p_type") === "PROMO")
+            .select("p_partkey"), col("l_partkey") === col("p_partkey"))
+          .join(Tables.orders(s, d)
+            .where(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+              col("o_orderdate") < to_timestamp(lit("1998-01-01"))),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(custNation), col("c_nationkey") === col("cn_key"))
+          .join(broadcast(Tables.region(s, d).where(col("r_name") === "AMERICA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+          .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg((sum(when(col("supp_nation") === "NATION_7", rev)
+              .otherwise(lit(0))).cast("double") /
+            sum(rev).cast("double")).as("mkt_share"))
+          .orderBy("o_year")
+      },
+      Some("""SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             |  CAST(SUM(CASE WHEN n2.n_name = 'NATION_7'
+             |        THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+             |        ELSE 0 END) AS DOUBLE)
+             |  / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             |    AS mkt_share
+             |FROM lineitem l
+             |JOIN part p ON l.l_partkey = p.p_partkey
+             |JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |JOIN customer c ON o.o_custkey = c.c_custkey
+             |JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+             |JOIN region r ON n1.n_regionkey = r.r_regionkey
+             |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+             |JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+             |WHERE p.p_type = 'PROMO' AND r.r_name = 'AMERICA'
+             |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // RQ50: TPC-H Q9 (product-type profit) — the six-table profit rollup;
+    // the profit expression mixes the revenue decimal with the derived
+    // supply cost (integer dollars x integral quantity, exact in double,
+    // cast to decimal before the order-free sum).
+    QueryDef("rq50_tpch_q9",
+      (s, d) => {
+        val amount = d2("l_extendedprice") *
+          (lit(1) - col("l_discount").cast(DecimalType(4, 2))) -
+          (col("ps_supplycost") * col("l_quantity")).cast(DecimalType(18, 2))
+        Tables.lineitem(s, d)
+          .join(Tables.part(s, d).where(col("p_name").startsWith("red"))
+            .select("p_partkey"), col("l_partkey") === col("p_partkey"))
+          .join(partsupp(s, d),
+            col("l_partkey") === col("ps_partkey") &&
+              col("l_suppkey") === col("ps_suppkey"))
+          .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, d)),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("n_name").as("nation"),
+            year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(sum(amount).cast("double").as("sum_profit"))
+          .orderBy(col("nation"), col("o_year").desc)
+      },
+      Some(s"""WITH $PartsuppCte
+              |SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+              |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+              |           - CAST(ps.ps_supplycost * l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit
+              |FROM lineitem l
+              |JOIN part p ON l.l_partkey = p.p_partkey
+              |JOIN ps ON l.l_partkey = ps.ps_partkey AND l.l_suppkey = ps.ps_suppkey
+              |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              |JOIN nation n ON s.s_nationkey = n.n_nationkey
+              |JOIN orders o ON l.l_orderkey = o.o_orderkey
+              |WHERE p.p_name LIKE 'red%'
+              |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin)),
+
+    // RQ51: TPC-H Q20 (potential part promotion) — the nested
+    // semi-join-over-aggregate: suppliers whose available quantity exceeds
+    // half of what they actually shipped of the flagged parts in 1997.
+    // The correlated scalar SUM decorates to a (part, supplier) aggregate
+    // joined back; the NULL-comparison-excludes semantics of the scalar
+    // form is an inner join here (a pair with no 1997 shipments never
+    // qualifies). availqty > 0.5*sum is stated as 2*availqty > sum — all
+    // integer, no float boundary.
+    QueryDef("rq51_tpch_q20",
+      (s, d) => {
+        val shipped = Tables.lineitem(s, d)
+          .where(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+            col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(col("l_quantity").cast("long")).as("shipped_qty"))
+        val eligible = partsupp(s, d)
+          .join(Tables.part(s, d).where(col("p_name").startsWith("small"))
+            .select("p_partkey"),
+            col("ps_partkey") === col("p_partkey"), "left_semi")
+          .join(shipped, col("ps_partkey") === col("l_partkey") &&
+            col("ps_suppkey") === col("l_suppkey"))
+          .where(col("ps_availqty") * 2 > col("shipped_qty"))
+          .select(col("ps_suppkey"))
+        Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d).where(col("n_name") === "NATION_3")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(eligible, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+          .select("s_suppkey", "s_name", "s_acctbal")
+          .orderBy("s_suppkey")
+      },
+      Some(s"""WITH $PartsuppCte
+              |SELECT s.s_suppkey, s.s_name, s.s_acctbal
+              |FROM supplier s
+              |JOIN nation n ON s.s_nationkey = n.n_nationkey
+              |WHERE n.n_name = 'NATION_3'
+              |  AND s.s_suppkey IN (
+              |    SELECT ps_suppkey FROM ps
+              |    WHERE ps_partkey IN (SELECT p_partkey FROM part
+              |                         WHERE p_name LIKE 'small%')
+              |      AND ps_availqty * 2 > (
+              |        SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+              |        FROM lineitem
+              |        WHERE l_partkey = ps.ps_partkey AND l_suppkey = ps.ps_suppkey
+              |          AND l_shipdate >= TIMESTAMP '1997-01-01'
+              |          AND l_shipdate <  TIMESTAMP '1998-01-01'))
+              |ORDER BY s.s_suppkey""".stripMargin)),
+
+    // RQ52: TPC-H Q21 (suppliers who kept orders waiting) — the
+    // multi-EXISTS self-join: the only supplier of a finished multi-supplier
+    // order whose line shipped late. The schema has no commit/receipt
+    // dates, so "late" is l_shipdate > o_orderdate + 60 days (stated
+    // identically in both engines). EXISTS/NOT EXISTS plan as one
+    // left-semi and one left-anti self-join over the order-joined lines —
+    // both shuffle on l_orderkey, no product anywhere.
+    QueryDef("rq52_tpch_q21",
+      (s, d) => {
+        val lo = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_suppkey", "l_shipdate")
+          .join(Tables.orders(s, d).where(col("o_orderstatus") === "F")
+            .select("o_orderkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+          .withColumn("late",
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        val l1 = lo.where(col("late"))
+        val l2 = lo.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+        val l3 = l1.select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+        l1.join(l2, col("l_orderkey") === col("k2") &&
+            col("l_suppkey") =!= col("s2"), "left_semi")
+          .join(l3, col("l_orderkey") === col("k3") &&
+            col("l_suppkey") =!= col("s3"), "left_anti")
+          .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, d).where(col("n_name") === "NATION_5")),
+            col("s_nationkey") === col("n_nationkey"))
+          .groupBy("s_name")
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(100)
+      },
+      Some("""SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+             |FROM lineitem l1
+             |JOIN orders o ON l1.l_orderkey = o.o_orderkey
+             |JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+             |JOIN nation n ON s.s_nationkey = n.n_nationkey
+             |WHERE o.o_orderstatus = 'F' AND n.n_name = 'NATION_5'
+             |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+             |  AND EXISTS (SELECT 1 FROM lineitem l2
+             |              WHERE l2.l_orderkey = l1.l_orderkey
+             |                AND l2.l_suppkey <> l1.l_suppkey)
+             |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+             |                  WHERE l3.l_orderkey = l1.l_orderkey
+             |                    AND l3.l_suppkey <> l1.l_suppkey
+             |                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+             |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin))
   )
+
+  /** Derived partsupp for rq48/rq50/rq51: the synthetic schema ships no
+    * partsupp table, so the (part, supplier) bridge is the DISTINCT
+    * (l_partkey, l_suppkey) pairs of lineitem, with ps_supplycost (whole
+    * dollars, 100-999) and ps_availqty (units, 0-9999) synthesized by
+    * deterministic integer arithmetic on the keys — stated identically in
+    * [[PartsuppCte]], so both engines derive the same relation bit-for-bit.
+    * What these queries exercise is the TPC-H Q2/Q9/Q20 plan SHAPES
+    * (correlated min subquery, six-table profit rollup, nested
+    * semi-join-over-aggregate), not the column provenance.
+    */
+  private def partsupp(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+      .distinct()
+      .withColumn("ps_supplycost",
+        pmod(col("ps_partkey") * lit(7919L) + col("ps_suppkey") * lit(4547L),
+          lit(900L)) + lit(100L))
+      .withColumn("ps_availqty",
+        pmod(col("ps_partkey") * lit(31L) + col("ps_suppkey") * lit(17L),
+          lit(10000L)))
+
 }

@@ -382,6 +382,46 @@ class DedupSpec extends SparkSpec {
       s"probe should broadcast the batch bands:\n$plan")
   }
 
+  test("append-delta band index == full rebuild, reusing prior files verbatim") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val batch = docs.where($"source" === "src3")
+    val corpus = docs.where($"source" =!= "src3")
+    val a = corpus.where(pmod($"doc_id", lit(2)) === 0)
+    val b = corpus.where(pmod($"doc_id", lit(2)) === 1)
+    val work = java.nio.file.Files.createTempDirectory("graft-band-append")
+    // generation 1: full index over half the corpus
+    val gen1 = new java.io.File(work.toFile, "gen1").toString
+    Dedup.writeBandIndex(a, "text", "doc_id", gen1)
+    // the other half arrives as "appended files": stage it as parquet and
+    // hand appendBandIndex exactly those data files, as findAppendDelta would
+    val bDir = new java.io.File(work.toFile, "b.parquet")
+    b.write.parquet(bDir.toString)
+    val bFiles = bDir.listFiles().filter(f => !f.getName.startsWith("_") &&
+      !f.getName.startsWith(".")).map(_.getAbsolutePath).toSeq
+    val gen2 = new java.io.File(work.toFile, "gen2").toString
+    Dedup.appendBandIndex(spark,
+      operators.IndexStore.AppendDelta(gen1, bFiles), gen2, "text", "doc_id")
+    // the append's job commit is the generation's readiness marker
+    assert(new java.io.File(gen2, "_SUCCESS").exists(),
+      "appendBandIndex must commit _SUCCESS last")
+    // generation 1's files ride along untouched (link, not recompute)
+    val gen1Data = new java.io.File(gen1).listFiles()
+      .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.getName).toSet
+    val gen2Names = new java.io.File(gen2).listFiles().map(_.getName).toSet
+    assert(gen1Data.subsetOf(gen2Names),
+      "prior generation data files must be carried into the new generation")
+    // probe-after-append == probe of a from-scratch full rebuild
+    val full = new java.io.File(work.toFile, "full").toString
+    Dedup.writeBandIndex(corpus, "text", "doc_id", full)
+    val probeAppend = Dedup.probeBandIndex(spark, gen2, batch, "text", "doc_id")
+      .as[(Long, Long, Long)].collect().toSet
+    val probeFull = Dedup.probeBandIndex(spark, full, batch, "text", "doc_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(probeAppend == probeFull && probeAppend.nonEmpty)
+  }
+
   test("dedupGroups auto-promotes to reliable checkpoints and survives cache eviction") {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     spark.sparkContext.setCheckpointDir(ckpt)

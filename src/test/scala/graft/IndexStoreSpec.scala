@@ -116,6 +116,121 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(e.getMessage.contains("_SUCCESS"))
   }
 
+  // ---- append-delta refresh (round 11) ----
+
+  /** ensureIncremental wired to counters; full/delta builds both commit. */
+  private class IncHarness(val base: File, val inDir: File) {
+    var fulls = 0
+    var deltas = Seq.empty[IndexStore.AppendDelta]
+    def run(tag: String = "inc-idx"): String =
+      IndexStore.ensureIncremental(tag, Seq(inDir.toString),
+        baseDir = base.toString) { dir =>
+        fulls += 1
+        new File(dir).mkdirs()
+        Files.write(new File(dir, "_SUCCESS").toPath, Array.empty[Byte])
+      } { (d, dir) =>
+        deltas :+= d
+        new File(dir).mkdirs()
+        Files.write(new File(dir, "_SUCCESS").toPath, Array.empty[Byte])
+      }
+  }
+
+  test("appended file takes the delta path with exactly the new files") {
+    val h = new IncHarness(tmp(), tmp())
+    writeInput(h.inDir, "part-0", "aaa")
+    val g1 = h.run()
+    assert(h.fulls == 1 && h.deltas.isEmpty, "first build is full")
+    val f1 = writeInput(h.inDir, "part-1", "bbbb")
+    val g2 = h.run()
+    assert(g2 != g1, "grown input must be a new generation")
+    assert(h.fulls == 1, "append must NOT trigger a full rebuild")
+    assert(h.deltas.map(d => (d.priorDir, d.newFiles)) ==
+      Seq((g1, Seq(f1.getAbsolutePath))),
+      s"delta must carry the prior generation + only the new file: ${h.deltas}")
+    // a second append deltas off generation 2 (largest covered subset)
+    val f2 = writeInput(h.inDir, "part-2", "ccccc")
+    val g3 = h.run()
+    assert(h.fulls == 1 && h.deltas.size == 2)
+    assert(h.deltas(1).priorDir == g2 && h.deltas(1).newFiles ==
+      Seq(f2.getAbsolutePath))
+    assert(h.run() == g3 && h.fulls == 1 && h.deltas.size == 2,
+      "unchanged rerun is a pure cache hit")
+  }
+
+  test("renamed, removed, or rewritten files force a full rebuild") {
+    // renamed
+    val h1 = new IncHarness(tmp(), tmp())
+    val p0 = writeInput(h1.inDir, "part-0", "aaa")
+    h1.run()
+    assert(p0.renameTo(new File(h1.inDir, "part-0-renamed")))
+    writeInput(h1.inDir, "part-1", "bbb")
+    h1.run()
+    assert(h1.fulls == 2 && h1.deltas.isEmpty,
+      "a renamed file is not an append — must full-rebuild")
+    // removed
+    val h2 = new IncHarness(tmp(), tmp())
+    writeInput(h2.inDir, "part-0", "aaa")
+    val q1 = writeInput(h2.inDir, "part-1", "bbb")
+    h2.run()
+    assert(q1.delete())
+    h2.run()
+    assert(h2.fulls == 2 && h2.deltas.isEmpty,
+      "a removed file is not an append — must full-rebuild")
+    // rewritten in place (different length -> different fingerprint)
+    val h3 = new IncHarness(tmp(), tmp())
+    writeInput(h3.inDir, "part-0", "aaa")
+    h3.run()
+    writeInput(h3.inDir, "part-0", "aaaa-longer")
+    writeInput(h3.inDir, "part-1", "bbb")
+    h3.run()
+    assert(h3.fulls == 2 && h3.deltas.isEmpty,
+      "a rewritten file is not an append — must full-rebuild")
+  }
+
+  test("hidden files (_SUCCESS, .crc) never veto or ride the delta") {
+    val h = new IncHarness(tmp(), tmp())
+    writeInput(h.inDir, "part-0", "aaa")
+    writeInput(h.inDir, "_SUCCESS", "")
+    h.run()
+    // an append rewrites the input's own _SUCCESS — still a delta
+    writeInput(h.inDir, "_SUCCESS", "rewritten-and-longer")
+    writeInput(h.inDir, ".part-1.crc", "junk")
+    val f1 = writeInput(h.inDir, "part-1", "bbb")
+    h.run()
+    assert(h.fulls == 1 && h.deltas.size == 1)
+    assert(h.deltas.head.newFiles == Seq(f1.getAbsolutePath),
+      "hidden files must appear in neither side of the delta")
+  }
+
+  test("a delta off another tag's generation is never taken") {
+    val base = tmp()
+    val inDir = tmp()
+    writeInput(inDir, "part-0", "aaa")
+    val other = new IncHarness(base, inDir)
+    other.run(tag = "inc-idx-v2")
+    writeInput(inDir, "part-1", "bbb")
+    val mine = new IncHarness(base, inDir)
+    mine.run(tag = "inc-idx")
+    assert(mine.fulls == 1 && mine.deltas.isEmpty,
+      "tag 'inc-idx' must not adopt a 'inc-idx-v2' generation")
+  }
+
+  test("linkData carries data files only, and the linked bytes match") {
+    val from = tmp()
+    writeInput(from, "part-0", "payload")
+    writeInput(from, "_SUCCESS", "")
+    writeInput(from, "_graft_inputs.txt", "manifest")
+    val to = new File(tmp(), "gen2")
+    IndexStore.linkData(from.toString, to.toString)
+    assert(new File(to, "part-0").exists())
+    assert(new String(Files.readAllBytes(new File(to, "part-0").toPath),
+      "UTF-8") == "payload")
+    assert(!new File(to, "_SUCCESS").exists(),
+      "the new generation must earn its own commit marker")
+    assert(!new File(to, "_graft_inputs.txt").exists(),
+      "the prior manifest must not masquerade as the new generation's")
+  }
+
   test("missing input and malformed tag are rejected") {
     val base = tmp()
     intercept[IllegalArgumentException] {

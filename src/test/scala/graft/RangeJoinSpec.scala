@@ -136,4 +136,58 @@ class RangeJoinSpec extends SparkSpec {
     assert(RangeJoin.overlapJoin(allNull,
       allNull.toDF("rid", "rs", "re"), "ls", "le", "rs", "re").count() == 0L)
   }
+
+  test("mergeIntervals: overlap, touching, contained, singleton, per-key") {
+    // key 1: [0,10] ∪ [5,20] overlap → [0,20]; [20,25] touches (closed
+    // intervals share point 20) → extends to [0,25]; [30,40] disjoint;
+    // [32,35] contained → absorbed. key 2 must merge independently.
+    val in = Seq(
+      (1L, 0L, 10L), (1L, 5L, 20L), (1L, 20L, 25L), (1L, 30L, 40L),
+      (1L, 32L, 35L), (2L, 100L, 100L)
+    ).toDF("k", "s", "e")
+    val got = RangeJoin.mergeIntervals(in, "k", "s", "e")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 0L, 25L), (1L, 30L, 40L), (2L, 100L, 100L)),
+      s"got $got")
+  }
+
+  test("mergeIntervals: merged set covers the same points, disjointly") {
+    // Randomized ground truth: point p is covered by key k's merged set
+    // iff it was covered by some raw interval — and by EXACTLY ONE merged
+    // interval (the disjointness downstream exactly-once counting needs).
+    val rnd = new scala.util.Random(7)
+    val raw = (0 until 300).map { i =>
+      val s = rnd.nextInt(200).toLong; (rnd.nextInt(4).toLong, s, s + rnd.nextInt(30))
+    }
+    val merged = RangeJoin.mergeIntervals(raw.toDF("k", "s", "e"), "k", "s", "e")
+      .as[(Long, Long, Long)].collect()
+    for (k <- 0L until 4L; p <- 0L until 240L) {
+      val inRaw = raw.exists { case (rk, s, e) => rk == k && s <= p && p <= e }
+      val hits = merged.count { case (mk, s, e) => mk == k && s <= p && p <= e }
+      assert(hits == (if (inRaw) 1 else 0), s"k=$k p=$p hits=$hits inRaw=$inRaw")
+    }
+  }
+
+  test("mergeIntervals: null-bounded intervals are dropped, not merged") {
+    val in = Seq[(Long, java.lang.Long, java.lang.Long)](
+      (1L, 0L, 10L), (1L, null, 50L), (1L, 60L, null), (3L, null, null)
+    ).toDF("k", "s", "e")
+    val got = RangeJoin.mergeIntervals(in, "k", "s", "e")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 0L, 10L)), s"got $got")
+  }
+
+  test("rq29: union path and default path are result-identical") {
+    // The size gate chooses between these two plans at runtime; the
+    // contract is that the choice is invisible in the output. Pin both
+    // branches explicitly and compare full contents on the sf0.001 tables.
+    def rows(u: Boolean) =
+      graft.queries.RelationalQueries.rq29Plan(spark, sf, Some(u))
+        .as[(Long, Long, Long, Long)].collect().toSeq
+    val defaultPath = rows(false)
+    val unionPath = rows(true)
+    assert(defaultPath.nonEmpty, "rq29 must produce windows at sf0.001")
+    assert(defaultPath == unionPath,
+      s"paths diverge: default=${defaultPath.take(3)} union=${unionPath.take(3)}")
+  }
 }
