@@ -231,25 +231,14 @@ object StageProbe {
             min(col("mls")).as("first_ship_day")))
       // interval-union n_orders: a window (fixed length 29) overlaps a line
       // iff ws ∈ [ls-29, le], so an ORDER overlaps iff ws falls in the
-      // UNION of its lines' shifted intervals — merge each order's ≤7
-      // intervals driver-free (array fold), then count merged intervals
+      // UNION of its lines' shifted intervals — merge them with the shipped
+      // window-sweep operator (round 11: replaced the collect_list array
+      // fold, sf5 union branch 7.13 -> 4.20 s), then count merged intervals
       // containing each of the ~150 distinct window starts via the
-      // broadcast point-in-interval join: the distinct never materializes
-      val shifted = li.groupBy("l_orderkey")
-        .agg(sort_array(collect_list(
-          struct((col("ls") - lit(29L)).as("ms"), col("le").as("me"))))
-          .as("ivs"))
-      val emptyIvs = array().cast("array<struct<ms:bigint,me:bigint>>")
-      val merged = shifted.select(col("l_orderkey"),
-        explode(aggregate(col("ivs"), emptyIvs,
-          (acc, x) => when(size(acc) === 0 ||
-              x.getField("ms") > element_at(acc, -1).getField("me"),
-            concat(acc, array(x)))
-            .otherwise(concat(slice(acc, lit(1), size(acc) - 1),
-              array(struct(element_at(acc, -1).getField("ms").as("ms"),
-                greatest(element_at(acc, -1).getField("me"),
-                  x.getField("me")).as("me"))))))).as("iv"))
-        .select(col("l_orderkey"), col("iv.ms").as("ms"), col("iv.me").as("me"))
+      // point-in-interval join: the distinct never materializes
+      val merged = RangeJoin.mergeIntervals(
+        li.select(col("l_orderkey"), (col("ls") - lit(29L)).as("ms"),
+          col("le").as("me")), "l_orderkey", "ms", "me")
       timed("order interval-union build")(merged)
       val nOrders = RangeJoin.pointInIntervalJoin(
         w.select("window_id", "ws"), merged, "ws", "ms", "me", binWidth = 32L)
@@ -261,6 +250,11 @@ object StageProbe {
         aggA.join(nOrders, "window_id").orderBy("window_id"))
       timed("full (join+agg+sort)")(SparkEntry.queries("rq29_range_join")(spark, sf))
       timed("full again (steady state)")(SparkEntry.queries("rq29_range_join")(spark, sf))
+      // the two production branches behind rq29's size gate, forced
+      timed("rq29Plan forced DEFAULT branch")(
+        graft.queries.RelationalQueries.rq29Plan(spark, sf, Some(false)))
+      timed("rq29Plan forced UNION branch")(
+        graft.queries.RelationalQueries.rq29Plan(spark, sf, Some(true)))
     }
 
     // xq88/xq94 audio decomposition (round 9): both are map-only decode

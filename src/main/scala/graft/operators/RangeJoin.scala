@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Interval/range joins without a product plan — with [[AsOfJoin]], the
@@ -93,12 +94,26 @@ object RangeJoin {
   /** Per-key disjoint interval union: collapse each key's closed intervals
     * [startCol, endCol] into the minimal set of disjoint intervals covering
     * the same points, one output row per merged interval (same column
-    * names). The classic sweep — sort by start, extend the open interval
-    * while the next start is <= the current end — runs entirely inside the
-    * row via `sort_array` + a SQL `aggregate` fold, so the only exchange is
-    * the per-key `collect_list` shuffle and no state ever reaches the
-    * driver. The per-key interval count must be row-sized (it is collected
-    * into one array value); callers with unbounded keys cap upstream.
+    * names). The classic sweep — sort by start, a new merged group starts
+    * where an interval's start exceeds the running max end of everything
+    * before it — stated as two window functions over the SAME
+    * (key, start-ordered) spec plus a (key, group) min/max aggregate.
+    * ONE exchange total: both windows share one sort, and the window's
+    * hash-by-key partitioning already clusters (key, group), so the
+    * aggregate adds no shuffle. No per-key state is ever collected into a
+    * single row, so per-key interval counts are unbounded — a key with a
+    * billion intervals is just a big sorted partition (AQE skew handling
+    * applies), never a row-width blob.
+    *
+    * Group identity is tie-order-invariant: intervals sharing a start
+    * always land in one group (any of them raises the running max to at
+    * least that start), so equal-start sort nondeterminism cannot move a
+    * group boundary.
+    *
+    * Null-bounded intervals contain no points under SQL comparison
+    * semantics, so they are dropped up front — which also keeps nulls out
+    * of the `start > max(end)` boundary test, where they would silently
+    * merge instead of failing.
     *
     * Disjointness is what downstream counting relies on: a point lies in at
     * most ONE merged interval per key, so `pointInIntervalJoin` against the
@@ -107,27 +122,19 @@ object RangeJoin {
     */
   def mergeIntervals(df: DataFrame, keyCol: String,
       startCol: String, endCol: String): DataFrame = {
-    // A null-bounded interval contains no points under SQL comparison
-    // semantics, so dropping it preserves the union's point set — and
-    // keeps nulls out of the fold, where `ms > last.me` would evaluate
-    // null and silently route the row into the merge branch.
-    val sorted = df
-      .where(col(startCol).isNotNull && col(endCol).isNotNull)
-      .groupBy(keyCol)
-      .agg(sort_array(collect_list(
-        struct(col(startCol).cast("long").as("ms"),
-          col(endCol).cast("long").as("me")))).as("_ivs"))
-    val emptyIvs = array().cast("array<struct<ms:bigint,me:bigint>>")
-    sorted.select(col(keyCol),
-      explode(aggregate(col("_ivs"), emptyIvs,
-        (acc, x) => when(size(acc) === 0 ||
-            x.getField("ms") > element_at(acc, -1).getField("me"),
-          concat(acc, array(x)))
-          .otherwise(concat(slice(acc, lit(1), size(acc) - 1),
-            array(struct(element_at(acc, -1).getField("ms").as("ms"),
-              greatest(element_at(acc, -1).getField("me"),
-                x.getField("me")).as("me"))))))).as("_iv"))
-      .select(col(keyCol), col("_iv.ms").as(startCol), col("_iv.me").as(endCol))
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col("_ms"))
+    val prevMaxEnd = max(col("_me"))
+      .over(byKey.rowsBetween(Window.unboundedPreceding, -1))
+    df.where(col(startCol).isNotNull && col(endCol).isNotNull)
+      .select(col(keyCol), col(startCol).cast("long").as("_ms"),
+        col(endCol).cast("long").as("_me"))
+      .withColumn("_new",
+        when(prevMaxEnd.isNull || col("_ms") > prevMaxEnd, 1L).otherwise(0L))
+      .withColumn("_grp",
+        sum(col("_new")).over(byKey.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(keyCol), col("_grp"))
+      .agg(min(col("_ms")).as(startCol), max(col("_me")).as(endCol))
+      .select(col(keyCol), col(startCol), col(endCol))
   }
 
   /** Point-in-interval join: each row of `points` matched to every row of

@@ -34,20 +34,16 @@ object RelationalQueries {
       |GROUP BY n.n_name
       |ORDER BY n.n_name""".stripMargin
 
-  /** Union path triggers only past this many lineitem rows — below it the
-    * pair stream is small enough that the default two-level aggregate's
+  /** Union path triggers only past this much lineitem parquet — below it
+    * the pair stream is small enough that the default two-level aggregate's
     * (window, order) dedup costs less than the merge machinery's extra
-    * per-order shuffle (measured: sf0.1/sf1 are default-path territory,
-    * sf5's ~30M-row pair join is where the dedup shuffle dominates).
+    * per-order shuffle (StageProbe rq29: sf1/113 MB default 1.68 s vs
+    * union 1.54 s — a wash; sf5/543 MB default 11.1 s vs union 4.2 s).
+    * Bytes, not rows: file-status metadata costs no Spark job at all,
+    * where even a parquet-footer count() is a ~0.1-0.2 s job that every
+    * execution of the gate would pay.
     */
-  private val Rq29UnionRowGate = 20000000L
-
-  /** Union path also requires the per-order line count to stay row-sized:
-    * mergeIntervals collects each key's intervals into ONE array value, so
-    * a key with millions of intervals would build a row-width blob. TPC-H
-    * bounds lines-per-order at 7; the cap guards non-TPC-H shaped inputs.
-    */
-  private val Rq29PerKeyCap = 100000L
+  private val Rq29UnionByteGate = 300L << 20
 
   /** rq29's plan: two hash-identical paths behind a size gate.
     *
@@ -69,17 +65,19 @@ object RelationalQueries {
     * set (RangeJoin.mergeIntervals) turns "window overlaps order" into a
     * point containment that holds in at most ONE merged interval per
     * order — pointInIntervalJoin emits each (window, order) exactly once
-    * with nothing but the per-order merge shuffle, whose payload is bounded
-    * by lines-per-order (the gate's second condition), never by window
-    * fan-out. Both final aggregates are window-sized; the join between them
+    * with nothing but the per-order merge shuffle, whose cost scales with
+    * lineitem rows, never with window fan-out or per-order line counts.
+    * Both final aggregates are window-sized; the join between them
     * is inner and loss-free (a window with an overlapping line has an
     * overlapping order and vice versa).
     *
-    * `unionPath = Some(b)` pins the branch (Rq29PathSpec proves both paths
-    * hash-identical); `None` gates on measured input size: total lineitem
-    * rows (a parquet-metadata count) and, only once that passes, the exact
-    * max lines-per-order (one map-side-combined count shuffle of a single
-    * long column — noise next to the 20M-pair join it decides about).
+    * `unionPath = Some(b)` pins the branch (RangeJoinSpec proves both
+    * paths result-identical); `None` gates on lineitem's on-disk bytes —
+    * pure file-status metadata, no Spark job. No per-key bound is needed:
+    * the window-sweep mergeIntervals never collects a key's intervals into
+    * one row, so per-order line counts are unbounded by construction
+    * (StageProbe rq29 at sf5: a separate exact max-per-key pass cost
+    * ~2.7 s — measured and removed when the sweep made it unnecessary).
     */
   private[graft] def rq29Plan(s: SparkSession, d: String,
       unionPath: Option[Boolean]): DataFrame = {
@@ -96,11 +94,9 @@ object RelationalQueries {
       .withColumn("le", col("ls") + col("qd"))
       .drop("qd")
     val useUnion = unionPath.getOrElse {
-      Tables.lineitem(s, d).count() >= Rq29UnionRowGate && {
-        val mx = li.groupBy("l_orderkey").count()
-          .agg(max(col("count"))).first().getLong(0)
-        mx <= Rq29PerKeyCap
-      }
+      val p = new org.apache.hadoop.fs.Path(d, "lineitem.parquet")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.getContentSummary(p).getLength >= Rq29UnionByteGate
     }
     if (!useUnion) {
       graft.operators.RangeJoin.overlapJoin(li, w,

@@ -177,6 +177,17 @@ class RangeJoinSpec extends SparkSpec {
     assert(got == Set((1L, 0L, 10L)), s"got $got")
   }
 
+  test("mergeIntervals plans ONE exchange: the group-by reuses the window's") {
+    // The window's hash-by-key partitioning already clusters (key, group),
+    // so the min/max aggregate must not add a second shuffle — the
+    // operator's whole cost model rests on this.
+    val in = Seq((1L, 0L, 10L), (1L, 5L, 20L), (2L, 7L, 9L)).toDF("k", "s", "e")
+    val plan = RangeJoin.mergeIntervals(in, "k", "s", "e")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly 1 exchange, got $exchanges:\n$plan")
+  }
+
   test("rq29: union path and default path are result-identical") {
     // The size gate chooses between these two plans at runtime; the
     // contract is that the choice is invisible in the output. Pin both
