@@ -335,6 +335,8 @@ object StageProbe {
         .where(col("doc_a") < col("doc_b"))
         .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c_cold"))
       timed("cold pair self-join")(coldCounts)
+      println(f"STAGE  shingle rows / candidate pairs  " +
+        f"${sh.count()}%d / ${coldCounts.count()}%d")
       val perDoc = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
         .join(hot.groupBy("doc_id").agg(count(lit(1)).as("n_hot")),
           Seq("doc_id"), "left")
