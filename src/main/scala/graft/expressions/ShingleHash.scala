@@ -67,11 +67,19 @@ case class ShingleHashes(child: Expression, n: Int, prefix: String)
     copy(child = newChild)
 }
 
-/** Fused MinHash signature: `array<long>` of k values, element j-1 =
-  * min over all word-n-grams of md5p60((j).toString || shingle) — the
-  * whole `minhashSignatures` aggregation as ONE narrow projection: no
-  * shingle explode, no per-doc groupBy exchange, one tokenization pass
-  * and k digests per shingle (the k digests were always the floor).
+/** Fused MinHash signature: `array<long>` of k values — the whole
+  * `minhashSignatures` aggregation as ONE narrow projection: no shingle
+  * explode, no per-doc groupBy exchange, one tokenization pass.
+  *
+  * The permutation family is TWO 60-bit windows per md5 digest (round 11):
+  * digest j = md5((j).toString || shingle) supplies slot 2j-1 from hex
+  * chars 1-15 (bits 127-68) and slot 2j from hex chars 17-31 (bits 63-4),
+  * so k hash functions cost k/2 digests — the digests were always the
+  * measured floor of the shingle family, and the windows are
+  * non-overlapping bit ranges of a digest, the standard
+  * one-hash-many-windows MinHash construction. The DuckDB twin applies
+  * the identical `substr(d, 1, 15)` / `substr(d, 17, 15)` windows, so
+  * signatures stay oracle-exact (k must be even).
   *
   * Docs with fewer than n tokens return NULL (the exploded+groupBy form
   * dropped them — callers filter `isNotNull`, preserving row semantics).
@@ -84,8 +92,10 @@ case class ShingleMinHash(child: Expression, n: Int, k: Int)
   override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType if n >= 1 && k >= 1 => TypeCheckResult.TypeCheckSuccess
-    case StringType => TypeCheckResult.TypeCheckFailure(s"need n,k >= 1; got n=$n k=$k")
+    case StringType if n >= 1 && k >= 2 && k % 2 == 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"need n >= 1 and even k >= 2 (two windows per digest); got n=$n k=$k")
     case t => TypeCheckResult.TypeCheckFailure(
       s"shingle_minhash needs a string input, got $t")
   }
@@ -187,18 +197,31 @@ object ShingleHash {
     starts
   }
 
-  private def digestSpan(digest: MessageDigest, out: Array[Byte],
-      prefix: Array[Byte], bytes: Array[Byte], from: Int, until: Int): Long = {
+  private def fillDigest(digest: MessageDigest, out: Array[Byte],
+      prefix: Array[Byte], bytes: Array[Byte], from: Int, until: Int): Unit = {
     digest.reset()
     if (prefix.length > 0) digest.update(prefix)
     digest.update(bytes, from, until - from)
     digest.digest(out, 0, 16)
-    val top =
-      ((out(0) & 0xFFL) << 56) | ((out(1) & 0xFFL) << 48) |
-      ((out(2) & 0xFFL) << 40) | ((out(3) & 0xFFL) << 32) |
-      ((out(4) & 0xFFL) << 24) | ((out(5) & 0xFFL) << 16) |
-      ((out(6) & 0xFFL) << 8) | (out(7) & 0xFFL)
-    top >>> 4
+  }
+
+  /** 60-bit window starting at byte `o` of a digest: 8 big-endian bytes
+    * right-shifted a nibble — byte windows 0 and 8 are exactly the SQL
+    * idioms `substr(md5_hex, 1, 15)` and `substr(md5_hex, 17, 15)`.
+    */
+  private def window60(out: Array[Byte], o: Int): Long = {
+    val v =
+      ((out(o) & 0xFFL) << 56) | ((out(o + 1) & 0xFFL) << 48) |
+      ((out(o + 2) & 0xFFL) << 40) | ((out(o + 3) & 0xFFL) << 32) |
+      ((out(o + 4) & 0xFFL) << 24) | ((out(o + 5) & 0xFFL) << 16) |
+      ((out(o + 6) & 0xFFL) << 8) | (out(o + 7) & 0xFFL)
+    v >>> 4
+  }
+
+  private def digestSpan(digest: MessageDigest, out: Array[Byte],
+      prefix: Array[Byte], bytes: Array[Byte], from: Int, until: Int): Long = {
+    fillDigest(digest, out, prefix, bytes, from, until)
+    window60(out, 0)
   }
 
   /** All n-gram hashes in token order (empty array if < n tokens). */
@@ -219,14 +242,17 @@ object ShingleHash {
     UnsafeArrayData.fromPrimitiveArray(res)
   }
 
-  /** k-seed MinHash mins over the n-gram hashes (null if < n tokens). */
+  /** k-slot MinHash mins over the n-gram hashes — k/2 digests, two 60-bit
+    * windows each (null if < n tokens; k even, checked by the expression).
+    */
   def minhash(s: UTF8String, n: Int, k: Int): ArrayData = {
     val bytes = s.getBytes
     val starts = tokenStarts(bytes)
     val nToks = starts.length - 1
     val nSh = nToks - n + 1
     if (nSh <= 0) return null
-    val pre = seeds(k)
+    val nSeeds = k / 2
+    val pre = seeds(nSeeds)
     val digest = md.get()
     val out = buf.get()
     val mins = Array.fill(k)(Long.MaxValue)
@@ -235,9 +261,12 @@ object ShingleHash {
       val from = starts(i)
       val until = starts(i + n) - 1
       var j = 0
-      while (j < k) {
-        val h = digestSpan(digest, out, pre(j), bytes, from, until)
-        if (h < mins(j)) mins(j) = h
+      while (j < nSeeds) {
+        fillDigest(digest, out, pre(j), bytes, from, until)
+        val hi = window60(out, 0)
+        val lo = window60(out, 8)
+        if (hi < mins(2 * j)) mins(2 * j) = hi
+        if (lo < mins(2 * j + 1)) mins(2 * j + 1) = lo
         j += 1
       }
       i += 1

@@ -32,18 +32,22 @@ object Dedup {
   val BandSize = 2
 
   /** MinHash signatures: one row per doc with `mh1..mhK` LONG columns.
-    * The 60-bit md5 prefix of (seed || shingle) acts as the random
-    * permutation; min over the unsigned long is engine-portable (DuckDB
-    * twin: `MIN(CAST('0x' || substr(md5(seed||shingle), 1, 15) AS BIGINT))`).
+    * The permutation family is two 60-bit windows per md5 digest —
+    * mh_{2j-1}/mh_{2j} are hex chars 1-15 and 17-31 of md5(j || shingle) —
+    * so the K slots cost K/2 digests (round 11: the digests were the
+    * measured floor of the whole shingle family; halving them took xq05
+    * from 11.27 to 6.59 s at sf5, xq06 12.41 -> 7.76 s = 0.68x DuckDB —
+    * with the DuckDB twin applying the identical windows, so signatures
+    * stay oracle-exact). Min over the unsigned long is engine-portable.
     *
     * Plan shape (round 4): the whole signature is ONE narrow projection —
     * the fused [[graft.expressions.ShingleMinHash]] expression tokenizes
-    * the doc once and folds the K digests per n-gram byte-span into
-    * running mins, so the former shingle Generate (a k·30-byte-string
-    * row blow-up) and the per-doc groupBy exchange are both gone. At
-    * 100 TB this is embarrassingly parallel map work with no shuffle.
-    * (Round 3 had already moved hex-string mins to long mins; the explode
-    * + exchange was the remaining cost.)
+    * the doc once and folds the per-n-gram digests into running mins, so
+    * the former shingle Generate (a k·30-byte-string row blow-up) and the
+    * per-doc groupBy exchange are both gone. At 100 TB this is
+    * embarrassingly parallel map work with no shuffle. (Round 3 had
+    * already moved hex-string mins to long mins; the explode + exchange
+    * was the remaining cost.)
     */
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3): DataFrame = {

@@ -90,19 +90,29 @@ object ExtensionQueries {
        |  FROM sh_all)""".stripMargin
 
   /** 60-bit-long minhash twin of Dedup.minhashSignatures (round 3: hex
-    * strings → unsigned 60-bit longs, mirroring the native Md5Prefix60).
+    * strings → unsigned 60-bit longs, mirroring the native Md5Prefix60;
+    * round 11: TWO windows per digest — mh_{2j-1}/mh_{2j} are hex chars
+    * 1-15 and 17-31 of digest d_j = md5(j||shingle), so the 8 slots cost
+    * 4 md5 calls per shingle in BOTH engines. The mhd subquery
+    * materializes each digest once so DuckDB cannot pay it twice.)
     */
-  private def mhMin(k: Int) =
-    s"MIN(CAST('0x' || substr(md5('$k'||shingle), 1, 15) AS BIGINT)) AS mh$k"
+  private def mhW(j: Int) =
+    s"MIN(CAST('0x' || substr(d$j, 1, 15) AS BIGINT)) AS mh${2 * j - 1}, " +
+      s"MIN(CAST('0x' || substr(d$j, 17, 15) AS BIGINT)) AS mh${2 * j}"
+
+  private def mhDigests(extraCols: String = "") =
+    s"SELECT doc_id$extraCols, md5('1'||shingle) AS d1, md5('2'||shingle) AS d2, " +
+      "md5('3'||shingle) AS d3, md5('4'||shingle) AS d4 FROM sh_all"
 
   private val minhashSigCte =
     s"""$shingleCte,
+       |mhd AS (${mhDigests()}),
        |sig AS (SELECT doc_id,
-       |  ${mhMin(1)}, ${mhMin(2)},
-       |  ${mhMin(3)}, ${mhMin(4)},
-       |  ${mhMin(5)}, ${mhMin(6)},
-       |  ${mhMin(7)}, ${mhMin(8)}
-       |  FROM sh_all GROUP BY doc_id)""".stripMargin
+       |  ${mhW(1)},
+       |  ${mhW(2)},
+       |  ${mhW(3)},
+       |  ${mhW(4)}
+       |  FROM mhd GROUP BY doc_id)""".stripMargin
 
   /** DuckDB twin of Dedup.minhashCandidatePairs (xq67/xq69): signatures →
     * band keys → distinct candidate pairs in `pairs(doc_a, doc_b)`, a < b.
@@ -1160,12 +1170,13 @@ object ExtensionQueries {
       Some(s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
               |sh_all AS (SELECT doc_id, source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
               |           FROM t, UNNEST(generate_series(1, len(w)-2)) AS u(i)),
+              |mhd AS (${mhDigests(", source")}),
               |sig AS (SELECT doc_id, source,
-              |  ${mhMin(1)}, ${mhMin(2)},
-              |  ${mhMin(3)}, ${mhMin(4)},
-              |  ${mhMin(5)}, ${mhMin(6)},
-              |  ${mhMin(7)}, ${mhMin(8)}
-              |  FROM sh_all GROUP BY doc_id, source),
+              |  ${mhW(1)},
+              |  ${mhW(2)},
+              |  ${mhW(3)},
+              |  ${mhW(4)}
+              |  FROM mhd GROUP BY doc_id, source),
               |bands AS (
               |  SELECT doc_id, source, 0 AS band_id, mh1 || '|' || mh2 AS band_key FROM sig
               |  UNION ALL SELECT doc_id, source, 1, mh3 || '|' || mh4 FROM sig
@@ -3060,7 +3071,7 @@ object ExtensionQueries {
     QueryDef("xq98_band_index_probe",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val dir = tableIndex("band-index", d, "documents", "_SUCCESS")(
+        val dir = tableIndex("band-index-w2", d, "documents", "_SUCCESS")(
           Dedup.writeBandIndex(docs.where(col("source") =!= "src3"),
             "text", "doc_id", _))
         (0L until 3L).map { p =>
@@ -3075,12 +3086,13 @@ object ExtensionQueries {
       Some(s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
               |sh_all AS (SELECT doc_id, source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
               |           FROM t, UNNEST(generate_series(1, len(w)-2)) AS u(i)),
+              |mhd AS (${mhDigests(", source")}),
               |sig AS (SELECT doc_id, source,
-              |  ${mhMin(1)}, ${mhMin(2)},
-              |  ${mhMin(3)}, ${mhMin(4)},
-              |  ${mhMin(5)}, ${mhMin(6)},
-              |  ${mhMin(7)}, ${mhMin(8)}
-              |  FROM sh_all GROUP BY doc_id, source),
+              |  ${mhW(1)},
+              |  ${mhW(2)},
+              |  ${mhW(3)},
+              |  ${mhW(4)}
+              |  FROM mhd GROUP BY doc_id, source),
               |bands AS (
               |  SELECT doc_id, source, 0 AS band_id, mh1 || '|' || mh2 AS band_key FROM sig
               |  UNION ALL SELECT doc_id, source, 1, mh3 || '|' || mh4 FROM sig
@@ -3278,7 +3290,7 @@ object ExtensionQueries {
     QueryDef("xq105_band_index_append",
       (s, d) => {
         val staged = stageAppendedCorpus(s, d)
-        val dir = IndexStore.ensureIncremental("band-inc", Seq(staged))(
+        val dir = IndexStore.ensureIncremental("band-inc-w2", Seq(staged))(
           Dedup.writeBandIndex(s.read.parquet(staged), "text", "doc_id", _))(
           (delta, nd) => Dedup.appendBandIndex(s, delta, nd, "text", "doc_id"))
         Dedup.probeBandIndex(s, dir,
@@ -3289,12 +3301,13 @@ object ExtensionQueries {
       Some(s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
               |sh_all AS (SELECT doc_id, source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
               |           FROM t, UNNEST(generate_series(1, len(w)-2)) AS u(i)),
+              |mhd AS (${mhDigests(", source")}),
               |sig AS (SELECT doc_id, source,
-              |  ${mhMin(1)}, ${mhMin(2)},
-              |  ${mhMin(3)}, ${mhMin(4)},
-              |  ${mhMin(5)}, ${mhMin(6)},
-              |  ${mhMin(7)}, ${mhMin(8)}
-              |  FROM sh_all GROUP BY doc_id, source),
+              |  ${mhW(1)},
+              |  ${mhW(2)},
+              |  ${mhW(3)},
+              |  ${mhW(4)}
+              |  FROM mhd GROUP BY doc_id, source),
               |bands AS (
               |  SELECT doc_id, source, 0 AS band_id, mh1 || '|' || mh2 AS band_key FROM sig
               |  UNION ALL SELECT doc_id, source, 1, mh3 || '|' || mh4 FROM sig
@@ -3335,7 +3348,7 @@ object ExtensionQueries {
         .write.mode("overwrite").parquet(staged.toString)
       // generation 1: full build over the A-only corpus; its recorded
       // manifest is what generation 2's delta detection runs against.
-      IndexStore.ensureIncremental("band-inc", Seq(staged.toString))(
+      IndexStore.ensureIncremental("band-inc-w2", Seq(staged.toString))(
         Dedup.writeBandIndex(s.read.parquet(staged.toString),
           "text", "doc_id", _))(
         (delta, nd) => Dedup.appendBandIndex(s, delta, nd, "text", "doc_id"))
