@@ -257,6 +257,32 @@ object StageProbe {
         graft.queries.RelationalQueries.rq29Plan(spark, sf, Some(true)))
     }
 
+    // xq48 decomposition (round 11): strict bigram-LM quality scoring at
+    // sf5 reads 2.56x — the suspects are (a) the train-side bigram
+    // generate + (w1,w2) count aggregate, (b) the scored-side bigram
+    // stream, (c) the two string-keyed scoring joins, (d) the doc-keyed
+    // quantized-NLL aggregate. Stage rows decide whether the cost is the
+    // string bigram shuffle (hash-keying would help) or the generate/agg
+    // floors (it would not).
+    probe("xq48") {
+      import org.apache.spark.sql.functions.{col => c}
+      val docs = Tables.documents(spark, sf)
+      val train = docs.where(c("source") === "src0")
+      val scored = docs.where(c("source") =!= "src0")
+      def bg(df: org.apache.spark.sql.DataFrame) =
+        df.select(c("doc_id"),
+            explode(graft.expressions.TokenBigrams(c("text"))).as("_b"))
+          .select(c("doc_id"), c("_b.w1").as("w1"), c("_b.w2").as("w2"))
+      timed("train bigram generate")(bg(train))
+      val c12 = bg(train).groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      timed("c12 count aggregate")(c12)
+      timed("scored bigram generate")(bg(scored))
+      timed("score joins + doc agg (full)")(
+        SparkEntry.queries("xq48_lm_quality")(spark, sf))
+      timed("full again (steady state)")(
+        SparkEntry.queries("xq48_lm_quality")(spark, sf))
+    }
+
     // xq88/xq94 audio decomposition (round 9): both are map-only decode
     // chains (ScanPlanSpec), so the stage rows isolate (a) the text scan +
     // UTF-8 bytes, (b) the WAV container encode (2x byte expansion +

@@ -26,9 +26,11 @@ import graft.operators.CacheRegistry.Cacheable
   * Scale shape: LM counts are two hash aggregations keyed by bigram /
   * context (partial aggregation absorbs Zipfian skew). Scoring joins the
   * corpus bigram stream against the count tables keyed the same way; the
-  * reference corpus is fixed-size in the CCNet regime, so at 100 TB those
-  * count tables are broadcast candidates — left to AQE since the tables
-  * here scale with SF. Per-doc assembly is one doc-keyed shuffle.
+  * count tables are vocabulary-bounded, so under a measured row gate they
+  * BROADCAST (round 11: the scored stream — the unbounded side at
+  * 100 TB — no longer shuffles for its lookups; xq48 sf5 8.46 → see
+  * BASELINE) with a shuffle-join fallback past the gate. Per-doc assembly
+  * is one doc-keyed shuffle.
   */
 object NgramLm {
 
@@ -73,6 +75,19 @@ object NgramLm {
     scoreAgainst(docs, textCol, idCol, c12, c1, v)
   }
 
+  /** Count tables up to this many bigram rows broadcast into the scoring
+    * joins. LM count tables are VOCABULARY-bounded, not corpus-bounded
+    * (they grow with distinct token pairs, not rows: measured sf5 = 64.9 k
+    * bigrams / 1.2 k contexts from an 811 k-bigram train slice), so in the
+    * CCNet fixed-reference regime the unbounded scored stream should never
+    * shuffle for its count lookups. The gate is measured, not assumed —
+    * the row count is read off the already-materialized table (cache for
+    * the strict path, parquet metadata for the index path; either way the
+    * count is a no-work job) and an over-cap reference falls back to the
+    * keyed shuffle join.
+    */
+  private val BroadcastCountRows = 5000000L
+
   /** The scoring join, shared verbatim by the strict ([[scoreDocs]]) and
     * amortized ([[scoreLmIndex]]) forms so the two regimes cannot drift:
     * P(w2|w1) assembled from the count tables, −ln P quantized per bigram,
@@ -82,9 +97,14 @@ object NgramLm {
       c12: DataFrame, c1: DataFrame, v: DataFrame): DataFrame = {
     val p = (coalesce(col("c12"), lit(0L)) + lit(1L)).cast("double") /
       (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")
+    // |c1| <= |c12| always (one context row per distinct w1), so one
+    // measured gate covers both tables.
+    val (j12, j1) =
+      if (c12.count() <= BroadcastCountRows) (broadcast(c12), broadcast(c1))
+      else (c12, c1)
     bigrams(docs, textCol, idCol)
-      .join(c12, Seq("w1", "w2"), "left")
-      .join(c1, Seq("w1"), "left")
+      .join(j12, Seq("w1", "w2"), "left")
+      .join(j1, Seq("w1"), "left")
       .crossJoin(broadcast(v))
       .select(col(idCol),
         floor(-log(p) * lit(1e6) + lit(0.5)).cast("long").as("_q"))
