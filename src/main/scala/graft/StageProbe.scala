@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators._
+import graft.operators.CacheRegistry.Cacheable
 import graft.queries.QueryDef
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -96,6 +97,62 @@ object StageProbe {
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
       timed("bm25 score (full query)")(
+        SparkEntry.queries("xq44_bm25")(spark, sf))
+    }
+
+    // xq44 decomposition round 11: the strict row reads 9.4 s / 2.8x at
+    // sf5 over three full-stream exchanges — (doc,term) tf aggregate,
+    // doc-keyed dl window, term-keyed df+rank window. Two candidates, both
+    // exchange-removals: (a) dl is just the doc's token count, computable
+    // map-side BEFORE the explode (first(dl) rides the tf aggregate, the
+    // doc window disappears); (b) df is VOCABULARY-bounded (distinct
+    // terms, not corpus rows) so a groupBy df table can broadcast into the
+    // scored stream — xq48's gate, same reasoning. The rank window's
+    // term exchange stays either way (top-3-per-term needs it).
+    probe("xq44v") {
+      val docs = Tables.documents(spark, sf)
+      val wDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+      val wTerm = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("term"))
+      val tfCur = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .trackedCache
+      timed("cur: tf agg")(tfCur)
+      timed("cur: + dl window")(
+        tfCur.withColumn("dl", sum(col("tf")).over(wDoc)))
+      timed("cur: + dl + df window")(
+        tfCur.withColumn("dl", sum(col("tf")).over(wDoc))
+          .withColumn("df", count(lit(1)).over(wTerm)))
+      CacheRegistry.releaseAll(spark)
+      val tfRow = docs
+        .select(col("doc_id"),
+          explode(graft.expressions.TermCounts(col("text"))).as("_t"))
+        .select(col("doc_id"), col("_t.term").as("term"),
+          col("_t.tf").as("tf"), col("_t.dl").as("dl"))
+        .trackedCache
+      timed("alt: row-local TermCounts stream")(tfRow)
+      timed("alt: + broadcast df join")(
+        tfRow.join(broadcast(
+          tfRow.groupBy(col("term")).agg(count(lit(1)).as("df"))),
+          Seq("term")))
+      // Cold decomposition mirroring the shipped query's own job order
+      // (tracked caches shared across rows, as in the query).
+      CacheRegistry.releaseAll(spark)
+      val t0 = System.nanoTime()
+      val scored = Ranking.bm25(docs, "text", "doc_id")
+      println(f"STAGE  ${"new: bm25() incl. df gate+corpus"}%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      timed("new: + scored pass (no agg)")(scored)
+      timed("new: + topk agg")(
+        scored.groupBy(col("term"))
+          .agg(graft.expressions.TopKRows(
+            struct(col("bm25"), col("doc_id"), col("tf")), 3,
+            Seq(true, false)).as("_top")))
+      timed("new: full query (warm cache)")(
+        SparkEntry.queries("xq44_bm25")(spark, sf))
+      CacheRegistry.releaseAll(spark)
+      timed("new: full query (cold)")(
         SparkEntry.queries("xq44_bm25")(spark, sf))
     }
 

@@ -60,6 +60,45 @@ object TermStats {
     new GenericArrayData(out)
   }
 
+  /** All term frequencies of split(s, " ") tokens in one pass, as a flat
+    * [(term, tf, dl)] array — dl is the TOTAL token count (= Σ tf, the
+    * BM25 document length), replicated into every entry so the whole
+    * per-document term table is ONE expression feeding ONE generator: a
+    * document is one row, so grouping by (doc_id, term) is a purely
+    * row-local computation, and the single-reference shape means project
+    * collapse can never duplicate the counting pass into a per-exploded-row
+    * re-evaluation. Entry order is insertion order of first occurrence —
+    * callers must treat the array as a set (every downstream use explodes
+    * into an aggregate, join, or window, all order-insensitive).
+    */
+  def termCounts(s: UTF8String): GenericArrayData = {
+    val bytes = s.getBytes
+    val nb = bytes.length
+    val counts = new java.util.LinkedHashMap[UTF8String, Array[Long]]()
+    var dl = 0L
+    var from = 0
+    var i = 0
+    while (i <= nb) {
+      if (i == nb || bytes(i) == ' ') {
+        val tok = UTF8String.fromBytes(bytes, from, i - from)
+        val c = counts.get(tok)
+        if (c == null) counts.put(tok, Array(1L)) else c(0) += 1L
+        dl += 1L
+        from = i + 1
+      }
+      i += 1
+    }
+    val out = new Array[AnyRef](counts.size())
+    val it = counts.entrySet().iterator()
+    var t = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(t) = InternalRow(e.getKey, e.getValue()(0), dl)
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Term frequencies of split(s, " ") tokens, top `k` by
     * (tf DESC, term binary ASC), as (term, tf, rk) structs with rk 1-based.
     */
@@ -130,6 +169,41 @@ object TokenBigrams {
   /** Column-level entry point. */
   def apply(c: Column): Column =
     ColumnBridge.column(TokenBigrams(ColumnBridge.expression(c)))
+}
+
+/** Whole per-document term-frequency table + document length in one
+  * codegen'd pass, shaped for a single `explode` — the exchange-free front
+  * half of BM25/TF-IDF shapes; see [[TermStats.termCounts]].
+  */
+case class TermCounts(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = TermCounts.schema
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"term_counts needs a string input, got $t")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TermStats.termCounts(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TermStats.termCounts($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TermCounts =
+    copy(child = newChild)
+}
+
+object TermCounts {
+  val schema: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("tf", LongType, nullable = false),
+    StructField("dl", LongType, nullable = false))), containsNull = false)
+
+  /** Column-level entry point. */
+  def apply(c: Column): Column =
+    ColumnBridge.column(TermCounts(ColumnBridge.expression(c)))
 }
 
 /** In-document top-k terms by (tf DESC, term ASC) in one codegen'd pass —

@@ -98,10 +98,15 @@ object NgramLm {
     val p = (coalesce(col("c12"), lit(0L)) + lit(1L)).cast("double") /
       (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")
     // |c1| <= |c12| always (one context row per distinct w1), so one
-    // measured gate covers both tables.
+    // measured gate covers both tables. c12 is cached first so the gate's
+    // count() and the broadcast exchange share ONE aggregation run
+    // (uncached, each action re-executes the count-table plan — for the
+    // strict path that is a full train-side re-aggregation, measured
+    // 0.6 s at sf5; for the index path a re-read of a tiny parquet).
+    val c12c = c12.trackedCache
     val (j12, j1) =
-      if (c12.count() <= BroadcastCountRows) (broadcast(c12), broadcast(c1))
-      else (c12, c1)
+      if (c12c.count() <= BroadcastCountRows) (broadcast(c12c), broadcast(c1))
+      else (c12c, c1)
     bigrams(docs, textCol, idCol)
       .join(j12, Seq("w1", "w2"), "left")
       .join(j1, Seq("w1"), "left")

@@ -16,43 +16,72 @@ import graft.operators.CacheRegistry.Cacheable
   * is unchanged; callers wanting the classical value can take ln of the
   * reported idf.
   *
-  * Plan shape: one (doc, term) aggregation feeds tf; dl and df derive from
-  * it with doc-/term-keyed shuffles; N and avgdl are a 1-row broadcast.
+  * Plan shape (round 11): the whole per-document half — tf AND dl — is one
+  * codegen'd row-local pass ([[graft.expressions.TermCounts]]: a document
+  * is one row, so the (doc, term) aggregate the round-6 form shuffled is a
+  * purely in-row computation). df is the only corpus-wide aggregate; its
+  * output is VOCABULARY-bounded (distinct terms, not corpus rows), so
+  * under a measured row gate it broadcasts back into the scored stream —
+  * which therefore reaches the caller having never been exchanged.
+  * Measured at sf5: the old (doc, term) hash aggregate alone was 7.5 s of
+  * the 10.1 s query (StageProbe xq44v); N and avgdl are a 1-row broadcast.
   * Nothing is all-pairs, no window is global.
   */
 object Ranking {
 
+  /** df tables up to this many rows broadcast into the scored stream. Same
+    * reasoning as NgramLm's count-table gate: df grows with VOCABULARY
+    * (distinct terms), not corpus rows, so at any corpus size the table
+    * stays broadcast-sized unless the tokenizer is degenerate; the gate is
+    * a measured count over the already-cached tf stream, and an over-cap
+    * vocabulary falls back to the keyed shuffle join.
+    */
+  private val BroadcastDfRows = 5000000L
+
+  /** Corpus size and average document length WITHOUT touching the term
+    * stream: a document's token count under split(s, " ") semantics is
+    * exactly (#spaces + 1) — `length - length(translate(text, ' ', ''))`
+    * counts spaces in pure codegen'd string ops, so n/avgdl is a map-only
+    * scan aggregate (1 row out) instead of the doc-keyed aggregate over
+    * the 30 M-row term stream it replaced (measured 3.3 s at sf5,
+    * StageProbe xq44v). Same integers: Σ dl is Σ (#spaces + 1), and the
+    * 0x20 byte never occurs inside a UTF-8 multi-byte sequence.
+    */
+  private def corpusStats(docs: DataFrame, textCol: String): DataFrame =
+    docs.where(col(textCol).isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum((length(col(textCol)) -
+          length(translate(col(textCol), " ", "")) + 1).cast("long")).as("sum_dl"))
+      .select(col("n"), (col("sum_dl").cast("double") / col("n")).as("avgdl"))
+
+  /** Per-doc (doc_id, term, tf, dl) stream with NO exchange: term counts
+    * and document length computed inside the document row.
+    */
+  private def termStream(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
+      .select(col(idCol),
+        explode(graft.expressions.TermCounts(col(textCol))).as("_t"))
+      .select(col(idCol), col("_t.term").as("term"), col("_t.tf").as("tf"),
+        col("_t.dl").as("dl"))
+
   /** Per-(term, doc) BM25 components: (term, id, tf, dl, df, idf, bm25). */
   def bm25(docs: DataFrame, textCol: String, idCol: String,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    // Persisted: tf feeds the corpus stats AND the scored stream — without
-    // the cache the corpus-wide explode+aggregate runs twice (measured
-    // 10 s at sf1 with three uncached consumers, round 4).
-    val tf = docs
-      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-      .trackedCache
-    // dl and df as WINDOW aggregates instead of aggregate+self-join: the
-    // former plan exchanged the full (doc, term) stream once to BUILD each
-    // side table and once more to JOIN it back (per key); the unbounded
-    // windows attach the same exact integers with one exchange per key and
-    // no join operators, and the term partitioning is exactly what xq44's
-    // ranking window wants next. Round-6 measured: 3.97 -> 3.80 s solo at
-    // sf1 — a wash in wall-clock (the query is exchange-bound either way);
-    // kept for the structurally simpler plan (two fewer join operators,
-    // one fewer tf consumer). Values are identical — same counts, same
-    // IEEE tree.
-    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
-    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
-    val corpus = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
-      .agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
-      .select(col("n"), (col("sum_dl").cast("double") / col("n")).as("avgdl"))
+    // Persisted: the stream feeds corpus stats, the df aggregate (and its
+    // gate count), and the scored output — without the cache the
+    // tokenize pass runs once per consumer.
+    val tf = termStream(docs, textCol, idCol).trackedCache
+    val corpus = corpusStats(docs, textCol)
+    // Cached so the gate's count() and the broadcast exchange share ONE
+    // aggregation run (uncached, the count action and the broadcast each
+    // execute the df plan — measured 0.9 s per run at sf5).
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df")).trackedCache
+    val dfJ = if (dfT.count() <= BroadcastDfRows) broadcast(dfT) else dfT
     val idf = (col("n").cast("double") - col("df").cast("double") + 0.5) /
       (col("df").cast("double") + 0.5)
     val denom = col("tf").cast("double") +
       lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / col("avgdl")))
-    tf.withColumn("dl", sum(col("tf")).over(wDoc))
-      .withColumn("df", count(lit(1)).over(wTerm))
+    tf.join(dfJ, Seq("term"))
       .crossJoin(broadcast(corpus))
       .select(col("term"), col(idCol), col("tf"), col("dl"), col("df"),
         idf.as("idf"),
@@ -76,23 +105,18 @@ object Ranking {
     */
   def writeBm25Index(docs: DataFrame, textCol: String, idCol: String,
       dir: String): Unit = {
-    val tf = docs
-      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val tf = termStream(docs, textCol, idCol)
+      .select(col(idCol), col("term"), col("tf"), col("dl"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
-      tf.withColumn("dl", sum(col("tf")).over(wDoc))
-        .repartition(col("term"))
+      tf.repartition(col("term"))
         .sortWithinPartitions("term")
         .write.mode("overwrite").parquet(s"$dir/postings")
       tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
         .repartition(col("term"))
         .sortWithinPartitions("term")
         .write.mode("overwrite").parquet(s"$dir/dfs")
-      tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
-        .agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
-        .select(col("n"), (col("sum_dl").cast("double") / col("n")).as("avgdl"))
+      corpusStats(docs, textCol)
         .write.mode("overwrite").parquet(s"$dir/stats")
     } finally tf.unpersist()
   }
@@ -150,9 +174,9 @@ object Ranking {
     */
   def invertedIndex(docs: DataFrame, textCol: String, idCol: String,
       maxPostings: Int = 10): DataFrame =
-    docs
-      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
-      .groupBy(col("term"), col(idCol)).agg(count(lit(1)).as("tf"))
+    // (term, doc) distinctness is free off the row-local term table —
+    // the only exchange left is the term-keyed aggregate itself.
+    termStream(docs, textCol, idCol)
       .groupBy(col("term"))
       .agg(count(lit(1)).as("df"),
         array_join(

@@ -1233,15 +1233,24 @@ object ExtensionQueries {
 
     // XQ44: BM25 ranking — top-3 docs per term with the rational-idf BM25
     // (exact integer inputs -> bit-identical IEEE score tree on both
-    // engines; see Ranking's doc for why not ln).
+    // engines; see Ranking's doc for why not ln). Top-3 via the
+    // partial-aggregating TopKRows (map-side k-row state per term) instead
+    // of a row_number window: the window exchanged and sorted the FULL
+    // scored stream under its Zipfian term skew — measured 8.2 s of the
+    // 11 s query at sf5 (StageProbe xq44v); the aggregate's exchange is
+    // k·vocab·tasks rows regardless of corpus size. doc_id is the unique
+    // in-term tiebreak field, matching the window's ORDER BY exactly.
     QueryDef("xq44_bm25",
       (s, d) => {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("term")).orderBy(col("bm25").desc, col("doc_id"))
         Ranking.bm25(Tables.documents(s, d), "text", "doc_id")
-          .withColumn("rk", row_number().over(w).cast("long"))
-          .where(col("rk") <= 3)
-          .select("term", "rk", "doc_id", "tf", "bm25")
+          .groupBy(col("term"))
+          .agg(graft.expressions.TopKRows(
+            struct(col("bm25"), col("doc_id"), col("tf")), 3,
+            Seq(true, false)).as("_top"))
+          .select(col("term"), posexplode(col("_top")))
+          .select(col("term"), (col("pos") + 1).cast("long").as("rk"),
+            col("col.doc_id").as("doc_id"), col("col.tf").as("tf"),
+            col("col.bm25").as("bm25"))
           .orderBy("term", "rk")
       },
       Some("""WITH tf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
