@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{Md5Prefix60, ShingleHashes, ShingleMinHash, TokenFoldHash, VectorDot}
+import graft.expressions.{Md5Prefix60, Md5Windows60, ShingleHashes, ShingleMinHash, TokenFoldHash, VectorDot}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -23,6 +23,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Md5Prefix60].getName, "graft_md5p60"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         Md5Prefix60(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("graft_md5w60"),
+      new ExpressionInfo(classOf[Md5Windows60].getName, "graft_md5w60"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Md5Windows60(exprs.head)))
     e.injectFunction((
       new FunctionIdentifier("token_fold_hash"),
       new ExpressionInfo(classOf[TokenFoldHash].getName, "token_fold_hash"),

@@ -50,6 +50,37 @@ case class Md5Prefix60(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Both non-overlapping 60-bit windows of one md5 digest as `array<long>`:
+  * element 0 = hex chars 1-15 (identical to [[Md5Prefix60]]), element 1 =
+  * hex chars 17-31 — the round-11 one-hash-two-windows construction
+  * ([[ShingleMinHash]]'s permutation family) exposed as a registry
+  * function, for call sites that need two independent hashes of the same
+  * key (Bloom probes): one digest where two `graft_md5p60` calls paid two.
+  *
+  * DuckDB twin, with the digest materialized once in a subquery:
+  * `CAST('0x' || substr(d, 1, 15) AS BIGINT)` /
+  * `CAST('0x' || substr(d, 17, 15) AS BIGINT)` over `d = md5(x)`.
+  */
+case class Md5Windows60(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_md5w60 needs a string input, got $t")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    Md5Prefix60.windows(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Md5Prefix60.windows($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Windows60 =
+    copy(child = newChild)
+}
+
 object Md5Prefix60 {
 
   /** Per-thread digest instance — MessageDigest is stateful and not
@@ -72,7 +103,30 @@ object Md5Prefix60 {
     top >>> 4
   }
 
+  /** Both 60-bit windows (hex 1-15 and 17-31) of md5(s), one digest call. */
+  def windows(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val digest = md.get()
+    digest.reset()
+    val d = digest.digest(s.getBytes)
+    def w(o: Int): Long = {
+      val v =
+        ((d(o) & 0xFFL) << 56) | ((d(o + 1) & 0xFFL) << 48) |
+        ((d(o + 2) & 0xFFL) << 40) | ((d(o + 3) & 0xFFL) << 32) |
+        ((d(o + 4) & 0xFFL) << 24) | ((d(o + 5) & 0xFFL) << 16) |
+        ((d(o + 6) & 0xFFL) << 8) | (d(o + 7) & 0xFFL)
+      v >>> 4
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(Array(w(0), w(8)))
+  }
+
   /** Column-level entry point. */
   def apply(c: Column): Column =
     ColumnBridge.column(Md5Prefix60(ColumnBridge.expression(c)))
+}
+
+object Md5Windows60 {
+  /** Column-level entry point. */
+  def apply(c: Column): Column =
+    ColumnBridge.column(Md5Windows60(ColumnBridge.expression(c)))
 }

@@ -57,6 +57,13 @@ object ScaleJoins {
   // cross-engine hash idiom), and the bitmap packs 60 bits per word so shift
   // amounts stay in [0,59] and words stay positive — no sign-bit edge to
   // disagree on. bit_or aggregation is order-free.
+  //
+  // The two probe positions are the two non-overlapping 60-bit windows of
+  // ONE md5 digest (`graft_md5w60`, hex 1-15 / 17-31) — the round-11
+  // one-hash-two-windows construction that halved the MinHash family's
+  // digest count; the per-row md5 over the big side was this filter's
+  // measured floor (xq55). The DuckDB twin materializes the same digest
+  // once and applies the identical substr windows.
 
   private val BitsPerWord = 60L
 
@@ -67,10 +74,8 @@ object ScaleJoins {
   def bloomBitmap(small: DataFrame, key: String, nBits: Long): DataFrame = {
     require(nBits >= BitsPerWord, s"nBits must be >= $BitsPerWord")
     small.select(col(key).cast("string").as("_k")).distinct()
-      .select(explode(array(
-        expr(s"graft_md5p60(concat('b1', _k)) % $nBits"),
-        expr(s"graft_md5p60(concat('b2', _k)) % $nBits")))
-        .as("_p"))
+      .select(explode(expr(s"graft_md5w60(concat('b', _k))")).as("_w"))
+      .select((col("_w") % nBits).as("_p"))
       .select(floor(col("_p") / BitsPerWord).cast("long").as("word"),
         expr(s"shiftleft(CAST(1 AS BIGINT), CAST(_p % $BitsPerWord AS INT))").as("_m"))
       .groupBy("word")
@@ -85,11 +90,12 @@ object ScaleJoins {
   def bloomFiltered(big: DataFrame, bigKey: String, small: DataFrame,
       smallKey: String, nBits: Long): DataFrame = {
     val bm = broadcast(bloomBitmap(small, smallKey, nBits))
+    // _d inlines into both _p columns under project collapse — codegen
+    // subexpression elimination evaluates the digest once per row.
     val probed = big
-      .withColumn("_p1", expr(
-        s"graft_md5p60(concat('b1', CAST($bigKey AS STRING))) % $nBits"))
-      .withColumn("_p2", expr(
-        s"graft_md5p60(concat('b2', CAST($bigKey AS STRING))) % $nBits"))
+      .withColumn("_d", expr(s"graft_md5w60(concat('b', CAST($bigKey AS STRING)))"))
+      .withColumn("_p1", col("_d").getItem(0) % nBits)
+      .withColumn("_p2", col("_d").getItem(1) % nBits)
       .withColumn("_w1", floor(col("_p1") / BitsPerWord).cast("long"))
       .withColumn("_w2", floor(col("_p2") / BitsPerWord).cast("long"))
     probed
@@ -98,6 +104,6 @@ object ScaleJoins {
       .where(
         expr(s"(coalesce(_b1, CAST(0 AS BIGINT)) & shiftleft(CAST(1 AS BIGINT), CAST(_p1 % $BitsPerWord AS INT))) <> 0") &&
         expr(s"(coalesce(_b2, CAST(0 AS BIGINT)) & shiftleft(CAST(1 AS BIGINT), CAST(_p2 % $BitsPerWord AS INT))) <> 0"))
-      .drop("_p1", "_p2", "_w1", "_w2", "_b1", "_b2")
+      .drop("_d", "_p1", "_p2", "_w1", "_w2", "_b1", "_b2")
   }
 }

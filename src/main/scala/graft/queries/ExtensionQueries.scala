@@ -1562,16 +1562,19 @@ object ExtensionQueries {
       },
       Some("""WITH dk AS (SELECT DISTINCT CAST(p_partkey AS VARCHAR) AS k
              |            FROM part WHERE p_size < 5),
-             |pos AS (SELECT CAST('0x' || substr(md5('b1' || k), 1, 15) AS BIGINT) % 61440 AS p FROM dk
+             |dkd AS (SELECT md5('b' || k) AS d FROM dk),
+             |pos AS (SELECT CAST('0x' || substr(d, 1, 15) AS BIGINT) % 61440 AS p FROM dkd
              |        UNION ALL
-             |        SELECT CAST('0x' || substr(md5('b2' || k), 1, 15) AS BIGINT) % 61440 AS p FROM dk),
+             |        SELECT CAST('0x' || substr(d, 17, 15) AS BIGINT) % 61440 AS p FROM dkd),
              |bm AS (SELECT CAST(floor(p / 60) AS BIGINT) AS word,
              |              bit_or(CAST(1 AS BIGINT) << CAST(p % 60 AS INT)) AS bits
              |       FROM pos GROUP BY 1),
+             |bigd AS (SELECT l_partkey, md5('b' || CAST(l_partkey AS VARCHAR)) AS d
+             |         FROM lineitem),
              |big AS (SELECT l_partkey,
-             |         CAST('0x' || substr(md5('b1' || CAST(l_partkey AS VARCHAR)), 1, 15) AS BIGINT) % 61440 AS p1,
-             |         CAST('0x' || substr(md5('b2' || CAST(l_partkey AS VARCHAR)), 1, 15) AS BIGINT) % 61440 AS p2
-             |        FROM lineitem),
+             |         CAST('0x' || substr(d, 1, 15) AS BIGINT) % 61440 AS p1,
+             |         CAST('0x' || substr(d, 17, 15) AS BIGINT) % 61440 AS p2
+             |        FROM bigd),
              |pass AS (SELECT COUNT(*) AS n_pass FROM big
              |         LEFT JOIN bm b1 ON CAST(floor(big.p1 / 60) AS BIGINT) = b1.word
              |         LEFT JOIN bm b2 ON CAST(floor(big.p2 / 60) AS BIGINT) = b2.word

@@ -40,6 +40,24 @@ class ExtensionsSpec extends SparkSpec {
     assert(both.where(col("native") < 0L).count() == 0) // unsigned 60-bit
   }
 
+  test("Md5Windows60 windows are bit-identical to the substr idioms; null propagates") {
+    // Element 0 must equal Md5Prefix60 (hex 1-15); element 1 is hex 17-31 —
+    // the same windows the DuckDB twins take with substr(d,1,15)/substr(d,17,15).
+    val docs = Tables.documents(spark, sf).select(col("text")).limit(200)
+      .unionAll(Seq("", " ", "héllo wörld", "日本語テキスト", "a" * 10000).toDF("text"))
+    val both = docs.selectExpr(
+      "graft_md5w60(text)[0] AS w0",
+      "graft_md5p60(text) AS p60",
+      "graft_md5w60(text)[1] AS w1",
+      "CAST(conv(substr(md5(text), 17, 15), 16, 10) AS BIGINT) AS legacy1")
+    assert(both.where(col("w0") =!= col("p60") || col("w1") =!= col("legacy1"))
+      .count() == 0)
+    assert(both.where(col("w0") < 0L || col("w1") < 0L).count() == 0)
+    val r = Seq(Option("x"), None).toDF("s")
+      .selectExpr("graft_md5w60(s) AS h").collect().map(r => Option(r.get(0)))
+    assert(r(0).isDefined && r(1).isEmpty)
+  }
+
   test("Md5Prefix60 null propagates; SQL registration works") {
     val r = Seq(Option("x"), None).toDF("s")
       .selectExpr("graft_md5p60(s) AS h").collect().map(r => Option(r.get(0)))
