@@ -31,7 +31,10 @@ object Bench {
     // numbers are steady-state, which is what a long-lived session delivers.
     val warmDir = "/root/testdata/sf0.001"
     defs.foreach { q =>
-      try materialize(q.run(spark, warmDir)) catch { case _: Throwable => () } }
+      try {
+        queries.QueryDef.applyConfs(spark, q.confs)
+        materialize(q.run(spark, warmDir))
+      } catch { case _: Throwable => () } }
     // Warm-up caches key on warmDir plans — unreachable from the measured
     // sfDir runs, so dropping them frees memory without touching timing
     // semantics (measured rounds keep their historical cache behavior).
@@ -45,8 +48,10 @@ object Bench {
     // must be distinguishable from a fast one in the emitted JSON.
     def timeAll(): Seq[(String, Double)] = defs.map { q =>
       val t0 = System.nanoTime()
-      val ok = try { materialize(q.run(spark, sfDir)); true }
-        catch { case _: Throwable => false }
+      val ok = try {
+        queries.QueryDef.applyConfs(spark, q.confs)
+        materialize(q.run(spark, sfDir)); true
+      } catch { case _: Throwable => false }
       q.name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     // Tracked caches are released BETWEEN the measured rounds: Spark's

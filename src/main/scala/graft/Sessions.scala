@@ -21,15 +21,13 @@ object Sessions {
       // events.ts is TIMESTAMP(NANOS) parquet — read as long, normalized in
       // Tables.events (Spark has no nanosecond TimestampType).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // ObjectHashAggregate (TypedImperativeAggregate path, e.g. TopKRows)
-      // silently degrades to SORT-based aggregation past this many groups
-      // per task — default 128, i.e. any realistic vocabulary re-sorts the
-      // full stream and re-inherits the key skew the aggregate form
-      // removed (measured: xq44's top-k pass 6.6 s -> see BASELINE).
-      // Bounded-state aggregates (k rows per group) are safe hash-resident
-      // at any realistic group count.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "10000000")
+      // ObjectHashAggregate's sort-based fallback threshold is NOT raised
+      // globally: bounded-state aggregates (TopKRows' k rows per group)
+      // are safe hash-resident at any group count, but a global raise also
+      // kept collect-style UNBOUNDED aggregate state hash-resident and
+      // OOM'd the sf5 suite (xq08's shingle lists, measured twice).
+      // Queries that need it declare it per-query via QueryDef.confs
+      // (applied with reset-to-default between queries).
       // RocksDB-backed streaming state: the event-id dedup state of the
       // corpus-ingest personality grows with rate × watermark (the one
       // unbounded-cardinality state in the system) — the default HDFS

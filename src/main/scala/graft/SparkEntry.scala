@@ -23,9 +23,14 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("pq02_counter_fanout")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Each entry
+    * applies the query's declared session confs (with managed defaults
+    * reset first) before building its frame — see [[QueryDef.applyConfs]].
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    allDefs.map(q => q.name -> q.run).toMap
+    allDefs.map(q => q.name -> ((s: SparkSession, d: String) => {
+      QueryDef.applyConfs(s, q.confs); q.run(s, d)
+    })).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.

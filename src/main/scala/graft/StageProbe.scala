@@ -144,6 +144,10 @@ object StageProbe {
       val scored = Ranking.bm25(docs, "text", "doc_id")
       println(f"STAGE  ${"new: bm25() incl. df gate+corpus"}%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       timed("new: + scored pass (no agg)")(scored)
+      // same per-query conf the shipped xq44 declares (hash-resident top-k)
+      queries.QueryDef.applyConfs(spark, Seq(
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+          -> "10000000"))
       timed("new: + topk agg")(
         scored.groupBy(col("term"))
           .agg(graft.expressions.TopKRows(

@@ -1269,7 +1269,13 @@ object ExtensionQueries {
              |         ROW_NUMBER() OVER (PARTITION BY term ORDER BY bm25 DESC, doc_id) AS rk
              |       FROM scored)
              |SELECT term, CAST(rk AS BIGINT) AS rk, doc_id, tf, bm25
-             |FROM rk WHERE rk <= 3 ORDER BY term, rk""".stripMargin)),
+             |FROM rk WHERE rk <= 3 ORDER BY term, rk""".stripMargin),
+      // TopKRows must stay hash-resident past the 128-group default or the
+      // whole scored stream re-sorts under term skew; its state is bounded
+      // (k rows per term), so a vocabulary-sized group count is safe.
+      confs = Seq(
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+          -> "10000000")),
 
     // XQ45: inverted-index construction — per-term document frequency +
     // bounded ascending posting list (the search-index direction; xq23 is

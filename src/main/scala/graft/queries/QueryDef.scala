@@ -12,14 +12,37 @@ import org.apache.spark.sql.types.DecimalType
   * the correctness proof for a scale-path twin (rq28's sketch). The bench
   * reports them separately so the headline number reflects the plans a
   * 100 TB run would actually use.
+  *
+  * `confs` are session confs this query needs at execution time (e.g. the
+  * ObjectHashAggregate fallback threshold for bounded-state aggregates).
+  * They are applied via [[QueryDef.applyConfs]] immediately before the
+  * query is built — every key in [[QueryDef.managedDefaults]] is first
+  * reset to its default, so one query's conf can never leak into the next:
+  * a global setting of the fallback threshold was measured to OOM the sf5
+  * suite (collect-style unbounded aggregate state held hash-resident).
   */
 final case class QueryDef(
     name: String,
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    oracleOnly: Boolean = false)
+    oracleOnly: Boolean = false,
+    confs: Seq[(String, String)] = Nil)
 
 object QueryDef {
+  /** Every conf key any query may declare, with its restore-to default
+    * (Spark's own defaults). Reset before each query so declared confs are
+    * strictly per-query — plans are lazy, so the set must happen at build
+    * time and hold through the immediately-following materialization.
+    */
+  val managedDefaults: Seq[(String, String)] = Seq(
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "128")
+
+  /** Reset managed keys to defaults, then apply this query's declared confs. */
+  def applyConfs(s: SparkSession, confs: Seq[(String, String)]): Unit = {
+    managedDefaults.foreach { case (k, v) => s.conf.set(k, v) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+  }
+
   /** Cross-engine determinism helpers (SURVEY §7 risk (a)):
     * floating aggregation order differs between engines, so every SUM/AVG
     * over a double column routes through exact DECIMAL arithmetic and is cast

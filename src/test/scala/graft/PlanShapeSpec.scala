@@ -61,4 +61,16 @@ class PlanShapeSpec extends SparkSpec {
     val windows = plan.collect { case w: WindowExec => w }
     assert(windows.isEmpty, "xq23 should not plan a window")
   }
+
+  test("per-query confs apply at build time and never leak to the next query") {
+    // xq44 declares the raised ObjectHashAggregate fallback threshold
+    // (bounded-state TopKRows); any query without the declaration must see
+    // the managed default again — a leaked global raise was measured to
+    // OOM the sf5 suite on unbounded collect-state aggregates.
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    SparkEntry.queries("xq44_bm25")(spark, sf)
+    assert(spark.conf.get(key) == "10000000")
+    SparkEntry.queries("xq01_exact_dedup")(spark, sf)
+    assert(spark.conf.get(key) == "128")
+  }
 }
