@@ -1344,30 +1344,36 @@ object RelationalQueries {
     // multi-EXISTS self-join: the only supplier of a finished multi-supplier
     // order whose line shipped late. The schema has no commit/receipt
     // dates, so "late" is l_shipdate > o_orderdate + 60 days (stated
-    // identically in both engines). EXISTS/NOT EXISTS plan as one
-    // left-semi and one left-anti self-join over the order-joined lines —
-    // both shuffle on l_orderkey, no product anywhere.
+    // identically in both engines). The EXISTS/NOT EXISTS pair collapses to
+    // per-order counting: a late row waits iff its order has >= 2 distinct
+    // suppliers (EXISTS other-supplier line) and exactly 1 late supplier —
+    // necessarily the row's own (NOT EXISTS other-supplier late line). Two
+    // stacked aggregates, (orderkey, suppkey) then orderkey, both ride the
+    // orders join's l_orderkey hash partitioning (subset clustering), so
+    // lineitem is scanned ONCE and exchanged ONCE — the previous semi+anti
+    // self-join plan scanned and shuffled the order-joined lines three times.
     QueryDef("rq52_tpch_q21",
       (s, d) => {
-        val lo = Tables.lineitem(s, d)
+        val perSupp = Tables.lineitem(s, d)
           .select("l_orderkey", "l_suppkey", "l_shipdate")
           .join(Tables.orders(s, d).where(col("o_orderstatus") === "F")
             .select("o_orderkey", "o_orderdate"),
             col("l_orderkey") === col("o_orderkey"))
-          .withColumn("late",
-            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-        val l1 = lo.where(col("late"))
-        val l2 = lo.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
-        val l3 = l1.select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
-        l1.join(l2, col("l_orderkey") === col("k2") &&
-            col("l_suppkey") =!= col("s2"), "left_semi")
-          .join(l3, col("l_orderkey") === col("k3") &&
-            col("l_suppkey") =!= col("s3"), "left_anti")
-          .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .groupBy("l_orderkey", "l_suppkey")
+          .agg(sum(when(col("l_shipdate") >
+            col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1L).otherwise(0L))
+            .as("late_rows"))
+        perSupp.groupBy("l_orderkey")
+          .agg(count(lit(1)).as("n_supp"),
+            sum(when(col("late_rows") > 0, 1L).otherwise(0L)).as("n_late_supp"),
+            max(when(col("late_rows") > 0, col("l_suppkey"))).as("late_supp"),
+            sum(col("late_rows")).as("n_late_rows"))
+          .where(col("n_supp") >= 2 && col("n_late_supp") === 1)
+          .join(Tables.supplier(s, d), col("late_supp") === col("s_suppkey"))
           .join(broadcast(Tables.nation(s, d).where(col("n_name") === "NATION_5")),
             col("s_nationkey") === col("n_nationkey"))
           .groupBy("s_name")
-          .agg(count(lit(1)).as("numwait"))
+          .agg(sum(col("n_late_rows")).as("numwait"))
           .orderBy(col("numwait").desc, col("s_name"))
           .limit(100)
       },
