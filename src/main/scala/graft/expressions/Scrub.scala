@@ -1,0 +1,315 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.UnaryExpression
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass corpus-scrubbing kernels: text normalization (xq20) and PII
+  * count+redact (xq36, behind Redaction.redact) as native codegen'd
+  * expressions.
+  *
+  * Both queries were regexp_replace chains over the FULL document text —
+  * java.util.regex re-scanning every byte once per pattern (two passes for
+  * normalize, six for redaction: three counts + three masks). Measured at
+  * sf5 (1.1 GB of text): xq20 30.5 s, xq36 29.3 s in the round-11 full
+  * batch, against 2.7 s / 0.7 s for DuckDB's RE2 — the two slowest
+  * scan-shaped rows in the suite for what is byte-loop work. Same
+  * promotion rule as [[TextRules]] (SURVEY §4): measured hot loop →
+  * native expression; the DuckDB oracles are unchanged.
+  *
+  * Exactness contract (spec-pinned against the Column-program forms):
+  *
+  * `normalizeText` ==
+  * `trim(regexp_replace(regexp_replace(lower(t), "[^a-z0-9 ]", ""), " +", " "))`
+  * — Unicode lowercasing first (a non-ASCII char may lower INTO ASCII,
+  * e.g. U+212A → 'k', so the non-ASCII fallback lowers via
+  * UTF8String.toLowerCase before filtering), strip everything outside
+  * [a-z0-9 ], collapse runs of the surviving spaces, trim. Only a ' '
+  * that survives the strip separates words — removed punctuation does
+  * NOT become whitespace, exactly like the regex pipeline.
+  *
+  * `piiStats` == Redaction's regex semantics: per-pattern counts on the
+  * RAW text (leftmost non-overlapping java-regex matches) and masking
+  * applied email → phone → IP sequentially, each pass on the PREVIOUS
+  * pass's output. The hand automata reproduce java.util.regex on the
+  * three patterns exactly, including greedy-with-backtrack domain
+  * matching (`[A-Za-z0-9.-]+\.[A-Za-z]{2,}` = the rightmost '.' in the
+  * maximal domain run that is followed by ≥2 letters) and ASCII `\b`
+  * word boundaries. All pattern chars are ASCII, so UTF-8 continuation
+  * bytes can never join a match and are non-word for `\b` — the byte
+  * automaton is exact on any Unicode input.
+  */
+object Scrub {
+
+  /** One-pass normalize; see the exactness contract above. */
+  def normalizeText(s: UTF8String): UTF8String = {
+    val raw = s.getBytes
+    var ascii = true
+    var i = 0
+    while (ascii && i < raw.length) {
+      if ((raw(i) & 0x80) != 0) ascii = false
+      i += 1
+    }
+    // Non-ASCII: Unicode-lower the whole string first (rare path); its
+    // output contains no A-Z, so the filter loop below needs no casing.
+    val src = if (ascii) raw else s.toLowerCase.getBytes
+    val out = new Array[Byte](src.length)
+    var o = 0
+    var pending = false
+    i = 0
+    while (i < src.length) {
+      var b = src(i)
+      if (ascii && b >= 'A' && b <= 'Z') b = (b + 32).toByte
+      if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')) {
+        if (pending && o > 0) { out(o) = ' '; o += 1 }
+        pending = false
+        out(o) = b
+        o += 1
+      } else if (b == ' ') pending = true
+      i += 1
+    }
+    UTF8String.fromBytes(java.util.Arrays.copyOf(out, o))
+  }
+
+  // --- PII automata ----------------------------------------------------
+
+  private def isDigit(b: Byte): Boolean = b >= '0' && b <= '9'
+  private def isAlpha(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')
+  /** java-regex ASCII `\b` word chars ([A-Za-z0-9_]). */
+  private def isWord(b: Byte): Boolean =
+    isAlpha(b) || isDigit(b) || b == '_'
+  /** Email local-part chars. */
+  private def isLocal(b: Byte): Boolean =
+    isAlpha(b) || isDigit(b) || b == '.' || b == '_' || b == '%' ||
+      b == '+' || b == '-'
+  /** Email domain-run chars. */
+  private def isDomain(b: Byte): Boolean =
+    isAlpha(b) || isDigit(b) || b == '.' || b == '-'
+
+  private val EmailMask = "<EMAIL>".getBytes("UTF-8")
+  private val PhoneMask = "<PHONE>".getBytes("UTF-8")
+  private val IpMask = "<IP>".getBytes("UTF-8")
+
+  /** Growable byte sink for the masking passes (null = count only). */
+  private final class Sink(cap: Int) {
+    var buf = new Array[Byte](cap)
+    var len = 0
+    def append(src: Array[Byte], from: Int, until: Int): Unit = {
+      val n = until - from
+      if (len + n > buf.length)
+        buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, len + n))
+      System.arraycopy(src, from, buf, len, n)
+      len += n
+    }
+    def append(mask: Array[Byte]): Unit = append(mask, 0, mask.length)
+    def result(): Array[Byte] = java.util.Arrays.copyOf(buf, len)
+  }
+
+  /** Leftmost non-overlapping email matches; returns the count, appends
+    * the masked text to `out` when non-null.
+    *
+    * Match = maximal local-part run, '@', then the backtracked domain:
+    * within the maximal [A-Za-z0-9.-] run after '@', the RIGHTMOST '.'
+    * preceded by ≥1 run char and followed by ≥2 letters; the match ends
+    * after that maximal letter run (java regex leaves the rest of the
+    * domain run unconsumed, e.g. "a@b.co7" matches "a@b.co").
+    */
+  private def emailPass(b: Array[Byte], out: Sink): Long = {
+    val n = b.length
+    var count = 0L
+    var lastEnd = 0
+    var emit = 0
+    var i = 0
+    while (i < n) {
+      if (b(i) == '@') {
+        var s = i
+        while (s > lastEnd && isLocal(b(s - 1))) s -= 1
+        if (s < i) {
+          var e = i + 1
+          while (e < n && isDomain(b(e))) e += 1
+          // rightmost valid '.'; needs one domain char before it
+          var matchEnd = -1
+          var p = e - 2
+          while (matchEnd < 0 && p >= i + 2) {
+            if (b(p) == '.') {
+              var a = p + 1
+              while (a < e && isAlpha(b(a))) a += 1
+              if (a - (p + 1) >= 2) matchEnd = a
+            }
+            p -= 1
+          }
+          if (matchEnd > 0) {
+            count += 1
+            if (out != null) {
+              out.append(b, emit, s)
+              out.append(EmailMask)
+              emit = matchEnd
+            }
+            lastEnd = matchEnd
+            i = matchEnd - 1 // loop increment lands on matchEnd
+          }
+        }
+      }
+      i += 1
+    }
+    if (out != null) out.append(b, emit, n)
+    count
+  }
+
+  /** `\b\d{3}-\d{3}-\d{4}\b` — fixed 12-byte shape with word boundaries. */
+  private def phonePass(b: Array[Byte], out: Sink): Long = {
+    val n = b.length
+    var count = 0L
+    var emit = 0
+    var i = 0
+    while (i + 12 <= n) {
+      if (isDigit(b(i)) && (i == 0 || !isWord(b(i - 1))) &&
+          isDigit(b(i + 1)) && isDigit(b(i + 2)) && b(i + 3) == '-' &&
+          isDigit(b(i + 4)) && isDigit(b(i + 5)) && isDigit(b(i + 6)) &&
+          b(i + 7) == '-' &&
+          isDigit(b(i + 8)) && isDigit(b(i + 9)) && isDigit(b(i + 10)) &&
+          isDigit(b(i + 11)) &&
+          (i + 12 == n || !isWord(b(i + 12)))) {
+        count += 1
+        if (out != null) {
+          out.append(b, emit, i)
+          out.append(PhoneMask)
+          emit = i + 12
+        }
+        i += 12
+      } else i += 1
+    }
+    if (out != null) out.append(b, emit, n)
+    count
+  }
+
+  /** `\b\d{1,3}(\.\d{1,3}){3}\b` — each group is a MAXIMAL digit run of
+    * 1-3 (a longer run can never match: the backtracked shorter prefix is
+    * followed by a digit, failing the '.' / `\b` that must come next).
+    */
+  private def ipPass(b: Array[Byte], out: Sink): Long = {
+    val n = b.length
+    var count = 0L
+    var emit = 0
+    var i = 0
+    while (i < n) {
+      var end = -1
+      if (isDigit(b(i)) && (i == 0 || !isWord(b(i - 1)))) {
+        var j = i
+        var group = 0
+        var ok = true
+        while (ok && group < 4) {
+          var r = j
+          while (r < n && isDigit(b(r))) r += 1
+          if (r - j < 1 || r - j > 3) ok = false
+          else if (group < 3) {
+            if (r < n && b(r) == '.') j = r + 1 else ok = false
+          } else if (r == n || !isWord(b(r))) j = r
+          else ok = false
+          group += 1
+        }
+        if (ok) end = j
+      }
+      if (end > 0) {
+        count += 1
+        if (out != null) {
+          out.append(b, emit, i)
+          out.append(IpMask)
+          emit = end
+        }
+        i = end
+      } else i += 1
+    }
+    if (out != null) out.append(b, emit, n)
+    count
+  }
+
+  /** (n_emails, n_phones, n_ips, redacted): counts on the raw text,
+    * masking email → phone → IP with each pass reading the previous
+    * pass's output — byte-for-byte the Redaction regex pipeline.
+    */
+  def piiStats(s: UTF8String): InternalRow = {
+    val raw = s.getBytes
+    val s1 = new Sink(raw.length + 16)
+    val nEmails = emailPass(raw, s1)
+    val nPhones = phonePass(raw, null)
+    val nIps = ipPass(raw, null)
+    val b1 = s1.result()
+    val s2 = new Sink(b1.length + 16)
+    phonePass(b1, s2)
+    val b2 = s2.result()
+    val s3 = new Sink(b2.length + 16)
+    ipPass(b2, s3)
+    InternalRow(nEmails, nPhones, nIps,
+      UTF8String.fromBytes(s3.result()))
+  }
+}
+
+/** `trim(regexp_replace(regexp_replace(lower(t),"[^a-z0-9 ]","")," +"," "))`
+  * as one codegen'd byte pass; see [[Scrub]].
+  */
+case class NormalizeText(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"normalize_text needs a string input, got $t")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    Scrub.normalizeText(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Scrub.normalizeText($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeText =
+    copy(child = newChild)
+}
+
+object NormalizeText {
+  /** Column-level entry point. */
+  def apply(c: Column): Column =
+    ColumnBridge.column(NormalizeText(ColumnBridge.expression(c)))
+}
+
+/** PII counts + sequential masking as one codegen'd pass; see [[Scrub]]. */
+case class PiiStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = PiiStats.schema
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pii_stats needs a string input, got $t")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    Scrub.piiStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Scrub.piiStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PiiStats =
+    copy(child = newChild)
+}
+
+object PiiStats {
+  val schema: StructType = StructType(Seq(
+    StructField("n_emails", LongType, nullable = false),
+    StructField("n_phones", LongType, nullable = false),
+    StructField("n_ips", LongType, nullable = false),
+    StructField("redacted", StringType, nullable = false)))
+
+  /** Column-level entry point. */
+  def apply(c: Column): Column =
+    ColumnBridge.column(PiiStats(ColumnBridge.expression(c)))
+}

@@ -22,7 +22,10 @@ object Redaction {
   val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
   val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
-  /** The masked text (email → phone → IP precedence). */
+  /** The masked text (email → phone → IP precedence) — the regex form.
+    * Reference semantics for [[graft.expressions.PiiStats]]; the spec pins
+    * the production pass against this chain.
+    */
   def redactText(c: Column): Column =
     regexp_replace(
       regexp_replace(
@@ -33,11 +36,26 @@ object Redaction {
   private def countOf(c: Column, re: String): Column =
     size(regexp_extract_all(c, lit(re), lit(0))).cast("long")
 
-  /** (id, n_emails, n_phones, n_ips, redacted) per document. */
-  def redact(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+  /** The six-regex-pass Column form of [[redact]] — kept as the reference
+    * twin the single-pass expression is spec-checked against.
+    */
+  def redactRegex(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     docs.select(col(idCol),
       countOf(col(textCol), EmailRe).as("n_emails"),
       countOf(col(textCol), PhoneRe).as("n_phones"),
       countOf(col(textCol), Ipv4Re).as("n_ips"),
       redactText(col(textCol)).as("redacted"))
+
+  /** (id, n_emails, n_phones, n_ips, redacted) per document — one
+    * codegen'd byte pass per doc ([[graft.expressions.PiiStats]]) instead
+    * of six java-regex scans; measured 29.3 s → see BASELINE at sf5.
+    */
+  def redact(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol),
+      graft.expressions.PiiStats(col(textCol)).as("_pii"))
+      .select(col(idCol),
+        col("_pii.n_emails").as("n_emails"),
+        col("_pii.n_phones").as("n_phones"),
+        col("_pii.n_ips").as("n_ips"),
+        col("_pii.redacted").as("redacted"))
 }

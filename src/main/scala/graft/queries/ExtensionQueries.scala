@@ -689,13 +689,16 @@ object ExtensionQueries {
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // XQ20: text normalization — lowercase, strip punctuation, collapse
-    // whitespace (the standard pre-tokenization cleanup pass).
+    // whitespace (the standard pre-tokenization cleanup pass). One
+    // codegen'd byte pass (NormalizeText) instead of lower + two
+    // java-regex rewrites of the full corpus text: the regex chain read
+    // 30.5 s at sf5 vs DuckDB's 2.7 s; the kernel is spec-pinned
+    // byte-identical to the regex form (ScrubSpec) and the oracle is
+    // unchanged.
     QueryDef("xq20_normalize",
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"),
-          trim(regexp_replace(
-            regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
-            " +", " ")).as("norm_text"))
+          graft.expressions.NormalizeText(col("text")).as("norm_text"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id,
              |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm_text
