@@ -2468,6 +2468,12 @@ object ExtensionQueries {
     // against the exact co-shingle Jaccard, with absolute error. The
     // quantified answer to "how much does the sketch lie?" that sizes
     // banding parameters; all deterministic, so fully oracle-exact.
+    // oracleOnly: the exact-Jaccard ground-truth join is the measuring
+    // instrument, not a production path (rq26/xq26 family) — banding
+    // parameters are sized from a sampling SF; at sf5's 40%-corpus-hot
+    // marker regime the ground-truth co-shingle join dominates (283.7 s,
+    // round-11 full batch) while the paths it certifies (xq05/06/21)
+    // stay banded and Spark-faster.
     QueryDef("xq83_minhash_accuracy",
       (s, d) => {
         val docs = Tables.documents(s, d)
@@ -2488,6 +2494,7 @@ object ExtensionQueries {
             abs(est - col("jaccard")).as("abs_err"))
           .orderBy("doc_a", "doc_b")
       },
+      oracleOnly = true, oracle =
       Some(s"""$lshPairsCte,
               |js AS (SELECT DISTINCT doc_id,
               |         CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS shingle
