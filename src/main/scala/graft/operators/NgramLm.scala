@@ -72,7 +72,9 @@ object NgramLm {
   def scoreDocs(train: DataFrame, docs: DataFrame, textCol: String,
       idCol: String): DataFrame = {
     val (c12, c1, v) = fit(train, textCol, idCol)
-    scoreAgainst(docs, textCol, idCol, c12, c1, v)
+    val mode =
+      if (statsBytes(train) < SmallTrainBytes) PlainJoin else MeasuredGate
+    scoreAgainst(docs, textCol, idCol, c12, c1, v, mode)
   }
 
   /** Count tables up to this many bigram rows broadcast into the scoring
@@ -88,13 +90,48 @@ object NgramLm {
     */
   private val BroadcastCountRows = 5000000L
 
+  /** Zero-job pre-gates below the measured gate (the rq29 file-bytes
+    * pattern): at small SF the gate's count() job IS the dominant cost —
+    * one extra job ≈ this box's 0.3-0.5 s per-job floor on a ~1 s query
+    * (measured: xq48 0.76 s pre-gate → 1.2 s gated at sf0.1, where the
+    * gate protects a join over ~11 MB of text). Both thresholds read
+    * optimizer leaf statistics (`optimizedPlan.stats.sizeInBytes` —
+    * file-status metadata for scans, no Spark job):
+    *
+    * - strict path, train slice under [[SmallTrainBytes]]: keep the plain
+    *   keyed joins. Bytes do NOT bound distinct bigrams tightly enough to
+    *   broadcast unmeasured, but under 48 MB the scored stream the
+    *   broadcast would protect is itself floor-sized — the decision the
+    *   measured gate exists for has no stakes yet.
+    * - index path, persisted c12 under [[SmallIndexBytes]]: broadcast
+    *   WITHOUT the metadata-count job — parquet bytes DO bound rows (the
+    *   sf5-measured index is <2 MB for a 64.9 k-bigram vocabulary), so a
+    *   32 MB table is broadcast-safe by construction, and broadcasting
+    *   keeps the unbounded probe side shuffle-free (the 100 TB posture).
+    *
+    * Past either threshold the measured count gate decides, unchanged.
+    * Join strategy cannot affect values (left joins + commutative integer
+    * sums), so all three plans are hash-identical.
+    */
+  private val SmallTrainBytes = BigInt(48L * 1024 * 1024)
+  private val SmallIndexBytes = BigInt(32L * 1024 * 1024)
+
+  private def statsBytes(df: DataFrame): BigInt =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes
+
+  private sealed trait CountJoin
+  private case object PlainJoin extends CountJoin
+  private case object BroadcastJoin extends CountJoin
+  private case object MeasuredGate extends CountJoin
+
   /** The scoring join, shared verbatim by the strict ([[scoreDocs]]) and
     * amortized ([[scoreLmIndex]]) forms so the two regimes cannot drift:
     * P(w2|w1) assembled from the count tables, −ln P quantized per bigram,
     * integer-summed per doc.
     */
   private def scoreAgainst(docs: DataFrame, textCol: String, idCol: String,
-      c12: DataFrame, c1: DataFrame, v: DataFrame): DataFrame = {
+      c12: DataFrame, c1: DataFrame, v: DataFrame,
+      mode: CountJoin): DataFrame = {
     val p = (coalesce(col("c12"), lit(0L)) + lit(1L)).cast("double") /
       (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")
     // |c1| <= |c12| always (one context row per distinct w1), so one
@@ -103,10 +140,14 @@ object NgramLm {
     // (uncached, each action re-executes the count-table plan — for the
     // strict path that is a full train-side re-aggregation, measured
     // 0.6 s at sf5; for the index path a re-read of a tiny parquet).
-    val c12c = c12.trackedCache
-    val (j12, j1) =
-      if (c12c.count() <= BroadcastCountRows) (broadcast(c12c), broadcast(c1))
-      else (c12c, c1)
+    val (j12, j1) = mode match {
+      case PlainJoin => (c12, c1)
+      case BroadcastJoin => (broadcast(c12), broadcast(c1))
+      case MeasuredGate =>
+        val c12c = c12.trackedCache
+        if (c12c.count() <= BroadcastCountRows) (broadcast(c12c), broadcast(c1))
+        else (c12c, c1)
+    }
     bigrams(docs, textCol, idCol)
       .join(j12, Seq("w1", "w2"), "left")
       .join(j1, Seq("w1"), "left")
@@ -155,9 +196,12 @@ object NgramLm {
     * `scoreAgainst` tree; only the count tables' origin differs).
     */
   def scoreLmIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
-      docs: DataFrame, textCol: String, idCol: String): DataFrame =
-    scoreAgainst(docs, textCol, idCol,
-      spark.read.parquet(s"$indexDir/c12"),
+      docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val c12 = spark.read.parquet(s"$indexDir/c12")
+    val mode =
+      if (statsBytes(c12) < SmallIndexBytes) BroadcastJoin else MeasuredGate
+    scoreAgainst(docs, textCol, idCol, c12,
       spark.read.parquet(s"$indexDir/c1"),
-      spark.read.parquet(s"$indexDir/stats"))
+      spark.read.parquet(s"$indexDir/stats"), mode)
+  }
 }
