@@ -82,9 +82,52 @@ object Scrub {
   private def isDigit(b: Byte): Boolean = b >= '0' && b <= '9'
   private def isAlpha(b: Byte): Boolean =
     (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')
-  /** java-regex ASCII `\b` word chars ([A-Za-z0-9_]). */
+  /** ASCII word chars ([A-Za-z0-9_]) — the `\w` class. */
   private def isWord(b: Byte): Boolean =
     isAlpha(b) || isDigit(b) || b == '_'
+
+  /** java.util.regex Bound quirk (found by ScrubPropertySpec): without
+    * UNICODE_CHARACTER_CLASS, `\w` is ASCII but `\b` classifies word
+    * chars as `'_' || Character.isLetterOrDigit(codepoint)` — Unicode
+    * letters DO block a boundary (Pattern$Bound.isWord). 'é' after a
+    * phone number kills the java/Spark match; the boundary checks decode
+    * the full codepoint to reproduce that. (DuckDB's RE2 `\b` is ASCII —
+    * a pre-existing cross-engine divergence the corpus never exercises:
+    * injected PII always has ASCII neighbors.)
+    */
+  private def isWordCp(cp: Int): Boolean =
+    cp == '_' || Character.isLetterOrDigit(cp)
+
+  /** Decode the UTF-8 codepoint starting at `s` (malformed → U+FFFD). */
+  private def codePointAt(b: Array[Byte], s: Int): Int = {
+    val n = b.length
+    val c = b(s) & 0xFF
+    if (c < 0x80) c
+    else if ((c & 0xE0) == 0xC0 && s + 1 < n)
+      ((c & 0x1F) << 6) | (b(s + 1) & 0x3F)
+    else if ((c & 0xF0) == 0xE0 && s + 2 < n)
+      ((c & 0x0F) << 12) | ((b(s + 1) & 0x3F) << 6) | (b(s + 2) & 0x3F)
+    else if ((c & 0xF8) == 0xF0 && s + 3 < n)
+      ((c & 0x07) << 18) | ((b(s + 1) & 0x3F) << 12) |
+        ((b(s + 2) & 0x3F) << 6) | (b(s + 3) & 0x3F)
+    else 0xFFFD
+  }
+
+  /** Is the codepoint ENDING at `i` a `\b` word char? */
+  private def wordBefore(b: Array[Byte], i: Int): Boolean = {
+    if (i <= 0) return false
+    if ((b(i - 1) & 0x80) == 0) return isWord(b(i - 1))
+    var s = i - 1
+    while (s > 0 && (b(s) & 0xC0) == 0x80) s -= 1
+    isWordCp(codePointAt(b, s))
+  }
+
+  /** Is the codepoint STARTING at `j` a `\b` word char? */
+  private def wordAt(b: Array[Byte], j: Int): Boolean = {
+    if (j >= b.length) return false
+    if ((b(j) & 0x80) == 0) return isWord(b(j))
+    isWordCp(codePointAt(b, j))
+  }
   /** Email local-part chars. */
   private def isLocal(b: Byte): Boolean =
     isAlpha(b) || isDigit(b) || b == '.' || b == '_' || b == '%' ||
@@ -170,13 +213,13 @@ object Scrub {
     var emit = 0
     var i = 0
     while (i + 12 <= n) {
-      if (isDigit(b(i)) && (i == 0 || !isWord(b(i - 1))) &&
+      if (isDigit(b(i)) && !wordBefore(b, i) &&
           isDigit(b(i + 1)) && isDigit(b(i + 2)) && b(i + 3) == '-' &&
           isDigit(b(i + 4)) && isDigit(b(i + 5)) && isDigit(b(i + 6)) &&
           b(i + 7) == '-' &&
           isDigit(b(i + 8)) && isDigit(b(i + 9)) && isDigit(b(i + 10)) &&
           isDigit(b(i + 11)) &&
-          (i + 12 == n || !isWord(b(i + 12)))) {
+          !wordAt(b, i + 12)) {
         count += 1
         if (out != null) {
           out.append(b, emit, i)
@@ -201,7 +244,7 @@ object Scrub {
     var i = 0
     while (i < n) {
       var end = -1
-      if (isDigit(b(i)) && (i == 0 || !isWord(b(i - 1)))) {
+      if (isDigit(b(i)) && !wordBefore(b, i)) {
         var j = i
         var group = 0
         var ok = true
@@ -211,7 +254,7 @@ object Scrub {
           if (r - j < 1 || r - j > 3) ok = false
           else if (group < 3) {
             if (r < n && b(r) == '.') j = r + 1 else ok = false
-          } else if (r == n || !isWord(b(r))) j = r
+          } else if (!wordAt(b, r)) j = r
           else ok = false
           group += 1
         }
