@@ -185,10 +185,53 @@ object NgramLm {
       c12.orderBy("w1", "w2").write.mode("overwrite").parquet(s"$dir/c12")
       c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
         .orderBy("w1").write.mode("overwrite").parquet(s"$dir/c1")
-      train.select(explode(split(col(textCol), " ")).as("tok"))
-        .agg(countDistinct(col("tok")).as("v"))
+      // vocab/ persists the distinct-token SET: counts are additive under
+      // append but a distinct COUNT is not — the set is what lets
+      // [[appendLmIndex]] merge v without re-reading the prior corpus.
+      // Vocabulary-bounded like the count tables. Written before stats/:
+      // the index's ready marker is stats' _SUCCESS and must commit LAST.
+      train.select(explode(split(col(textCol), " ")).as("tok")).distinct()
+        .orderBy("tok").write.mode("overwrite").parquet(s"$dir/vocab")
+      train.sparkSession.read.parquet(s"$dir/vocab")
+        .agg(count(lit(1)).as("v"))
         .write.mode("overwrite").parquet(s"$dir/stats")
     } finally c12.unpersist()
+  }
+
+  /** Append-delta refresh of a [[writeLmIndex]] generation
+    * (`IndexStore.ensureIncremental` buildDelta half): bigram counts are
+    * ADDITIVE, so the new generation is prior counts ∪ delta counts,
+    * sum-merged per key — the corpus text behind the prior generation is
+    * never re-read, and every merge input (count tables, vocab set) is
+    * vocabulary-bounded, so refresh cost scales with the APPENDED batch
+    * plus the vocabulary, not the corpus. c1 is re-derived from the merged
+    * c12 (one context row per distinct w1), v from the merged vocab set.
+    * Identical output contract to a full rebuild over the grown corpus —
+    * xq106's oracle states full-rebuild semantics, so its hash match IS
+    * the proof. stats/ is written last (the generation's ready marker).
+    */
+  def appendLmIndex(spark: org.apache.spark.sql.SparkSession,
+      delta: IndexStore.AppendDelta, newDir: String,
+      textCol: String, idCol: String): Unit = {
+    val fresh = spark.read.parquet(delta.newFiles: _*)
+    val merged = spark.read.parquet(s"${delta.priorDir}/c12")
+      .unionByName(bigrams(fresh, textCol, idCol)
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c12")))
+      .groupBy("w1", "w2").agg(sum(col("c12")).as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      merged.orderBy("w1", "w2").write.mode("overwrite").parquet(s"$newDir/c12")
+      merged.groupBy("w1").agg(sum(col("c12")).as("c1"))
+        .orderBy("w1").write.mode("overwrite").parquet(s"$newDir/c1")
+      spark.read.parquet(s"${delta.priorDir}/vocab")
+        .unionByName(fresh
+          .select(explode(split(col(textCol), " ")).as("tok")).distinct())
+        .distinct()
+        .orderBy("tok").write.mode("overwrite").parquet(s"$newDir/vocab")
+      spark.read.parquet(s"$newDir/vocab")
+        .agg(count(lit(1)).as("v"))
+        .write.mode("overwrite").parquet(s"$newDir/stats")
+    } finally merged.unpersist()
   }
 
   /** Score a batch against a persisted [[writeLmIndex]] index — bit-identical

@@ -3346,23 +3346,93 @@ object ExtensionQueries {
               |FROM bands b JOIN bands c
               |  ON b.band_id = c.band_id AND b.band_key = c.band_key
               | AND b.source = 'src3' AND c.source <> 'src3'
-              |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin))
+              |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin)),
+
+    // XQ106: incremental LM-index refresh — the xq105 append-delta regime
+    // for the bigram LM (xq102's index). Bigram counts are ADDITIVE, so
+    // when the reference corpus grows the new generation is prior counts
+    // sum-merged with the appended batch's counts (NgramLm.appendLmIndex):
+    // the already-counted corpus text is never re-read and the merge is
+    // vocabulary-bounded. Generation A (even doc_ids of src0) is built in
+    // full; the odd half arrives as appended parquet files; the probe
+    // scores src3 from generation 2. The oracle states FULL-RETRAIN
+    // semantics over the whole of src0, so the hash match IS the proof
+    // that probe-after-append ≡ full retrain.
+    QueryDef("xq106_lm_index_append",
+      (s, d) => {
+        val staged = stageAppendedTrain(s, d)
+        val dir = ensureLmInc(s, staged)
+        NgramLm.scoreLmIndex(s, dir,
+          Tables.documents(s, d).where(col("source") === "src3"),
+          "text", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+             |bg AS (SELECT doc_id, source, w[i] AS w1, w[i+1] AS w2
+             |       FROM t, UNNEST(generate_series(1, len(w) - 1)) AS u(i)),
+             |c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+             |        FROM bg WHERE source = 'src0' GROUP BY 1, 2),
+             |c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+             |v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM
+             |        (SELECT unnest(string_split(text, ' ')) AS tok
+             |         FROM documents WHERE source = 'src0')),
+             |q AS (SELECT bg.doc_id,
+             |        CAST(floor(-ln(CAST(COALESCE(c12.c12, 0) + 1 AS DOUBLE)
+             |                       / CAST(COALESCE(c1.c1, 0) + v.v AS DOUBLE))
+             |             * 1000000 + 0.5) AS BIGINT) AS q
+             |      FROM bg LEFT JOIN c12 ON bg.w1 = c12.w1 AND bg.w2 = c12.w2
+             |              LEFT JOIN c1 ON bg.w1 = c1.w1, v
+             |      WHERE bg.source = 'src3')
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             |  CAST(SUM(q) AS BIGINT) AS nll_q,
+             |  CAST(SUM(q) AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS DOUBLE) AS avg_nll
+             |FROM q GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** xq105's two-generation staged corpus: generation A (even doc_ids of
     * the non-src3 corpus) written first and indexed in full, generation B
     * (odd doc_ids) APPENDED as new parquet files — a real file-level
-    * append of one growing table. Keyed by the SF documents identity, so
-    * re-runs of a fully staged corpus skip straight to the ready index;
-    * a half-staged leftover (crash before the B marker) is wiped and
+    * append of one growing table.
+    */
+  private def stageAppendedCorpus(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    stageTwoGenerations(s, d, "band-stage",
+      Tables.documents(s, d).where(col("source") =!= "src3"),
+      st => { IndexStore.ensureIncremental("band-inc-w2", Seq(st))(
+        Dedup.writeBandIndex(s.read.parquet(st), "text", "doc_id", _))(
+        (delta, nd) => Dedup.appendBandIndex(s, delta, nd, "text", "doc_id"))
+        ; () })
+
+  /** xq106's staged LM train corpus (generation A = even doc_ids of src0,
+    * generation B = odd), indexed per generation through the lm-inc tag.
+    */
+  private def stageAppendedTrain(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    stageTwoGenerations(s, d, "lm-stage",
+      Tables.documents(s, d).where(col("source") === "src0"),
+      st => { ensureLmInc(s, st); () })
+
+  private def ensureLmInc(s: org.apache.spark.sql.SparkSession,
+      staged: String): String =
+    IndexStore.ensureIncremental("lm-inc", Seq(staged), "stats/_SUCCESS")(
+      NgramLm.writeLmIndex(s.read.parquet(staged), "text", "doc_id", _))(
+      (delta, nd) => NgramLm.appendLmIndex(s, delta, nd, "text", "doc_id"))
+
+  /** Two-generation staged table: generation A (even ids of `rows`)
+    * written first and indexed in full via `ensureGen1`, generation B
+    * (odd ids) APPENDED as new parquet files — a real file-level append
+    * of one growing table. Keyed by the SF documents identity, so re-runs
+    * of a fully staged corpus skip straight to the ready index; a
+    * half-staged leftover (crash before the B marker) is wiped and
     * restaged, and the rewrite's fresh mtimes correctly invalidate any
     * index generation built over the old staging.
     */
-  private def stageAppendedCorpus(s: org.apache.spark.sql.SparkSession,
-      d: String): String = {
+  private def stageTwoGenerations(s: org.apache.spark.sql.SparkSession,
+      d: String, stageName: String, rows: org.apache.spark.sql.DataFrame,
+      ensureGen1: String => Unit): String = {
     val srcPath = new java.io.File(d, "documents.parquet").toString
     val staged = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft-band-stage-${IndexStore.identityKey(Seq(srcPath))}")
+      s"graft-$stageName-${IndexStore.identityKey(Seq(srcPath))}")
     val done = new java.io.File(staged, "_graft_staged_b")
     if (!done.exists()) {
       def wipe(f: java.io.File): Unit = {
@@ -3371,16 +3441,12 @@ object ExtensionQueries {
         f.delete(); ()
       }
       wipe(staged)
-      val docs = Tables.documents(s, d).where(col("source") =!= "src3")
-      docs.where(pmod(col("doc_id"), lit(2)) === 0)
+      rows.where(pmod(col("doc_id"), lit(2)) === 0)
         .write.mode("overwrite").parquet(staged.toString)
       // generation 1: full build over the A-only corpus; its recorded
       // manifest is what generation 2's delta detection runs against.
-      IndexStore.ensureIncremental("band-inc-w2", Seq(staged.toString))(
-        Dedup.writeBandIndex(s.read.parquet(staged.toString),
-          "text", "doc_id", _))(
-        (delta, nd) => Dedup.appendBandIndex(s, delta, nd, "text", "doc_id"))
-      docs.where(pmod(col("doc_id"), lit(2)) === 1)
+      ensureGen1(staged.toString)
+      rows.where(pmod(col("doc_id"), lit(2)) === 1)
         .write.mode("append").parquet(staged.toString)
       done.createNewFile()
     }

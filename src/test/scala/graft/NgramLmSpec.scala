@@ -51,4 +51,45 @@ class NgramLmSpec extends SparkSpec {
     assert(strict.exceptAll(probed).isEmpty && probed.exceptAll(strict).isEmpty,
       "index probe must reproduce the strict scores bit-exactly")
   }
+
+  test("append-delta refresh == full rebuild over the grown corpus") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val docs = Tables.documents(spark, sf)
+    val trainSplit = docs.where(col("source") === "src0")
+    val batch = docs.where(col("source") === "src3")
+    // stage: generation A files, then an appended B batch
+    val staged = java.nio.file.Files.createTempDirectory("graft-lm-app").toString
+    trainSplit.where(pmod(col("doc_id"), lit(2)) === 0)
+      .write.mode("overwrite").parquet(staged)
+    val gen1 = java.nio.file.Files.createTempDirectory("graft-lm-g1").toString
+    NgramLm.writeLmIndex(spark.read.parquet(staged), "text", "doc_id", gen1)
+    val manifest = new java.io.File(staged).listFiles()
+      .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.getAbsolutePath).toSet
+    trainSplit.where(pmod(col("doc_id"), lit(2)) === 1)
+      .write.mode("append").parquet(staged)
+    val newFiles = new java.io.File(staged).listFiles()
+      .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.getAbsolutePath).filterNot(manifest).toSeq
+    assert(newFiles.nonEmpty, "the append must add data files")
+    val gen2 = java.nio.file.Files.createTempDirectory("graft-lm-g2").toString
+    NgramLm.appendLmIndex(spark,
+      operators.IndexStore.AppendDelta(gen1, newFiles), gen2, "text", "doc_id")
+    // full rebuild over the grown corpus is the reference
+    val full = java.nio.file.Files.createTempDirectory("graft-lm-full").toString
+    NgramLm.writeLmIndex(spark.read.parquet(staged), "text", "doc_id", full)
+    val a = NgramLm.scoreLmIndex(spark, gen2, batch, "text", "doc_id")
+    val b = NgramLm.scoreLmIndex(spark, full, batch, "text", "doc_id")
+    assert(a.count() > 0)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "probe after append must equal the full retrain bit-exactly")
+    // the merged tables themselves must be count-identical, not just the
+    // scores (a score tie could hide a miscount behind smoothing)
+    val c12a = spark.read.parquet(s"$gen2/c12")
+    val c12b = spark.read.parquet(s"$full/c12")
+    assert(c12a.exceptAll(c12b).isEmpty && c12b.exceptAll(c12a).isEmpty)
+    val va = spark.read.parquet(s"$gen2/stats").head.getLong(0)
+    val vb = spark.read.parquet(s"$full/stats").head.getLong(0)
+    assert(va == vb)
+  }
 }
