@@ -47,12 +47,17 @@ object Ranking {
     * StageProbe xq44v). Same integers: Σ dl is Σ (#spaces + 1), and the
     * 0x20 byte never occurs inside a UTF-8 multi-byte sequence.
     */
+  // sum_dl rides along as an exact long: avgdl is one IEEE divide and NOT
+  // additive under corpus growth, but (n, sum_dl) are — appendBm25Index
+  // merges the longs exactly and re-derives avgdl with the SAME single
+  // divide a full rebuild performs, keeping probe scores bit-identical.
   private def corpusStats(docs: DataFrame, textCol: String): DataFrame =
     docs.where(col(textCol).isNotNull)
       .agg(count(lit(1)).as("n"),
         sum((length(col(textCol)) -
           length(translate(col(textCol), " ", "")) + 1).cast("long")).as("sum_dl"))
-      .select(col("n"), (col("sum_dl").cast("double") / col("n")).as("avgdl"))
+      .select(col("n"), (col("sum_dl").cast("double") / col("n")).as("avgdl"),
+        col("sum_dl"))
 
   /** Per-doc (doc_id, term, tf, dl) stream with NO exchange: term counts
     * and document length computed inside the document row.
@@ -118,6 +123,48 @@ object Ranking {
         .write.mode("overwrite").parquet(s"$dir/dfs")
       corpusStats(docs, textCol)
         .write.mode("overwrite").parquet(s"$dir/stats")
+    } finally tf.unpersist()
+  }
+
+  /** Append-delta refresh of a [[writeBm25Index]] generation
+    * (`IndexStore.ensureIncremental` buildDelta half). Postings are
+    * append-only under corpus growth (a new document only ADDS posting
+    * rows), so the prior generation's posting files carry over verbatim
+    * (hard-linked) and only the appended batch is term-streamed — its rows
+    * land in their own term-clustered sorted files, preserving per-file
+    * min/max pruning exactly like `Dedup.appendBandIndex`. df counts and
+    * (n, sum_dl) are additive and vocabulary-/1-row-bounded, so the merge
+    * never touches the prior corpus text; avgdl is re-derived from the
+    * exact merged longs with the same single IEEE divide a full rebuild
+    * performs — probe scores stay bit-identical (xq107's oracle states
+    * full-rebuild semantics; RankingSpec pins tables AND scores). stats/
+    * is written last (the generation's ready marker).
+    */
+  def appendBm25Index(spark: org.apache.spark.sql.SparkSession,
+      delta: IndexStore.AppendDelta, newDir: String,
+      textCol: String, idCol: String): Unit = {
+    val fresh = spark.read.parquet(delta.newFiles: _*)
+    IndexStore.linkData(s"${delta.priorDir}/postings", s"$newDir/postings")
+    val tf = termStream(fresh, textCol, idCol)
+      .select(col(idCol), col("term"), col("tf"), col("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      tf.repartition(col("term"))
+        .sortWithinPartitions("term")
+        .write.mode("append").parquet(s"$newDir/postings")
+      spark.read.parquet(s"${delta.priorDir}/dfs")
+        .unionByName(tf.groupBy(col("term")).agg(count(lit(1)).as("df")))
+        .groupBy(col("term")).agg(sum(col("df")).as("df"))
+        .repartition(col("term"))
+        .sortWithinPartitions("term")
+        .write.mode("overwrite").parquet(s"$newDir/dfs")
+      spark.read.parquet(s"${delta.priorDir}/stats")
+        .unionByName(corpusStats(fresh, textCol))
+        .agg(sum(col("n")).as("n"), sum(col("sum_dl")).as("sum_dl"))
+        .select(col("n"),
+          (col("sum_dl").cast("double") / col("n")).as("avgdl"),
+          col("sum_dl"))
+        .write.mode("overwrite").parquet(s"$newDir/stats")
     } finally tf.unpersist()
   }
 

@@ -3386,7 +3386,62 @@ object ExtensionQueries {
              |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
              |  CAST(SUM(q) AS BIGINT) AS nll_q,
              |  CAST(SUM(q) AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS DOUBLE) AS avg_nll
-             |FROM q GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM q GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // XQ107: incremental BM25-index refresh — the xq105/xq106 append-delta
+    // regime for the retrieval index (xq99's). Postings are APPEND-ONLY
+    // under corpus growth, so generation 2 hard-links generation 1's
+    // posting files verbatim and term-streams only the appended half into
+    // its own term-clustered sorted files; df and (n, sum_dl) sum-merge
+    // exactly and avgdl re-derives with the same single IEEE divide a full
+    // rebuild performs. The probe serves xq99's three term-set queries
+    // from the merged generation; the oracle states FULL-REBUILD semantics
+    // over the whole corpus, so the hash match IS the proof.
+    QueryDef("xq107_bm25_index_append",
+      (s, d) => {
+        val staged = stageAppendedBm25(s, d)
+        val dir = ensureBm25Inc(s, staged)
+        val queries = Seq(
+          0L -> Seq("join", "hash"),
+          1L -> Seq("scan", "filter", "merge"),
+          2L -> Seq("customer", "column"))
+        queries.map { case (qno, terms) =>
+          val top = Ranking.scoreBm25Index(s, dir, terms)
+            .orderBy(col("score").desc, col("doc_id")).limit(5)
+          val w = org.apache.spark.sql.expressions.Window
+            .orderBy(col("score").desc, col("doc_id"))
+          top.withColumn("rk", row_number().over(w).cast("long"))
+            .withColumn("query_no", lit(qno))
+        }.reduce(_ unionByName _)
+          .select("query_no", "rk", "doc_id", "score")
+          .orderBy("query_no", "rk")
+      },
+      Some("""WITH tf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |cnt AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tf GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM cnt GROUP BY 1),
+             |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM cnt GROUP BY 1),
+             |corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |                  CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+             |scored AS (SELECT cnt.term, cnt.doc_id,
+             |  ((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)
+             |    * (CAST(cnt.tf AS DOUBLE) * 2.2))
+             |  / (CAST(cnt.tf AS DOUBLE)
+             |     + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / avgdl))) AS bm25
+             |  FROM cnt JOIN dl USING (doc_id) JOIN df USING (term), corpus),
+             |q(query_no, t1, t2, t3) AS (VALUES
+             |  (0, 'join', 'hash', NULL), (1, 'scan', 'filter', 'merge'),
+             |  (2, 'customer', 'column', NULL)),
+             |per AS (SELECT q.query_no, s.doc_id,
+             |    COALESCE(MAX(CASE WHEN s.term = q.t1 THEN s.bm25 END), 0.0)
+             |  + COALESCE(MAX(CASE WHEN s.term = q.t2 THEN s.bm25 END), 0.0)
+             |  + COALESCE(MAX(CASE WHEN s.term = q.t3 THEN s.bm25 END), 0.0) AS score
+             |  FROM q JOIN scored s ON s.term IN (q.t1, q.t2, q.t3)
+             |  GROUP BY 1, 2),
+             |rk AS (SELECT query_no, doc_id, score,
+             |         ROW_NUMBER() OVER (PARTITION BY query_no ORDER BY score DESC, doc_id) AS rk
+             |       FROM per)
+             |SELECT CAST(query_no AS BIGINT) AS query_no, CAST(rk AS BIGINT) AS rk, doc_id, score
+             |FROM rk WHERE rk <= 5 ORDER BY query_no, rk""".stripMargin))
   )
 
   /** xq105's two-generation staged corpus: generation A (even doc_ids of
@@ -3417,6 +3472,20 @@ object ExtensionQueries {
     IndexStore.ensureIncremental("lm-inc", Seq(staged), "stats/_SUCCESS")(
       NgramLm.writeLmIndex(s.read.parquet(staged), "text", "doc_id", _))(
       (delta, nd) => NgramLm.appendLmIndex(s, delta, nd, "text", "doc_id"))
+
+  /** xq107's staged full corpus (generation A = even doc_ids, B = odd),
+    * indexed per generation through the bm25-inc tag.
+    */
+  private def stageAppendedBm25(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    stageTwoGenerations(s, d, "bm25-stage", Tables.documents(s, d),
+      st => { ensureBm25Inc(s, st); () })
+
+  private def ensureBm25Inc(s: org.apache.spark.sql.SparkSession,
+      staged: String): String =
+    IndexStore.ensureIncremental("bm25-inc", Seq(staged), "stats/_SUCCESS")(
+      Ranking.writeBm25Index(s.read.parquet(staged), "text", "doc_id", _))(
+      (delta, nd) => Ranking.appendBm25Index(s, delta, nd, "text", "doc_id"))
 
   /** Two-generation staged table: generation A (even ids of `rows`)
     * written first and indexed in full via `ensureGen1`, generation B

@@ -49,4 +49,47 @@ class RankingSpec extends SparkSpec {
       Ranking.scoreBm25Index(spark, dir, Seq("join", "join"))
     }
   }
+
+  test("append-delta refresh == full rebuild (tables, stats, and scores)") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val docs = Tables.documents(spark, sf)
+    val staged = java.nio.file.Files.createTempDirectory("graft-bm25-app").toString
+    docs.where(pmod(col("doc_id"), lit(2)) === 0)
+      .write.mode("overwrite").parquet(staged)
+    val gen1 = java.nio.file.Files.createTempDirectory("graft-bm25-g1").toString
+    Ranking.writeBm25Index(spark.read.parquet(staged), "text", "doc_id", gen1)
+    val before = new java.io.File(staged).listFiles()
+      .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.getAbsolutePath).toSet
+    docs.where(pmod(col("doc_id"), lit(2)) === 1)
+      .write.mode("append").parquet(staged)
+    val newFiles = new java.io.File(staged).listFiles()
+      .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.getAbsolutePath).filterNot(before).toSeq
+    assert(newFiles.nonEmpty)
+    val gen2 = java.nio.file.Files.createTempDirectory("graft-bm25-g2").toString
+    Ranking.appendBm25Index(spark,
+      operators.IndexStore.AppendDelta(gen1, newFiles), gen2, "text", "doc_id")
+    val full = java.nio.file.Files.createTempDirectory("graft-bm25-full").toString
+    Ranking.writeBm25Index(spark.read.parquet(staged), "text", "doc_id", full)
+    // generation 1's posting files must be carried verbatim (hard links)
+    def names(p: String) = new java.io.File(p).listFiles()
+      .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.getName).toSet
+    val g1Names = names(s"$gen1/postings")
+    val g2Names = names(s"$gen2/postings")
+    assert(g1Names.subsetOf(g2Names) && g2Names.size > g1Names.size,
+      "append must link prior posting files and add new ones")
+    // merged tables bit-equal to the rebuild (dfs, stats), and the scores
+    for (sub <- Seq("postings", "dfs", "stats")) {
+      val a = spark.read.parquet(s"$gen2/$sub")
+      val b = spark.read.parquet(s"$full/$sub")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, s"$sub differs")
+    }
+    val sa = Ranking.scoreBm25Index(spark, gen2, Seq("scan", "filter"))
+    val sb = Ranking.scoreBm25Index(spark, full, Seq("scan", "filter"))
+    assert(sa.count() > 0)
+    assert(sa.exceptAll(sb).isEmpty && sb.exceptAll(sa).isEmpty,
+      "probe after append must equal the full rebuild bit-exactly")
+  }
 }
