@@ -575,6 +575,33 @@ object Similarity {
       .write.mode("overwrite").parquet(dir + "/stats")
   }
 
+  /** Append-delta refresh of a [[writePqIndex]] generation
+    * (`IndexStore.ensureIncremental` buildDelta half) — the
+    * FROZEN-QUANTIZER regime: the codebook is carried verbatim (k-means
+    * retraining is deliberately NOT additive; production vector stores
+    * re-encode new data under the serving codebook and retrain on a
+    * schedule, not per ingest batch), prior code files hard-link over,
+    * and only the appended vectors are encoded — one broadcast-codebook
+    * scan of the new batch, the indexed corpus never re-read. Probe
+    * results are bit-identical to encoding the grown corpus under the
+    * SAME codebook (xq108's oracle trains on generation A and codes every
+    * row; SimilaritySpec pins codes and probe equality). stats/ is
+    * written last (the generation's ready marker).
+    */
+  def appendPqIndex(spark: SparkSession, delta: IndexStore.AppendDelta,
+      newDir: String, vecCol: String, idCol: String): Unit = {
+    IndexStore.linkData(s"${delta.priorDir}/codebook", s"$newDir/codebook")
+    IndexStore.linkData(s"${delta.priorDir}/codes", s"$newDir/codes")
+    val st = spark.read.parquet(delta.priorDir + "/stats").collect()(0)
+    pqEncode(spark.read.parquet(delta.newFiles: _*), vecCol, idCol,
+      spark.read.parquet(delta.priorDir + "/codebook"),
+      st.getAs[Int]("m"), st.getAs[Int]("sub_dim"))
+      .withColumnRenamed(idCol, "id")
+      .write.mode("append").parquet(newDir + "/codes")
+    spark.read.parquet(delta.priorDir + "/stats")
+      .write.mode("overwrite").parquet(newDir + "/stats")
+  }
+
   /** ADC top-k for a BATCH of query vectors against a persisted PQ index —
     * scoring is bit-identical to [[pqTopK]]'s (same driver-built LUT fold,
     * same 1e-9 quantize-then-integer-sum). The query batch is

@@ -238,19 +238,33 @@ object ExtensionQueries {
     * [[pqProbeOracle]] (xq103 persisted-index probe) so the two regimes
     * provably score against the same training math.
     */
-  private def pqCtes(m: Int, subDim: Int, k: Int, iters: Int): String = {
+  /** `trainWhere`: optional SQL predicate restricting the TRAINING subset
+    * (seed + Lloyd iterations) — the frozen-codebook append regime trains
+    * on generation A only while codes still cover every row (xq108).
+    * None emits the historical full-corpus CTEs unchanged.
+    */
+  private def pqCtes(m: Int, subDim: Int, k: Int, iters: Int,
+      trainWhere: Option[String] = None): String = {
     val sb = new StringBuilder
     sb ++= "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
     for (s <- 0 until m) {
       val lo = s * subDim + 1
       val hi = (s + 1) * subDim
       sb ++= s""",
-                |e$s AS (SELECT vec_id, v[$lo:$hi] AS v FROM e),
-                |c${s}_0 AS (SELECT vec_id AS cluster, v AS cvec FROM e$s ORDER BY vec_id LIMIT $k)""".stripMargin
+                |e$s AS (SELECT vec_id, v[$lo:$hi] AS v FROM e)""".stripMargin
+      val t = trainWhere match {
+        case Some(w) =>
+          sb ++= s""",
+                    |t$s AS (SELECT * FROM e$s WHERE $w)""".stripMargin
+          s"t$s"
+        case None => s"e$s"
+      }
+      sb ++= s""",
+                |c${s}_0 AS (SELECT vec_id AS cluster, v AS cvec FROM $t ORDER BY vec_id LIMIT $k)""".stripMargin
       for (i <- 1 to iters) {
         sb ++= s""",
                   |a${s}_$i AS (SELECT e.vec_id, c.cluster, ${oL2("e.v", "c.cvec")} AS d2
-                  |        FROM e$s e, c${s}_${i - 1} c),
+                  |        FROM $t e, c${s}_${i - 1} c),
                   |m${s}_$i AS (SELECT vec_id, MIN(d2) AS md FROM a${s}_$i GROUP BY 1),
                   |g${s}_$i AS (SELECT a.vec_id, MIN(a.cluster) AS cluster
                   |        FROM a${s}_$i a JOIN m${s}_$i mm
@@ -305,10 +319,11 @@ object ExtensionQueries {
     * vec_id, matching the Spark window).
     */
   private def pqProbeOracle(m: Int, subDim: Int, k: Int, iters: Int,
-      queryIds: Seq[Long], kNN: Int): String = {
+      queryIds: Seq[Long], kNN: Int,
+      trainWhere: Option[String] = None): String = {
     val ids = queryIds.mkString(", ")
     val sb = new StringBuilder
-    sb ++= pqCtes(m, subDim, k, iters)
+    sb ++= pqCtes(m, subDim, k, iters, trainWhere)
     for (s <- 0 until m) {
       sb ++= s""",
                 |lutp$s AS (SELECT qe.vec_id AS query_id, c.cluster AS code,
@@ -3441,7 +3456,31 @@ object ExtensionQueries {
              |         ROW_NUMBER() OVER (PARTITION BY query_no ORDER BY score DESC, doc_id) AS rk
              |       FROM per)
              |SELECT CAST(query_no AS BIGINT) AS query_no, CAST(rk AS BIGINT) AS rk, doc_id, score
-             |FROM rk WHERE rk <= 5 ORDER BY query_no, rk""".stripMargin))
+             |FROM rk WHERE rk <= 5 ORDER BY query_no, rk""".stripMargin)),
+
+    // XQ108: incremental PQ-index refresh — the FROZEN-QUANTIZER append
+    // regime that completes the family (band xq105, LM xq106, BM25 xq107):
+    // k-means retraining is deliberately NOT additive, so the codebook
+    // carries over verbatim (the posture production vector stores run:
+    // re-encode new data under the serving codebook, retrain on a
+    // schedule), prior code files hard-link, and only the appended
+    // vectors are encoded — one broadcast-codebook scan of the batch.
+    // The oracle trains the codebook on generation A (even vec_ids) and
+    // codes EVERY row under it — exactly what probe-after-append serves —
+    // so the hash match proves append ≡ encode-the-grown-corpus under the
+    // frozen codebook.
+    QueryDef("xq108_pq_index_append",
+      (s, d) => {
+        val staged = stageAppendedPq(s, d)
+        val dir = ensurePqInc(s, staged)
+        Similarity.probePqIndex(s, dir,
+          Tables.embeddings(s, d).where(col("vec_id").isin(7L, 11L, 23L)),
+          "embedding", "vec_id", kNN = 10)
+          .orderBy("query_id", "rk")
+      },
+      Some(pqProbeOracle(m = 4, subDim = 16, k = 16, iters = 2,
+        queryIds = Seq(7L, 11L, 23L), kNN = 10,
+        trainWhere = Some("vec_id % 2 = 0"))))
   )
 
   /** xq105's two-generation staged corpus: generation A (even doc_ids of
@@ -3487,6 +3526,22 @@ object ExtensionQueries {
       Ranking.writeBm25Index(s.read.parquet(staged), "text", "doc_id", _))(
       (delta, nd) => Ranking.appendBm25Index(s, delta, nd, "text", "doc_id"))
 
+  /** xq108's staged embeddings (generation A = even vec_ids, B = odd),
+    * indexed per generation through the pq-inc tag: generation A trains
+    * the codebook; the append encodes B under it, frozen.
+    */
+  private def stageAppendedPq(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    stageTwoGenerations(s, d, "pq-stage", Tables.embeddings(s, d),
+      st => { ensurePqInc(s, st); () }, idCol = "vec_id")
+
+  private def ensurePqInc(s: org.apache.spark.sql.SparkSession,
+      staged: String): String =
+    IndexStore.ensureIncremental("pq-inc", Seq(staged), "stats/_SUCCESS")(
+      Similarity.writePqIndex(s.read.parquet(staged), "embedding", "vec_id",
+        _, m = 4, subDim = 16, k = 16, iters = 2))(
+      (delta, nd) => Similarity.appendPqIndex(s, delta, nd, "embedding", "vec_id"))
+
   /** Two-generation staged table: generation A (even ids of `rows`)
     * written first and indexed in full via `ensureGen1`, generation B
     * (odd ids) APPENDED as new parquet files — a real file-level append
@@ -3498,7 +3553,7 @@ object ExtensionQueries {
     */
   private def stageTwoGenerations(s: org.apache.spark.sql.SparkSession,
       d: String, stageName: String, rows: org.apache.spark.sql.DataFrame,
-      ensureGen1: String => Unit): String = {
+      ensureGen1: String => Unit, idCol: String = "doc_id"): String = {
     val srcPath = new java.io.File(d, "documents.parquet").toString
     val staged = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft-$stageName-${IndexStore.identityKey(Seq(srcPath))}")
@@ -3510,12 +3565,12 @@ object ExtensionQueries {
         f.delete(); ()
       }
       wipe(staged)
-      rows.where(pmod(col("doc_id"), lit(2)) === 0)
+      rows.where(pmod(col(idCol), lit(2)) === 0)
         .write.mode("overwrite").parquet(staged.toString)
       // generation 1: full build over the A-only corpus; its recorded
       // manifest is what generation 2's delta detection runs against.
       ensureGen1(staged.toString)
-      rows.where(pmod(col("doc_id"), lit(2)) === 1)
+      rows.where(pmod(col(idCol), lit(2)) === 1)
         .write.mode("append").parquet(staged.toString)
       done.createNewFile()
     }

@@ -144,4 +144,41 @@ class PqSpec extends SparkSpec {
       .collect().toSeq
     assert(a == b, "codes and ADC distances must not depend on partitioning")
   }
+
+  test("append-delta refresh == frozen-codebook encode of the grown corpus") {
+    import org.apache.spark.sql.functions.pmod
+    val staged = java.nio.file.Files.createTempDirectory("pq-app-stage").toString
+    emb.where(pmod(col("vec_id"), lit(2)) === 0)
+      .write.mode("overwrite").parquet(staged)
+    val gen1 = java.nio.file.Files.createTempDirectory("pq-app-g1").toString
+    Similarity.writePqIndex(spark.read.parquet(staged),
+      "embedding", "vec_id", gen1, M, SubDim, K, 2)
+    def files(p: String) = new java.io.File(p).listFiles()
+      .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    val before = files(staged).map(_.getAbsolutePath).toSet
+    emb.where(pmod(col("vec_id"), lit(2)) === 1)
+      .write.mode("append").parquet(staged)
+    val newFiles = files(staged).map(_.getAbsolutePath).filterNot(before).toSeq
+    assert(newFiles.nonEmpty)
+    val gen2 = java.nio.file.Files.createTempDirectory("pq-app-g2").toString
+    Similarity.appendPqIndex(spark,
+      operators.IndexStore.AppendDelta(gen1, newFiles), gen2,
+      "embedding", "vec_id")
+    // reference: the SAME frozen codebook encoding the grown corpus
+    val cb = spark.read.parquet(s"$gen1/codebook")
+    val refCodes = Similarity.pqEncode(spark.read.parquet(staged),
+      "embedding", "vec_id", cb, M, SubDim)
+      .withColumnRenamed("vec_id", "id")
+    val gotCodes = spark.read.parquet(s"$gen2/codes")
+    assert(gotCodes.exceptAll(refCodes).isEmpty &&
+      refCodes.exceptAll(gotCodes).isEmpty, "codes differ from frozen encode")
+    // codebook carried verbatim
+    val cb2 = spark.read.parquet(s"$gen2/codebook")
+    assert(cb2.exceptAll(cb).isEmpty && cb.exceptAll(cb2).isEmpty)
+    // probe over the appended generation answers for rows of BOTH halves
+    val probe = Similarity.probePqIndex(spark, gen2,
+      emb.where(col("vec_id").isin(7L, 8L)), "embedding", "vec_id", 5)
+      .collect()
+    assert(probe.length == 10, "both query vectors must get a full top-5")
+  }
 }
