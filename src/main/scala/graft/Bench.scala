@@ -94,6 +94,13 @@ object Bench {
       try w.println(line) finally w.close()
     } catch { case _: Throwable => () }
     println(line)
+    // FINAL stdout line is a short summary (~200 chars) that a bounded
+    // last-N-chars tail can never truncate: the harness that snapshots
+    // only the tail of stdout always sees one complete, parseable JSON
+    // line with the verdict-bearing fields; the per-query map lives in
+    // the full line above and in BENCH_LAST.json.
+    val summary = s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","scale_path_total":${ms(scaleTotal)},"n_queries":${results.size},"n_errors":${errors.size},"queries_file":"BENCH_LAST.json"}"""
+    println(summary)
     spark.stop()
   }
 }

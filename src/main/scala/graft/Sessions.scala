@@ -21,6 +21,14 @@ object Sessions {
       // events.ts is TIMESTAMP(NANOS) parquet — read as long, normalized in
       // Tables.events (Spark has no nanosecond TimestampType).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Generated-class cache sized for a long-lived session serving a
+      // LIBRARY of query shapes: the default (100 entries) thrashes once
+      // the session has seen ~30+ distinct plans (this suite has 178;
+      // each carries several codegen units), so every re-run pays Janino
+      // compilation again on what should be a warm path. The cache keys
+      // on generated SOURCE, which does not embed input paths — the same
+      // plan shape over a different dataset reuses the compiled class.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       // ObjectHashAggregate's sort-based fallback threshold is NOT raised
       // globally: bounded-state aggregates (TopKRows' k rows per group)
       // are safe hash-resident at any group count, but a global raise also

@@ -33,7 +33,12 @@ import org.apache.spark.sql.types._
   * pos + 1). The caller's key must be UNIQUE per row within a group (e.g.
   * include the row's id as a tiebreak field) — equal keys keep an
   * arbitrary-order subset, exactly as row_number would break the tie
-  * nondeterministically. Sort-key fields must be non-null (enforced).
+  * nondeterministically. Sort-key fields must be NON-NULL, and callers
+  * must guarantee it (wrap nullable keys in coalesce): nothing here
+  * checks, and a null sort field reads as 0/false/"" through the
+  * UnsafeRow getters — i.e. it silently ranks as that zero value rather
+  * than NULLS FIRST/LAST. Every engine call site feeds counts, hashes,
+  * or ids, which are non-null by construction.
   */
 case class TopKRows(
     child: Expression,

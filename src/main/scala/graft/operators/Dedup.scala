@@ -429,9 +429,7 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3, minJaccard: Double = 0.0, maxDf: Long = 0L): DataFrame = {
     // Persisted: reused by both join sides and the per-doc counts.
-    val sh = Shingles.hashed(docs, textCol, idCol, n)
-      .withColumnRenamed(idCol, "doc_id").distinct()
-      .trackedCache
+    val sh = distinctShingles(docs, textCol, idCol, n)
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     def jacOut(pairs: DataFrame, c: Column): DataFrame = pairs
       .select(col("doc_a"), col("doc_b"),
@@ -487,9 +485,7 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3, minContainment: Double = 0.0, maxDf: Long = 0L): DataFrame = {
-    val sh = Shingles.hashed(docs, textCol, idCol, n)
-      .withColumnRenamed(idCol, "doc_id").distinct()
-      .trackedCache
+    val sh = distinctShingles(docs, textCol, idCol, n)
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     def contOut(pairs: DataFrame, c: Column): DataFrame = pairs
       .select(col("doc_a"), col("doc_b"),
@@ -524,23 +520,47 @@ object Dedup {
     }
   }
 
+  /** The persisted DISTINCT (doc_id, shingle) set all shingle-pair
+    * operators start from, built as ONE shingle-keyed exchange (round 12):
+    * the raw exploded shingles are REPARTITION_BY_NUM'd on `shingle`, and
+    * because HashPartitioning(shingle) satisfies the clustered distribution
+    * of every downstream key set containing `shingle`, the distinct
+    * aggregate, the df-count (`groupBy(shingle)`), AND the co-shingle pair
+    * self-join all reuse this single partitioning — the previous form
+    * (distinct on (doc_id, shingle), then a second shingle exchange for
+    * df-count and a third for the pair join) paid this box's ~0.3-0.5 s
+    * per-stage floor twice more for byte-identical results (the xq100
+    * adjudication: stage COUNT, not data, dominates at small SF).
+    *
+    * Skew-safe by construction: REPARTITION_BY_NUM pins the partition
+    * count against AQE's byte-based coalescing (the fuzzyDedupPairs trap),
+    * and per-shingle df is bounded in the capped regime the scale path
+    * uses, so no reducer inherits a data-scale key group.
+    */
+  private def distinctShingles(docs: DataFrame, textCol: String,
+      idCol: String, n: Int): DataFrame =
+    Shingles.hashed(docs, textCol, idCol, n)
+      .withColumnRenamed(idCol, "doc_id")
+      .repartition(numShufflePartitions(docs), col("shingle"))
+      .dropDuplicates("doc_id", "shingle")
+      .trackedCache
+
   /** Distinct-shingle intersection counts per candidate pair
     * (doc_a < doc_b, c = |A∩B|) — the shared engine of
     * [[ngramJaccardPairs]] and [[containmentPairs]]. `sh` must be the
-    * DISTINCT (doc_id, shingle) set, persisted by the caller (it feeds both
-    * join sides). See ngramJaccardPairs for the maxDf skew-cap contract.
+    * [[distinctShingles]] output: persisted (it feeds both join sides) and
+    * partitioned by `shingle`, so the self-join needs no exchange of its
+    * own. See ngramJaccardPairs for the maxDf skew-cap contract.
     */
   private def intersectionCounts(sh: DataFrame, maxDf: Long): DataFrame =
     if (maxDf > 0L)
       hotColdCounts(sh, maxDf)((coldCounts, _) => coldCounts)
         .select("doc_a", "doc_b", "c")
-    else {
-      val shP = sh.repartition(numShufflePartitions(sh), col("shingle"))
-      shP.select(col("doc_id").as("doc_a"), col("shingle"))
-        .join(shP.toDF("doc_b", "shingle"), "shingle")
+    else
+      sh.select(col("doc_id").as("doc_a"), col("shingle"))
+        .join(sh.toDF("doc_b", "shingle"), "shingle")
         .where(col("doc_a") < col("doc_b"))
         .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
-    }
 
   /** The single copy of the df-capped hot/cold candidate machinery (round
     * 9 — previously duplicated between [[intersectionCounts]] and
@@ -563,16 +583,15 @@ object Dedup {
     */
   private def hotColdCounts(sh: DataFrame, maxDf: Long)(
       refine: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    // df-count and the cold pair self-join both reuse the shingle
+    // partitioning [[distinctShingles]] pinned (REPARTITION_BY_NUM, so
+    // AQE cannot coalesce the quadratic pair fan-out — the fuzzyDedupPairs
+    // trap, measured 2x on xq76 at sf1): zero exchanges from the cached
+    // distinct set to the pair join's aggregate.
     val hotKeys = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .where(col("df") > maxDf).select("shingle")
-    // Explicit non-coalescible partitioning for the pair-generating
-    // self-join: shingle hashes shuffle few bytes but each reduce row
-    // fans out quadratically per bucket, so AQE's byte-based coalescing
-    // would serialize the candidate generation (same trap as
-    // fuzzyDedupPairs — measured 2x on xq76 at sf1).
     val cold = sh.join(hotKeys, Seq("shingle"), "left_anti")
       .select(col("doc_id"), col("shingle"))
-      .repartition(numShufflePartitions(sh), col("shingle"))
     val hot = sh.join(hotKeys, Seq("shingle"), "left_semi")
       .select(col("doc_id"), col("shingle"))
     val coldCounts = cold.select(col("doc_id").as("doc_a"), col("shingle"))

@@ -161,16 +161,24 @@ object IndexStore {
       .filter(d => d.isDirectory && d.getName.matches(genName) &&
         new File(d, successRel).exists() && new File(d, ManifestRel).exists())
     val candidates = gens.flatMap { d =>
-      val prior = scala.io.Source.fromFile(new File(d, ManifestRel), "UTF-8")
-        .getLines().toSeq
+      val src = scala.io.Source.fromFile(new File(d, ManifestRel), "UTF-8")
+      val prior = try src.getLines().toList finally src.close()
       if (prior.nonEmpty && prior.forall(currentSet.contains)) {
-        val priorPaths = prior.map(_.split('|')(0)).toSet
-        val fresh = current.filterNot(l => priorPaths.contains(l.split('|')(0)))
-        Some((prior.size, AppendDelta(d.getPath, fresh.map(_.split('|')(0)))))
+        val priorPaths = prior.map(manifestPath).toSet
+        val fresh = current.filterNot(l => priorPaths.contains(manifestPath(l)))
+        Some((prior.size, AppendDelta(d.getPath, fresh.map(manifestPath))))
       } else None
     }
     candidates.sortBy(-_._1).headOption.map(_._2)
   }
+
+  /** Path field of a `path|length|mtime` manifest line, parsed from the
+    * END (length and mtime are the LAST two '|' fields and never contain
+    * '|'), so an input path that itself contains '|' round-trips instead
+    * of corrupting the subset/delta computation.
+    */
+  private def manifestPath(line: String): String =
+    line.substring(0, line.lastIndexOf('|', line.lastIndexOf('|') - 1))
 
   /** Hard-link (copy if the filesystem refuses links) every data file of a
     * prior generation into `toDir` — the O(new files) reuse step of an
@@ -180,10 +188,15 @@ object IndexStore {
     * marker (a crash mid-refresh leaves a not-ready dir).
     */
   def linkData(fromDir: String, toDir: String): Unit = {
-    val to = new File(toDir)
-    to.mkdirs()
-    dataFiles(new File(fromDir)).foreach { f =>
-      val dst = new File(to, f.getName).toPath
+    val from = new File(fromDir)
+    val fromPath = from.toPath
+    dataFiles(from).foreach { f =>
+      // Relative layout preserved: two same-named files in different
+      // subdirectories land in distinct targets instead of colliding
+      // (a flat target would throw on the link and then silently
+      // overwrite through the copy fallback's REPLACE_EXISTING).
+      val dst = new File(toDir, fromPath.relativize(f.toPath).toString).toPath
+      java.nio.file.Files.createDirectories(dst.getParent)
       try java.nio.file.Files.createLink(dst, f.toPath)
       catch { case _: UnsupportedOperationException | _: java.io.IOException =>
         java.nio.file.Files.copy(f.toPath, dst,
