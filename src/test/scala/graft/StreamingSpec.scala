@@ -225,6 +225,93 @@ class StreamingSpec extends SparkSpec {
       "replay must re-commit the torn batch")
   }
 
+  test("restart under load: torn day-spanning merge replays ahead of queued files, three-partition convergence") {
+    // The torn-write case above restarts into a QUIET source; a production
+    // restart lands in a backlog — the crash happened mid-ingest, so when
+    // the engine comes back, torn batch N must replay against the
+    // already-merged store AND the files that arrived while it was down
+    // queue up right behind it in the very next batch, with counter keys
+    // overlapping the replayed ones. Three day partitions are touched, the
+    // middle one TWICE in one restart (once by the replayed merge, once by
+    // the catch-up merge) — pinning mergeBatch's replace-by-key semantics
+    // and changed-day pruning through a replay-then-advance sequence, not
+    // just a single replayed batch.
+    val dropDir = Files.createTempDirectory("graft-load-drop").toString
+    val ckpt = Files.createTempDirectory("graft-load-ckpt").toString
+    val tableDir = Files.createTempDirectory("graft-load-store").toString
+    val feed1 = (1 to 40).map(i =>
+      event(i.toLong, t(day0, 0) + i * 997, s"w${i % 3}wiki",
+        if (i % 3 == 0) "edit" else "new",
+        len = if (i % 2 == 0) Some((i.toLong, 2L * i)) else None))
+    // the torn feed spans day0 / day0+1
+    val feed2 = (41 to 80).map(i =>
+      event(i.toLong, t(day0 + (i % 2), i % 22) + i * 131, s"w${i % 3}wiki",
+        if (i % 4 == 0) "categorize" else "edit",
+        bot = i % 5 == 0,
+        len = if (i % 3 == 0) Some((2L * i, i.toLong)) else None))
+    // the backlog feed spans day0+1 / day0+2 with the SAME wiki/type keys,
+    // so its merge rewrites a partition the replayed batch just rewrote
+    val feed3 = (81 to 120).map(i =>
+      event(i.toLong, t(day0 + 1 + (i % 2), i % 20) + i * 113, s"w${i % 3}wiki",
+        if (i % 4 == 0) "categorize" else "edit",
+        minor = i % 7 == 0,
+        len = if (i % 3 == 0) Some((i.toLong, 3L * i)) else None))
+    def run(): Unit = {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val q = CounterPipeline.start(spark,
+        CounterPipeline.fromFileDrop(spark, dropDir), tableDir, ckpt,
+        trigger = Trigger.ProcessingTime(0))
+      try q.processAllAvailable() finally q.stop()
+    }
+    def commitFiles(): Seq[java.io.File] =
+      new java.io.File(ckpt, "commits").listFiles().toSeq
+        .filter(_.getName.forall(_.isDigit))
+    def snap(): Set[(Long, String, Long, Long)] =
+      spark.read.parquet(tableDir).select("day", "counter", "n", "growth")
+        .as[(Long, String, Long, Long)].collect().toSet
+
+    graft.sources.EventFiles.writeBatch(feed1.toDF("key", "value"), dropDir)
+    run()
+    val committedAfterRun1 = commitFiles().map(_.getName.toLong).max
+    graft.sources.EventFiles.writeBatch(feed2.toDF("key", "value"), dropDir)
+    run()
+
+    // tear the checkpoint to mid-batch-N exactly as the quiet-restart case
+    val n = committedAfterRun1 + 1
+    assert(commitFiles().exists(_.getName.toLong == n),
+      "second run must have committed the merge batch")
+    def rewind(rel: String, keepUpTo: Long): Unit = {
+      val dir = new java.io.File(ckpt, rel)
+      if (dir.isDirectory) dir.listFiles().foreach { f =>
+        val id = f.getName.stripPrefix(".").stripSuffix(".crc")
+        if (id.nonEmpty && id.forall(_.isDigit) && id.toLong > keepUpTo)
+          assert(f.delete(), s"could not tear $f")
+      }
+    }
+    rewind("commits", n - 1)
+    rewind("offsets", n)
+    rewind("sources/0", n)
+    // ... and the backlog lands while the engine is down: batch N's file
+    // map (sources/0/<N>) is already fixed, so these files MUST ride the
+    // first post-replay batch, not contaminate the replay.
+    graft.sources.EventFiles.writeBatch(feed3.toDF("key", "value"), dropDir)
+
+    run() // one restart: replay batch N, then drain the backlog
+    val twin = CounterDerivation.forRecentchange(
+      Recentchange.parse((feed1 ++ feed2 ++ feed3).toDF("key", "value")))
+      .groupBy("day", "counter")
+      .agg(count(lit(1)).as("n"), sum("lendiff").as("growth"))
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(snap() == twin,
+      "replay + backlog drain must converge to the three-feed batch twin")
+    assert(commitFiles().map(_.getName.toLong).max > n,
+      "the backlog must have committed in a batch after the replayed one")
+    assert(snap().map(_._1) == Set(day0, day0 + 1, day0 + 2),
+      "three day partitions expected")
+  }
+
   test("merge prunes unchanged days and clusters one file per day partition") {
     val dir = Files.createTempDirectory("graft-merge-shape").toString
     val batch = (0 until 30).flatMap(d => Seq(
