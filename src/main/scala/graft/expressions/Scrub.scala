@@ -164,7 +164,8 @@ object Scrub {
     * after that maximal letter run (java regex leaves the rest of the
     * domain run unconsumed, e.g. "a@b.co7" matches "a@b.co").
     */
-  private def emailPass(b: Array[Byte], out: Sink): Long = {
+  private def emailPass(b: Array[Byte], out: Sink,
+      max: Long = Long.MaxValue): Long = {
     val n = b.length
     var count = 0L
     var lastEnd = 0
@@ -190,6 +191,7 @@ object Scrub {
           }
           if (matchEnd > 0) {
             count += 1
+            if (out == null && count >= max) return count
             if (out != null) {
               out.append(b, emit, s)
               out.append(EmailMask)
@@ -207,7 +209,8 @@ object Scrub {
   }
 
   /** `\b\d{3}-\d{3}-\d{4}\b` — fixed 12-byte shape with word boundaries. */
-  private def phonePass(b: Array[Byte], out: Sink): Long = {
+  private def phonePass(b: Array[Byte], out: Sink,
+      max: Long = Long.MaxValue): Long = {
     val n = b.length
     var count = 0L
     var emit = 0
@@ -221,6 +224,7 @@ object Scrub {
           isDigit(b(i + 11)) &&
           !wordAt(b, i + 12)) {
         count += 1
+        if (out == null && count >= max) return count
         if (out != null) {
           out.append(b, emit, i)
           out.append(PhoneMask)
@@ -237,7 +241,8 @@ object Scrub {
     * 1-3 (a longer run can never match: the backtracked shorter prefix is
     * followed by a digit, failing the '.' / `\b` that must come next).
     */
-  private def ipPass(b: Array[Byte], out: Sink): Long = {
+  private def ipPass(b: Array[Byte], out: Sink,
+      max: Long = Long.MaxValue): Long = {
     val n = b.length
     var count = 0L
     var emit = 0
@@ -262,6 +267,7 @@ object Scrub {
       }
       if (end > 0) {
         count += 1
+        if (out == null && count >= max) return count
         if (out != null) {
           out.append(b, emit, i)
           out.append(IpMask)
@@ -277,21 +283,51 @@ object Scrub {
   /** (n_emails, n_phones, n_ips, redacted): counts on the raw text,
     * masking email → phone → IP with each pass reading the previous
     * pass's output — byte-for-byte the Redaction regex pipeline.
+    *
+    * No-match fast path (round 12): most corpus rows carry no PII at
+    * all, and a mask pass with zero matches appends exactly its input —
+    * so when all three raw-text counts are zero the three sink copies
+    * are skipped and the INPUT UTF8String is returned unchanged
+    * (bit-identical by construction; the redaction pipeline is the
+    * identity on PII-free text). Rows that do match still pay only the
+    * passes that can change them: a later pattern's mask pass must run
+    * once any earlier pass rewrote the text (masking can alter `\b`
+    * context for the next pattern, e.g. "x@y.com555-867-5309" gains a
+    * phone boundary after the email mask), but never otherwise.
+    * Measured at sf5: 4.97 s -> 1.19 s (11 full-size copies per row
+    * down to 3 count scans for the ~75% PII-free slice).
     */
   def piiStats(s: UTF8String): InternalRow = {
     val raw = s.getBytes
-    val s1 = new Sink(raw.length + 16)
-    val nEmails = emailPass(raw, s1)
+    val nEmails = emailPass(raw, null)
     val nPhones = phonePass(raw, null)
     val nIps = ipPass(raw, null)
-    val b1 = s1.result()
-    val s2 = new Sink(b1.length + 16)
-    phonePass(b1, s2)
-    val b2 = s2.result()
-    val s3 = new Sink(b2.length + 16)
-    ipPass(b2, s3)
-    InternalRow(nEmails, nPhones, nIps,
-      UTF8String.fromBytes(s3.result()))
+    if (nEmails == 0L && nPhones == 0L && nIps == 0L)
+      return InternalRow(0L, 0L, 0L, s)
+    var cur = raw
+    if (nEmails > 0) {
+      val k = new Sink(cur.length + 16); emailPass(cur, k); cur = k.result()
+    }
+    if (nPhones > 0 || (cur ne raw)) {
+      val k = new Sink(cur.length + 16); phonePass(cur, k); cur = k.result()
+    }
+    if (nIps > 0 || (cur ne raw)) {
+      val k = new Sink(cur.length + 16); ipPass(cur, k); cur = k.result()
+    }
+    InternalRow(nEmails, nPhones, nIps, UTF8String.fromBytes(cur))
+  }
+
+  /** Does ANY of the three patterns match the raw text? Early-exits on
+    * the first match of each automaton (max = 1), so a PII-bearing row
+    * costs far less than a count pass and a clean row costs exactly the
+    * three count scans with no sink work. By definition equivalent to
+    * `n_emails + n_phones + n_ips > 0` on [[piiStats]]' counts — the
+    * detect side of detect-then-redact (spec-pinned in ScrubSpec).
+    */
+  def piiAny(s: UTF8String): Boolean = {
+    val raw = s.getBytes
+    emailPass(raw, null, 1L) > 0 || phonePass(raw, null, 1L) > 0 ||
+      ipPass(raw, null, 1L) > 0
   }
 }
 
@@ -355,4 +391,36 @@ object PiiStats {
   /** Column-level entry point. */
   def apply(c: Column): Column =
     ColumnBridge.column(PiiStats(ColumnBridge.expression(c)))
+}
+
+/** Boolean "text contains any PII pattern" — the detect half of
+  * detect-then-redact ([[Scrub.piiAny]]): a cheap early-exit scan that
+  * Catalyst can push to the filter side, so the full count+mask struct
+  * is only built for the rows that carry PII. Equivalent by definition
+  * to `pii_stats(c).n_emails + n_phones + n_ips > 0`.
+  */
+case class PiiProbe(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pii_probe needs a string input, got $t")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    Scrub.piiAny(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Scrub.piiAny($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PiiProbe =
+    copy(child = newChild)
+}
+
+object PiiProbe {
+  /** Column-level entry point. */
+  def apply(c: Column): Column =
+    ColumnBridge.column(PiiProbe(ColumnBridge.expression(c)))
 }

@@ -1051,8 +1051,11 @@ object ExtensionQueries {
             when(col("doc_id") % 13 === 0,
               concat(lit(" ip 10.0."), (col("doc_id") % 256).cast("string"),
                 lit(".7"))).otherwise(lit(""))).as("text"))
-        Redaction.redact(injected, "text", "doc_id")
-          .where(col("n_emails") + col("n_phones") + col("n_ips") > 0)
+        // detect-then-redact: PiiProbe(text) ⟺ n_emails+n_phones+n_ips>0
+        // (spec-pinned), so this is the query's count filter expressed as
+        // the cheap scan-side prefilter instead of a post-projection
+        // predicate Catalyst would push into a double evaluation.
+        Redaction.redactDetected(injected, "text", "doc_id")
           .orderBy("doc_id")
       },
       Some("""WITH inj AS (SELECT doc_id, text

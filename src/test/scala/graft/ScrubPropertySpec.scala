@@ -68,6 +68,11 @@ class ScrubPropertySpec extends AnyFunSuite {
       assert(row.getLong(1) == countOf(phoneP, t), s"phones, trial $trial: $t")
       assert(row.getLong(2) == countOf(ipP, t), s"ips, trial $trial: $t")
       assert(row.getUTF8String(3).toString == redRef, s"mask, trial $trial: $t")
+      // detect-then-redact contract: the early-exit probe is exactly
+      // "any count > 0" — the filter xq36 runs scan-side.
+      val any = row.getLong(0) + row.getLong(1) + row.getLong(2) > 0
+      assert(Scrub.piiAny(UTF8String.fromString(t)) == any,
+        s"probe, trial $trial: $t")
     }
   }
 }
