@@ -204,36 +204,67 @@ object Dedup {
     * doubles as the canonical survivor). Returns (id, label) for every doc;
     * singletons label themselves.
     *
-    * Min-contraction connected components (round 12; the MapReduce-CC
-    * family of Kiveris et al.): each round every vertex relabels to
-    * min(self, neighbors) and the EDGE LIST is contracted through the
-    * labels (endpoints mapped, self-loops dropped, duplicates deduped),
-    * while a vertex→representative table composes the contractions. Every
-    * vertex that is not a local minimum merges into another group, so the
-    * supervertex count at least HALVES per round — convergence in
-    * ≤ log2(V) rounds is a theorem, not a hope, and quasi-clique dup
-    * families still collapse in 1-2 rounds (a clique contracts to its
-    * minimum immediately). Earlier schemes measured on the sf10 replica
-    * graph (288 k vertices / 14.7 M candidate edges, one giant bridged
-    * component): plain neighbor-min propagation advanced the component
-    * minimum ONE edge-hop per round (>25 rounds, diameter-bound), and
-    * propagate-plus-pointer-jumping still crawled because the label
-    * forest need not align with the bridge chains; min-contraction
-    * finishes the same graph in a handful of rounds, with the edge list
-    * SHRINKING each round instead of being re-traversed whole. `maxIter`
-    * caps the loop and throws rather than return a wrong answer
-    * (25 > log2 of any corpus this engine will see per partition of
-    * work). The driver-side per-round `count` is the loop-termination
-    * scalar (it doubles as next round's edge-frame stats bound), not a
-    * data collect.
+    * Components are computed by [[connectedComponents]] (alternating
+    * large-star/small-star, round 14); the loop runs over the PAIR GRAPH
+    * only — at corpus scale near-dup components cover a small fraction of
+    * documents, so the (unchanged) singleton majority is attached by one
+    * final join, labeling itself.
     */
   def dedupGroups(docs: DataFrame, textCol: String, idCol: String,
-      n: Int = 3, maxIter: Int = 25,
+      n: Int = 3, maxIter: Int = 64,
       reliableCheckpoints: Option[Boolean] = None): DataFrame = {
     val pairs = minhashCandidatePairs(docs, textCol, idCol, n)
+    val labels = connectedComponents(pairs, maxIter, reliableCheckpoints)
+    docs.select(col(idCol).as("id"))
+      .join(labels.withColumnRenamed("label", "_glabel"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("_glabel"), col("id")).as("label"))
+  }
+
+  /** Connected components over an undirected pair list (columns = two
+    * vertex ids), returning (id, label) for every vertex OF THE PAIR
+    * GRAPH with label = min id of its component.
+    *
+    * Alternating large-star / small-star (Kiveris, Lattanzi, Mirrokni,
+    * Rastogi, Vassilvitskii, "Connected Components in MapReduce and
+    * Beyond", SoCC 2014 — round 14). The edge list is kept CANONICAL
+    * (lo < hi, deduped); per round:
+    *
+    *   - large-star: every edge (lo, hi) rewires its larger endpoint to
+    *     m(lo) = min(lo, neighbors of lo) — one keyed min over the
+    *     symmetric view + one join. m(lo) <= lo < hi, so the output is
+    *     canonical by construction and self-loop-free.
+    *   - small-star: every vertex hi with smaller neighbors connects
+    *     them AND itself to m(hi) = min of those neighbors — one keyed
+    *     min over the canonical list + one join.
+    *
+    * Both operations preserve connectivity and only ever move ids
+    * DOWNWARD, and the paper proves the alternation converges to
+    * min-rooted stars in O(log^2 |V|) rounds worst-case (in practice a
+    * handful; a monotone-id path of n vertices — the shape that made the
+    * round-12 neighbor-min contraction crawl one vertex per round — takes
+    * exactly ceil(log2 n) rounds, each round doubling the star radius;
+    * see the chain spec in DedupSpec). Convergence is DETECTED, not
+    * assumed: the graph is a union of min-rooted stars iff every vertex
+    * with a smaller neighbor has exactly one distinct neighbor, checked
+    * with one aggregate per round. `maxIter` (parameterized) is a loud
+    * guard — it throws rather than return a wrong answer, and the message
+    * says what to raise. Once converged, the star edges ARE the label
+    * table: leaves map hi -> lo, roots (vertices appearing only as lo)
+    * map to themselves — no separate representative table to compose.
+    *
+    * `onRound` is a test/observability hook invoked with each round's
+    * checkpointed edge frame (used by the stats-canary spec to assert the
+    * per-round leaf statistics stay at the measured bound instead of
+    * compounding — see [[org.apache.spark.sql.graftbridge.CheckpointBridge.withStats]]).
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 64,
+      reliableCheckpoints: Option[Boolean] = None,
+      onRound: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
+    val spark = pairs.sparkSession
+    val Seq(aCol, bCol) = pairs.columns.toSeq.take(2).map(col)
     // Checkpointing (eager) CUTS LINEAGE, not just caches: an iterative
     // loop over persisted-only frames keeps the full logical plan and adds
-    // ~3 subtree references per round, so Catalyst re-optimizes an
+    // subtree references per round, so Catalyst re-optimizes an
     // exponentially-growing plan each iteration — measured 1.7 s -> 6.2 s
     // PER ROUND by iteration 4 on an 829-edge graph. With the plan cut at
     // the loop boundary, every round plans O(1) work.
@@ -248,9 +279,9 @@ object Dedup {
     // either. Superseded per-round checkpoints (blocks AND files) are
     // released as soon as the next round materializes
     // (CheckpointBridge.release) — a long-lived session accumulates
-    // exactly one live label frame.
+    // exactly one live edge frame.
     val reliable = reliableCheckpoints.getOrElse(
-      docs.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      spark.sparkContext.getCheckpointDir.isDefined)
     def cutRaw(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
     // Checkpoints additionally get EXPLICIT bounded statistics
@@ -261,63 +292,66 @@ object Dedup {
     // spins in the stats visitor (the sf10 probe found it; see the
     // bridge's scaladoc). Sizes are honest measured row counts, so
     // broadcast decisions stay truthful on a cluster.
-    def cutSized(df: DataFrame, rows: Long, rowBytes: Long): DataFrame =
+    def cutSized(df: DataFrame, rows: Long): DataFrame =
       org.apache.spark.sql.graftbridge.CheckpointBridge.withStats(
-        cutRaw(df), BigInt(rows.max(1L)) * rowBytes)
-    // Symmetric edge list (both orientations), so one src-keyed aggregate
-    // sees every neighbor of every vertex.
+        cutRaw(df), BigInt(rows.max(1L)) * 48L)
+    // Union of min-rooted stars iff every vertex with a smaller neighbor
+    // has exactly one distinct neighbor (leaves have degree 1; roots have
+    // only larger neighbors) — the exact fixpoint of the alternation.
+    def nonStarVertices(e: DataFrame): Long =
+      e.select(col("lo").as("v"), col("hi").as("w"))
+        .unionByName(e.select(col("hi").as("v"), col("lo").as("w")))
+        .groupBy(col("v"))
+        .agg(count(lit(1)).as("deg"), min(col("w")).as("mn"))
+        .where(col("mn") < col("v") && col("deg") > lit(1))
+        .count()
     var edges = cutRaw(pairs
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+      .select(least(aCol, bCol).as("lo"), greatest(aCol, bCol).as("hi"))
+      .where(col("lo") =!= col("hi"))
+      .distinct())
     var nEdges = edges.count()
     edges = org.apache.spark.sql.graftbridge.CheckpointBridge
       .withStats(edges, BigInt(nEdges.max(1L)) * 48L)
-    // Only vertices OF THE PAIR GRAPH can ever leave their own label — at
-    // corpus scale near-dup components cover a small fraction of
-    // documents, so the contraction iterates over the graph only and the
-    // (unchanged) singleton majority is attached by one final join,
-    // labeling itself. reps maps every ORIGINAL graph vertex to its
-    // current supervertex; the vertex set is fixed, so one count sizes
-    // every round's frame stats.
-    var reps = cutRaw(edges.select(col("src").as("id")).distinct()
-      .withColumn("rep", col("id")))
-    val nVertices = reps.count()
-    reps = org.apache.spark.sql.graftbridge.CheckpointBridge
-      .withStats(reps, BigInt(nVertices.max(1L)) * 48L)
     var iter = 0
-    while (nEdges > 0 && iter < maxIter) {
-      // label(u) = min(u, neighbors of u) over the CURRENT contracted graph
-      val labels = edges.groupBy(col("src").as("id"))
-        .agg(min(col("dst")).as("nbr_min"))
-        .select(col("id"), least(col("id"), col("nbr_min")).as("label"))
-      // compose contractions: rep := label(rep); absent = supervertex
-      // with no remaining edges (its component is done) keeps its rep
-      val nextReps = cutSized(reps
-        .join(labels.select(col("id").as("rep"), col("label")), Seq("rep"), "left")
-        .select(col("id"), coalesce(col("label"), col("rep")).as("rep")),
-        nVertices, 48L)
-      // contract: endpoints through labels, drop self-loops, dedup —
-      // symmetric input relabeled symmetrically stays symmetric
-      val nextEdges = cutRaw(edges
-        .join(labels.select(col("id").as("src"), col("label").as("_s")), "src")
-        .join(labels.select(col("id").as("dst"), col("label").as("_d")), "dst")
-        .select(col("_s").as("src"), col("_d").as("dst"))
-        .where(col("src") =!= col("dst"))
-        .distinct())
-      nEdges = nextEdges.count()
-      org.apache.spark.sql.graftbridge.CheckpointBridge.release(reps)
+    var nonStar = if (nEdges == 0) 0L else nonStarVertices(edges)
+    while (nonStar > 0 && iter < maxIter) {
+      // large-star: (lo, hi) -> (m(lo), hi); dedup only shrinks, so the
+      // prior count is a valid stats bound without an extra job
+      val mins = edges
+        .select(col("lo").as("v"), col("hi").as("w"))
+        .unionByName(edges.select(col("hi").as("v"), col("lo").as("w")))
+        .groupBy(col("v")).agg(min(col("w")).as("minw"))
+        .select(col("v").as("lo"), least(col("v"), col("minw")).as("m"))
+      val large = cutSized(edges.join(mins, Seq("lo"))
+        .select(col("m").as("lo"), col("hi"))
+        .distinct(), nEdges)
       org.apache.spark.sql.graftbridge.CheckpointBridge.release(edges)
-      reps = nextReps
+      // small-star: every smaller neighbor of hi, and hi itself, rewires
+      // to min(smaller neighbors of hi)
+      val minsS = large.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      val rewired = large.join(minsS, Seq("hi"))
+        .where(col("m") =!= col("lo"))
+        .select(col("m").as("lo"), col("lo").as("hi"))
+      val centers = minsS.select(col("m").as("lo"), col("hi"))
+      val small = cutRaw(rewired.unionByName(centers).distinct())
+      nEdges = small.count()
+      org.apache.spark.sql.graftbridge.CheckpointBridge.release(large)
       edges = org.apache.spark.sql.graftbridge.CheckpointBridge
-        .withStats(nextEdges, BigInt(nEdges.max(1L)) * 48L)
+        .withStats(small, BigInt(nEdges.max(1L)) * 48L)
       iter += 1
+      nonStar = nonStarVertices(edges)
+      onRound(iter, edges)
     }
-    require(nEdges == 0,
-      s"dedupGroups did not converge within $maxIter rounds")
-    org.apache.spark.sql.graftbridge.CheckpointBridge.release(edges)
-    docs.select(col(idCol).as("id"))
-      .join(reps.withColumnRenamed("rep", "_glabel"), Seq("id"), "left")
-      .select(col("id"), coalesce(col("_glabel"), col("id")).as("label"))
+    require(nonStar == 0,
+      s"connectedComponents did not converge within $maxIter alternation " +
+        s"rounds ($nonStar non-star vertices remain) — pass a larger " +
+        "maxIter; the alternation is guaranteed to converge " +
+        "(Kiveris et al. 2014, O(log^2 V) rounds worst-case)")
+    // Converged: every edge is (root=component min, leaf); the lo-set and
+    // hi-set are disjoint, so the edge list IS the label table.
+    edges.select(col("hi").as("id"), col("lo").as("label"))
+      .unionByName(
+        edges.select(col("lo").as("id"), col("lo").as("label")).distinct())
   }
 
   /** Soft dedup: instead of DROPPING near-duplicates, down-weight them —

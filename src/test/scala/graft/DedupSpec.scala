@@ -464,4 +464,75 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(w.forall(r => groups(r.getLong(0)) == r.getLong(1)))
   }
+  test("connectedComponents converges on a monotone-id chain (the round-12 killer)") {
+    // A path 1-2-3-...-n of strictly increasing ids is the shape that made
+    // neighbor-min contraction remove ONE vertex per round (every vertex's
+    // min neighbor is its predecessor) and abort at maxIter on valid input.
+    // The alternating large-star/small-star scheme doubles the star radius
+    // per round, so n=300 must converge in ceil(log2 300) = 9 rounds —
+    // well under the default guard — with every vertex labeled 1.
+    val n = 300
+    val chain = (1 until n).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("doc_a", "doc_b")
+    var rounds = 0
+    val labels = Dedup.connectedComponents(chain,
+        onRound = (r, _) => rounds = r)
+      .as[(Long, Long)].collect()
+    assert(labels.length == n)
+    assert(labels.forall(_._2 == 1L),
+      s"chain must collapse to one component: ${labels.filter(_._2 != 1L).take(5).toSeq}")
+    assert(rounds <= 10, s"alternation took $rounds rounds on a $n-chain")
+    // the >=30-vertex monotone chain from the round-13 brief, explicitly
+    val small = (1 until 31).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(small).as[(Long, Long)].collect()
+      .forall(_._2 == 1L))
+  }
+
+  test("connectedComponents == union-find on random graphs") {
+    val rng = new scala.util.Random(14)
+    for (trial <- 1 to 3) {
+      val nV = 120 + trial * 40
+      val nE = nV * 3 / 2
+      val raw = Seq.fill(nE)((rng.nextInt(nV).toLong + 1L,
+        rng.nextInt(nV).toLong + 1L)).filter(p => p._1 != p._2)
+      val parent = scala.collection.mutable.Map(
+        (1L to nV.toLong).map(i => i -> i): _*)
+      def find(x: Long): Long = {
+        var r = x; while (parent(r) != r) r = parent(r); r
+      }
+      raw.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val inGraph = raw.flatMap(p => Seq(p._1, p._2)).toSet
+      val expected = inGraph.map(i => i -> find(i)).toMap
+      val got = Dedup.connectedComponents(raw.toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"trial $trial: CC disagrees with union-find")
+    }
+  }
+
+  test("CheckpointBridge stats canary: per-round leaf stats stay at the measured bound") {
+    // Every round's edge frame is a checkpoint leaf whose sizeInBytes is
+    // SET by CheckpointBridge.withStats to 48 bytes x the measured edge
+    // count. Without that cap, the default checkpoint stats rewrite
+    // compounds join-product estimates multiplicatively across rounds
+    // (million-digit BigInts by round ~15 — the r12 sf10 driver hang).
+    // A 600-vertex monotone chain forces >= 8 alternation rounds; assert
+    // every round's leaf estimate stays <= the honest bound.
+    val n = 600
+    val chain = (1 until n).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("doc_a", "doc_b")
+    val bound = BigInt(48L) * (2L * (n - 1))
+    var rounds = 0
+    val labels = Dedup.connectedComponents(chain, onRound = (r, edges) => {
+      rounds = r
+      val stats = edges.queryExecution.optimizedPlan.stats.sizeInBytes
+      assert(stats > 0 && stats <= bound,
+        s"round $r leaf sizeInBytes $stats exceeds measured bound $bound")
+    }).as[(Long, Long)].collect()
+    assert(rounds >= 8, s"canary needs a deep loop, got $rounds rounds")
+    assert(labels.forall(_._2 == 1L))
+  }
 }
