@@ -161,13 +161,22 @@ object IndexStore {
       .filter(d => d.isDirectory && d.getName.matches(genName) &&
         new File(d, successRel).exists() && new File(d, ManifestRel).exists())
     val candidates = gens.flatMap { d =>
-      val src = scala.io.Source.fromFile(new File(d, ManifestRel), "UTF-8")
-      val prior = try src.getLines().toList finally src.close()
-      if (prior.nonEmpty && prior.forall(currentSet.contains)) {
-        val priorPaths = prior.map(manifestPath).toSet
-        val fresh = current.filterNot(l => priorPaths.contains(manifestPath(l)))
-        Some((prior.size, AppendDelta(d.getPath, fresh.map(manifestPath))))
-      } else None
+      // A generation whose manifest cannot be read or parsed is
+      // INELIGIBLE, never fatal: index-store corruption must degrade to
+      // a full rebuild (the build path that assumes nothing), not kill
+      // the refresh that would repair it.
+      try {
+        val src = scala.io.Source.fromFile(new File(d, ManifestRel), "UTF-8")
+        val prior = try src.getLines().toList finally src.close()
+        val priorPathOpts = prior.map(manifestPath)
+        if (prior.nonEmpty && prior.forall(currentSet.contains) &&
+            priorPathOpts.forall(_.isDefined)) {
+          val priorPaths = priorPathOpts.flatten.toSet
+          val fresh = current
+            .filterNot(l => manifestPath(l).exists(priorPaths.contains))
+          Some((prior.size, AppendDelta(d.getPath, fresh.flatMap(manifestPath))))
+        } else None
+      } catch { case scala.util.control.NonFatal(_) => None }
     }
     candidates.sortBy(-_._1).headOption.map(_._2)
   }
@@ -175,10 +184,15 @@ object IndexStore {
   /** Path field of a `path|length|mtime` manifest line, parsed from the
     * END (length and mtime are the LAST two '|' fields and never contain
     * '|'), so an input path that itself contains '|' round-trips instead
-    * of corrupting the subset/delta computation.
+    * of corrupting the subset/delta computation. Total: a malformed line
+    * (fewer than two separators, or an empty path) is None — the caller
+    * treats the generation holding it as corrupt and rebuilds fully.
     */
-  private def manifestPath(line: String): String =
-    line.substring(0, line.lastIndexOf('|', line.lastIndexOf('|') - 1))
+  private def manifestPath(line: String): Option[String] = {
+    val last = line.lastIndexOf('|')
+    val cut = if (last <= 0) -1 else line.lastIndexOf('|', last - 1)
+    if (cut <= 0) None else Some(line.substring(0, cut))
+  }
 
   /** Hard-link (copy if the filesystem refuses links) every data file of a
     * prior generation into `toDir` — the O(new files) reuse step of an
@@ -190,6 +204,12 @@ object IndexStore {
   def linkData(fromDir: String, toDir: String): Unit = {
     val from = new File(fromDir)
     val fromPath = from.toPath
+    // The target generation dir must exist even when the prior generation
+    // holds ZERO data files (an empty-but-ready index is a valid state —
+    // e.g. a band index over an empty corpus): the delta build writes its
+    // success marker and manifest into toDir unconditionally, and a
+    // per-linked-file mkdir would leave it missing.
+    java.nio.file.Files.createDirectories(new File(toDir).toPath)
     dataFiles(from).foreach { f =>
       // Relative layout preserved: two same-named files in different
       // subdirectories land in distinct targets instead of colliding

@@ -231,6 +231,41 @@ class IndexStoreSpec extends AnyFunSuite {
       "the prior manifest must not masquerade as the new generation's")
   }
 
+  test("a corrupt prior manifest degrades to a full rebuild, never a crash") {
+    val h = new IncHarness(tmp(), tmp())
+    writeInput(h.inDir, "part-0", "aaa")
+    val g1 = h.run()
+    assert(h.fulls == 1)
+    // corrupt the ready generation's manifest in place: lines with zero
+    // and one '|' separators (the shapes a truncated or hand-edited file
+    // produces) — the generation must become INELIGIBLE for the delta
+    // path, and the grown input must take the full-rebuild path
+    Files.write(new File(g1, "_graft_inputs.txt").toPath,
+      "garbage-no-separators\n/some/path|onlyone\n".getBytes("UTF-8"))
+    writeInput(h.inDir, "part-1", "bbb")
+    // findAppendDelta itself returns None rather than throwing
+    assert(IndexStore.findAppendDelta("inc-idx",
+      Seq(h.inDir.toString), baseDir = h.base.toString).isEmpty,
+      "the corrupt generation must be ineligible, silently")
+    val g2 = h.run()
+    assert(g2 != g1)
+    assert(h.fulls == 2 && h.deltas.isEmpty,
+      "a corrupt manifest must force the full-rebuild path, not a delta")
+  }
+
+  test("linkData on an empty prior generation still creates the target dir") {
+    val from = tmp() // ready generation with ZERO data files (empty corpus)
+    writeInput(from, "_SUCCESS", "")
+    writeInput(from, "_graft_inputs.txt", "manifest")
+    val to = new File(tmp(), "gen2")
+    IndexStore.linkData(from.toString, to.toString)
+    assert(to.isDirectory,
+      "an empty prior generation must still produce the target dir")
+    // the delta build's commit marker has somewhere to land
+    Files.write(new File(to, "_SUCCESS").toPath, Array.empty[Byte])
+    assert(new File(to, "_SUCCESS").exists())
+  }
+
   test("missing input and malformed tag are rejected") {
     val base = tmp()
     intercept[IllegalArgumentException] {
