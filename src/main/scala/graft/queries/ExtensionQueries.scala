@@ -1576,12 +1576,17 @@ object ExtensionQueries {
               |  (MAX(x) - MIN(x) + 1) * (MAX(y) - MIN(y) + 1) AS box_area
               |FROM zz GROUP BY 1 ORDER BY 1""".stripMargin)),
 
-    // XQ55: Bloom-filter semi-join reduction — the map-side prefilter that
-    // keeps a 100 TB fact table's non-matching rows out of the join
-    // exchange. Deterministic md5 probes + 60-bit bit_or words make the
-    // bitmap itself portable, so survivor/false-positive counts hash-match
-    // the DuckDB twin exactly. ScaleJoinsSpec proves no-false-negatives and
-    // result-identity of the downstream join.
+    // XQ55: Bloom-filter ACCURACY AUDIT — the measuring instrument for the
+    // semi-join prefilter: it computes BOTH the bloom-filtered stream AND
+    // the exact semi-join so the false-positive count is itself an
+    // oracle-checked result (deterministic md5 probes + 60-bit bit_or
+    // words make the bitmap portable enough to replicate in DuckDB).
+    // oracleOnly (round 14): a production run never computes the exact
+    // semi-join next to the filter it exists to avoid — the instrument's
+    // double work is not a scale-path plan. The production plan (filter +
+    // real downstream join only) is the paired probe xq109 below; the
+    // no-false-negatives property both rows rely on is asserted directly
+    // by ScaleJoinsSpec (filtered-join == plain-join, row for row).
     QueryDef("xq55_bloom_semijoin",
       (s, d) => {
         val li = Tables.lineitem(s, d)
@@ -1625,7 +1630,41 @@ object ExtensionQueries {
              |SELECT CAST(n_big AS BIGINT) AS n_big, CAST(n_pass AS BIGINT) AS n_pass,
              |       CAST(n_true AS BIGINT) AS n_true,
              |       CAST(n_pass - n_true AS BIGINT) AS n_false_pos
-             |FROM tot, pass, tr""".stripMargin)),
+             |FROM tot, pass, tr""".stripMargin),
+      oracleOnly = true),
+
+    // XQ109: the PRODUCTION bloom semi-join row — xq55's paired probe.
+    // Measures only the plan a 100 TB run executes: the broadcast-bitmap
+    // prefilter drops the non-matching fact majority map-side, survivors
+    // pay the real join, and the aggregate rolls up per brand. The DuckDB
+    // twin runs ITS production plan — the plain join-aggregate, no bitmap
+    // emulation. Engine asymmetry is deliberate and result-exact: the
+    // bloom filter admits no false negatives (ScaleJoinsSpec asserts
+    // filtered-join == plain-join row-for-row) and the inner join removes
+    // the false positives, so both plans produce the identical relation.
+    // Same like-for-like framing as xq36's PII-probe prefilter
+    // (BASELINE.md "engine-asymmetric pairs").
+    QueryDef("xq109_bloom_join",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val dim = Tables.part(s, d).where(col("p_size") < 5)
+        val pass = graft.operators.ScaleJoins.bloomFiltered(
+          li, "l_partkey", dim, "p_partkey", 61440L)
+        pass.join(dim.select("p_partkey", "p_brand"),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+              .as("sum_price"))
+          .orderBy("p_brand")
+      },
+      Some(s"""SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n_rows,
+              |  ${QueryDef.oSum("l.l_quantity")} AS sum_qty,
+              |  ${QueryDef.oSum("l.l_extendedprice")} AS sum_price
+              |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+              |WHERE p.p_size < 5
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // XQ56: compaction plan — target-size output files from the distributed
     // prefix sum over doc bytes (file = floor(start/target), no global
