@@ -34,46 +34,51 @@ object RelationalQueries {
       |GROUP BY n.n_name
       |ORDER BY n.n_name""".stripMargin
 
-  /** Union path triggers only past this much lineitem parquet — below it
-    * the pair stream is small enough that the default two-level aggregate's
-    * (window, order) dedup costs less than the merge machinery's extra
-    * per-order shuffle (StageProbe rq29: sf1/113 MB default 1.68 s vs
-    * union 1.54 s — a wash; sf5/543 MB default 11.1 s vs union 4.2 s).
-    * Bytes, not rows: file-status metadata costs no Spark job at all,
-    * where even a parquet-footer count() is a ~0.1-0.2 s job that every
-    * execution of the gate would pay.
-    */
-  private val Rq29UnionByteGate = 300L << 20
-
-  /** rq29's plan: two hash-identical paths behind a size gate.
+  /** rq29's plan: two hash-identical paths; production always takes the
+    * day-domain one.
     *
     * Shared shape — audit windows `w` (every 997th order, [ws, ws+29] in
     * epoch days) against lineitem transit intervals [ls, ls+floor(qty)];
     * per window: pair count, distinct-order count, earliest ship day.
     *
-    * DEFAULT path (small inputs): RangeJoin.overlapJoin pairs + a two-level
-    * exact aggregate. Level 1 collapses pairs to distinct (window, order)
-    * rows — the single-pass count+countDistinct+min form would plan an
-    * Expand that triples the pair stream before any reduction — level 2 is
-    * per-window cardinality.
+    * PAIR path (spec reference only): RangeJoin.overlapJoin pairs + a
+    * two-level exact aggregate. Level 1 collapses pairs to distinct
+    * (window, order) rows — the single-pass count+countDistinct+min form
+    * would plan an Expand that triples the pair stream before any
+    * reduction — level 2 is per-window cardinality. This is the literal
+    * restatement of the oracle SQL; RangeJoinSpec holds the day-domain
+    * plan against it.
     *
-    * UNION path (large inputs): n_lines/first_ship_day reduce the pair
-    * stream in ONE level (no distinct anywhere in the plan); n_orders
-    * avoids the (window, order) dedup shuffle entirely. A window [ws,ws+29]
-    * overlaps [ls,le] iff the POINT ws lies in the dilated interval
-    * [ls-29, le], so merging each order's dilated intervals into a disjoint
-    * set (RangeJoin.mergeIntervals) turns "window overlaps order" into a
-    * point containment that holds in at most ONE merged interval per
-    * order — pointInIntervalJoin emits each (window, order) exactly once
-    * with nothing but the per-order merge shuffle, whose cost scales with
-    * lineitem rows, never with window fan-out or per-order line counts.
-    * Both final aggregates are window-sized; the join between them
-    * is inner and loss-free (a window with an overlapping line has an
-    * overlapping order and vice versa).
+    * DAY-DOMAIN path (production, round 14): the window-pair stream is
+    * O(SF²) once the window SIDE grows with the data (coherent dims made
+    * windows scale with orders: sf1 went 1.74 → 58.9 s on the pair path,
+    * which materializes per-WINDOW pairs — 200 M of them, StageProbe:
+    * pair path 36.5 s vs day-domain 3.97 s at sf1, and day-domain already
+    * wins at sf0.1, 1.80 vs 2.56 s, so no size gate survives: the pair
+    * branch is spec-only). But every window has the
+    * SAME length, so all three aggregates are functions of the window's
+    * start day alone: [ws, ws+29] overlaps [ls, le] iff the POINT ws lies
+    * in the dilated interval [ls-29, le], and ws ranges over a DATE DOMAIN
+    * that is bounded (~2.4 k distinct days) at every scale factor — the
+    * same distinct-key-compare shape as the xq91 dHash pair search. So:
+    * aggregate once per distinct day, not once per window —
+    * pointInIntervalJoin(distinct ws, dilated lines) fans each line out to
+    * only the distinct start days it covers (≤ dilated-length many, a
+    * constant), partial aggregation collapses every task to ≤ |day domain|
+    * rows before the (tiny) shuffle, and per-order counts ride the merged
+    * disjoint dilated intervals (RangeJoin.mergeIntervals — one
+    * lineitem-scaled shuffle, each (day, order) emitted exactly once).
+    * Windows then take their day's aggregate row by a BROADCAST equi-join
+    * on ws (the day table is ≤ a few thousand rows forever). Total cost:
+    * one pass + one per-order merge shuffle over lineitem, one broadcast —
+    * linear in lineitem, INDEPENDENT of window count. The join of the two
+    * day aggregates is inner and loss-free (a day with an overlapping line
+    * has an overlapping order and vice versa).
     *
-    * `unionPath = Some(b)` pins the branch (RangeJoinSpec proves both
-    * paths result-identical); `None` gates on lineitem's on-disk bytes —
-    * pure file-status metadata, no Spark job. No per-key bound is needed:
+    * `unionPath = Some(false)` pins the spec-reference pair branch
+    * (RangeJoinSpec proves both paths result-identical); `None`/
+    * `Some(true)` is the production day-domain plan. No per-key bound is
+    * needed:
     * the window-sweep mergeIntervals never collects a key's intervals into
     * one row, so per-order line counts are unbounded by construction
     * (StageProbe rq29 at sf5: a separate exact max-per-key pass cost
@@ -93,11 +98,7 @@ object RelationalQueries {
         floor(col("l_quantity")).as("qd"))
       .withColumn("le", col("ls") + col("qd"))
       .drop("qd")
-    val useUnion = unionPath.getOrElse {
-      val p = new org.apache.hadoop.fs.Path(d, "lineitem.parquet")
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.getContentSummary(p).getLength >= Rq29UnionByteGate
-    }
+    val useUnion = unionPath.getOrElse(true)
     if (!useUnion) {
       graft.operators.RangeJoin.overlapJoin(li, w,
         "ls", "le", "ws", "we", binWidth = 32L)
@@ -109,21 +110,22 @@ object RelationalQueries {
           min(col("mls")).as("first_ship_day"))
         .orderBy("window_id")
     } else {
-      val lineAgg = graft.operators.RangeJoin.overlapJoin(li, w,
-        "ls", "le", "ws", "we", binWidth = 32L)
-        .groupBy("window_id")
+      val days = w.select(col("ws")).distinct()
+      val dilatedLines = li.select(col("l_orderkey"), col("ls"),
+        (col("ls") - lit(29L)).as("ds"), col("le").as("de"))
+      val lineDay = graft.operators.RangeJoin.pointInIntervalJoin(
+        broadcast(days), dilatedLines, "ws", "ds", "de", binWidth = 32L)
+        .groupBy("ws")
         .agg(count(lit(1)).as("n_lines"),
           min(col("ls")).as("first_ship_day"))
-      val dilated = li.select(col("l_orderkey"),
-        (col("ls") - lit(29L)).as("ds"), col("le").as("de"))
       val merged = graft.operators.RangeJoin.mergeIntervals(
-        dilated, "l_orderkey", "ds", "de")
-      val orderAgg = graft.operators.RangeJoin.pointInIntervalJoin(
-        w.select(col("window_id"), col("ws")), merged,
-        "ws", "ds", "de", binWidth = 32L)
-        .groupBy("window_id")
+        li.select(col("l_orderkey"), (col("ls") - lit(29L)).as("ds"),
+          col("le").as("de")), "l_orderkey", "ds", "de")
+      val orderDay = graft.operators.RangeJoin.pointInIntervalJoin(
+        broadcast(days), merged, "ws", "ds", "de", binWidth = 32L)
+        .groupBy("ws")
         .agg(count(lit(1)).as("n_orders"))
-      lineAgg.join(orderAgg, "window_id")
+      w.join(broadcast(lineDay.join(orderDay, "ws")), "ws")
         .select(col("window_id"), col("n_lines"), col("n_orders"),
           col("first_ship_day"))
         .orderBy("window_id")
@@ -622,8 +624,9 @@ object RelationalQueries {
     // condition would plan as a product; graft.operators.RangeJoin bins the
     // day domain (width 32) and equi-joins on the bin with canonical-bin
     // exactly-once semantics. The oracle states the same join as the naive
-    // inequality join DuckDB can afford at oracle scale. n_orders takes one
-    // of two hash-identical paths behind a size gate — see rq29Plan.
+    // inequality join DuckDB can afford at oracle scale; the production
+    // plan aggregates per distinct window-START DAY instead of per window
+    // (fixed window length makes them equivalent) — see rq29Plan.
     QueryDef("rq29_range_join",
       (s, d) => rq29Plan(s, d, unionPath = None),
       Some("""WITH w AS (
