@@ -318,6 +318,29 @@ object StageProbe {
         graft.queries.RelationalQueries.rq29Plan(spark, sf, Some(true)))
     }
 
+    // xq109 decomposition (round 14): the production bloom-probe row reads
+    // >2x vs DuckDB's plain vectorized join at sf5 — the stage rows split
+    // Spark's side into (a) the bare 3-column fact scan (the floor no
+    // plan can beat), (b) scan + fast-bloom probe (xxhash64 + literal-array
+    // mask test, join-free), (c) the md5 probe it replaced, (d) the full
+    // query (probe + broadcast join + agg).
+    probe("xq109") {
+      import org.apache.spark.sql.functions.{col => c}
+      val li = Tables.lineitem(spark, sf)
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+      val dim = Tables.part(spark, sf).where(c("p_size") < 5)
+      timed("bare fact scan (3 cols)")(li)
+      timed("scan + fast bloom probe")(
+        ScaleJoins.bloomFilteredFast(li, "l_partkey", dim, "p_partkey", 61440L))
+      timed("scan + md5 bloom probe (old)")(
+        ScaleJoins.bloomFiltered(li, "l_partkey", dim, "p_partkey", 61440L))
+      timed("plain broadcast join + agg (no bloom)")(
+        li.join(dim.select("p_partkey", "p_brand"),
+            c("l_partkey") === c("p_partkey"))
+          .groupBy("p_brand").agg(count(lit(1)).as("n_rows")))
+      timed("full query")(SparkEntry.queries("xq109_bloom_join")(spark, sf))
+    }
+
     // xq48 decomposition (round 11): strict bigram-LM quality scoring at
     // sf5 reads 2.56x — the suspects are (a) the train-side bigram
     // generate + (w1,w2) count aggregate, (b) the scored-side bigram

@@ -1648,7 +1648,7 @@ object ExtensionQueries {
       (s, d) => {
         val li = Tables.lineitem(s, d)
         val dim = Tables.part(s, d).where(col("p_size") < 5)
-        val pass = graft.operators.ScaleJoins.bloomFiltered(
+        val pass = graft.operators.ScaleJoins.bloomFilteredFast(
           li, "l_partkey", dim, "p_partkey", 61440L)
         pass.join(dim.select("p_partkey", "p_brand"),
             col("l_partkey") === col("p_partkey"))
