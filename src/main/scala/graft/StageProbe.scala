@@ -341,6 +341,38 @@ object StageProbe {
       timed("full query")(SparkEntry.queries("xq109_bloom_join")(spark, sf))
     }
 
+    // rq48-52 decomposition (round 14): with coherent dims the TPC-H
+    // classics measure real join growth and read 2.1-7.2x at sf5 — the
+    // stage rows separate the scan/derivation floors from the join chain,
+    // and the plan dump shows which joins went broadcast vs shuffle.
+    probe("rq49") {
+      import org.apache.spark.sql.functions.{col => c}
+      val li = Tables.lineitem(spark, sf)
+        .select("l_partkey", "l_orderkey", "l_suppkey",
+          "l_extendedprice", "l_discount")
+      val promo = Tables.part(spark, sf).where(c("p_type") === "PROMO")
+        .select("p_partkey")
+      timed("lineitem scan (5 cols)")(li)
+      timed("li >< part(PROMO)")(
+        li.join(promo, c("l_partkey") === c("p_partkey")))
+      timed("li >< broadcast part(PROMO)")(
+        li.join(broadcast(promo), c("l_partkey") === c("p_partkey")))
+      val ordersF = Tables.orders(spark, sf)
+        .where(c("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          c("o_orderdate") < to_timestamp(lit("1998-01-01")))
+      val cut = li.join(broadcast(promo), c("l_partkey") === c("p_partkey"))
+      timed("cut >< orders (SMJ default)")(
+        cut.join(ordersF, c("l_orderkey") === c("o_orderkey")))
+      timed("cut >< orders (SHUFFLE_HASH hint)")(
+        cut.join(ordersF.hint("SHUFFLE_HASH"),
+          c("l_orderkey") === c("o_orderkey")))
+      val q = SparkEntry.queries("rq49_tpch_q8")(spark, sf)
+      timed("full query")(q)
+      println(q.queryExecution.executedPlan.toString.linesIterator
+        .filter(l => l.contains("Join") || l.contains("Exchange"))
+        .mkString("PLAN JOINS/EXCHANGES:\n", "\n", ""))
+    }
+
     // xq48 decomposition (round 11): strict bigram-LM quality scoring at
     // sf5 reads 2.56x — the suspects are (a) the train-side bigram
     // generate + (w1,w2) count aggregate, (b) the scored-side bigram
