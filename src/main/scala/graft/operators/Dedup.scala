@@ -292,19 +292,6 @@ object Dedup {
     // spins in the stats visitor (the sf10 probe found it; see the
     // bridge's scaladoc). Sizes are honest measured row counts, so
     // broadcast decisions stay truthful on a cluster.
-    def cutSized(df: DataFrame, rows: Long): DataFrame =
-      org.apache.spark.sql.graftbridge.CheckpointBridge.withStats(
-        cutRaw(df), BigInt(rows.max(1L)) * 48L)
-    // Union of min-rooted stars iff every vertex with a smaller neighbor
-    // has exactly one distinct neighbor (leaves have degree 1; roots have
-    // only larger neighbors) — the exact fixpoint of the alternation.
-    def nonStarVertices(e: DataFrame): Long =
-      e.select(col("lo").as("v"), col("hi").as("w"))
-        .unionByName(e.select(col("hi").as("v"), col("lo").as("w")))
-        .groupBy(col("v"))
-        .agg(count(lit(1)).as("deg"), min(col("w")).as("mn"))
-        .where(col("mn") < col("v") && col("deg") > lit(1))
-        .count()
     var edges = cutRaw(pairs
       .select(least(aCol, bCol).as("lo"), greatest(aCol, bCol).as("hi"))
       .where(col("lo") =!= col("hi"))
@@ -313,34 +300,55 @@ object Dedup {
     edges = org.apache.spark.sql.graftbridge.CheckpointBridge
       .withStats(edges, BigInt(nEdges.max(1L)) * 48L)
     var iter = 0
-    var nonStar = if (nEdges == 0) 0L else nonStarVertices(edges)
-    while (nonStar > 0 && iter < maxIter) {
-      // large-star: (lo, hi) -> (m(lo), hi); dedup only shrinks, so the
-      // prior count is a valid stats bound without an extra job
-      val mins = edges
+    var nonStar = -1L
+    while (nonStar != 0 && iter < maxIter) {
+      // ONE symmetric (min, degree) aggregate per round serves BOTH the
+      // convergence predicate and the large-star min table (r14 perf pass:
+      // the separate nonStarVertices aggregate was a second full pass over
+      // 2|E| every round — fusing it cut the sf5 group family ~25%).
+      // Union of min-rooted stars iff every vertex with a smaller neighbor
+      // has exactly one distinct neighbor (leaves have degree 1; roots
+      // have only larger neighbors) — the exact fixpoint of the
+      // alternation. Degree = symmetric-view row count because the
+      // canonical edge list is deduped.
+      val stats = edges
         .select(col("lo").as("v"), col("hi").as("w"))
         .unionByName(edges.select(col("hi").as("v"), col("lo").as("w")))
-        .groupBy(col("v")).agg(min(col("w")).as("minw"))
-        .select(col("v").as("lo"), least(col("v"), col("minw")).as("m"))
-      val large = cutSized(edges.join(mins, Seq("lo"))
-        .select(col("m").as("lo"), col("hi"))
-        .distinct(), nEdges)
-      org.apache.spark.sql.graftbridge.CheckpointBridge.release(edges)
-      // small-star: every smaller neighbor of hi, and hi itself, rewires
-      // to min(smaller neighbors of hi)
-      val minsS = large.groupBy(col("hi")).agg(min(col("lo")).as("m"))
-      val rewired = large.join(minsS, Seq("hi"))
-        .where(col("m") =!= col("lo"))
-        .select(col("m").as("lo"), col("lo").as("hi"))
-      val centers = minsS.select(col("m").as("lo"), col("hi"))
-      val small = cutRaw(rewired.unionByName(centers).distinct())
-      nEdges = small.count()
-      org.apache.spark.sql.graftbridge.CheckpointBridge.release(large)
-      edges = org.apache.spark.sql.graftbridge.CheckpointBridge
-        .withStats(small, BigInt(nEdges.max(1L)) * 48L)
-      iter += 1
-      nonStar = nonStarVertices(edges)
-      onRound(iter, edges)
+        .groupBy(col("v"))
+        .agg(min(col("w")).as("minw"), count(lit(1)).as("deg"))
+        .persist()
+      nonStar =
+        stats.where(col("minw") < col("v") && col("deg") > lit(1)).count()
+      if (nonStar == 0) {
+        stats.unpersist()
+      } else {
+        // large-star: (lo, hi) -> (m(lo), hi). NOT distinct'd and NOT
+        // checkpointed (r14 perf pass): duplicates are harmless to the
+        // hi-keyed min and are absorbed by the round-end distinct, so the
+        // intermediate canonicalization was a pure extra full-width
+        // exchange; and its two consumers below are both keyed on `hi`,
+        // so exchange reuse (AQE stage reuse) materializes the join once —
+        // the round-end checkpoint of `small` still cuts lineage.
+        val mins = stats
+          .select(col("v").as("lo"), least(col("v"), col("minw")).as("m"))
+        val large = edges.join(mins, Seq("lo"))
+          .select(col("m").as("lo"), col("hi"))
+        // small-star: every smaller neighbor of hi, and hi itself, rewires
+        // to min(smaller neighbors of hi)
+        val minsS = large.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+        val rewired = large.join(minsS, Seq("hi"))
+          .where(col("m") =!= col("lo"))
+          .select(col("m").as("lo"), col("lo").as("hi"))
+        val centers = minsS.select(col("m").as("lo"), col("hi"))
+        val small = cutRaw(rewired.unionByName(centers).distinct())
+        nEdges = small.count()
+        org.apache.spark.sql.graftbridge.CheckpointBridge.release(edges)
+        stats.unpersist()
+        edges = org.apache.spark.sql.graftbridge.CheckpointBridge
+          .withStats(small, BigInt(nEdges.max(1L)) * 48L)
+        iter += 1
+        onRound(iter, edges)
+      }
     }
     require(nonStar == 0,
       s"connectedComponents did not converge within $maxIter alternation " +
