@@ -301,7 +301,8 @@ object Dedup {
       .withStats(edges, BigInt(nEdges.max(1L)) * 48L)
     var iter = 0
     var nonStar = -1L
-    while (nonStar != 0 && iter < maxIter) {
+    var looping = true
+    while (looping) {
       // ONE symmetric (min, degree) aggregate per round serves BOTH the
       // convergence predicate and the large-star min table (r14 perf pass:
       // the separate nonStarVertices aggregate was a second full pass over
@@ -311,43 +312,54 @@ object Dedup {
       // have only larger neighbors) — the exact fixpoint of the
       // alternation. Degree = symmetric-view row count because the
       // canonical edge list is deduped.
+      //
+      // The probe runs UNCONDITIONALLY each loop entry; only the rewiring
+      // round is gated on iter < maxIter. A graph converging in exactly
+      // maxIter rounds therefore still gets its final (passing) probe
+      // instead of tripping the guard on a stale pre-round count, and the
+      // guard message always reports a fresh count (r15 fix, ADVICE).
       val stats = edges
         .select(col("lo").as("v"), col("hi").as("w"))
         .unionByName(edges.select(col("hi").as("v"), col("lo").as("w")))
         .groupBy(col("v"))
         .agg(min(col("w")).as("minw"), count(lit(1)).as("deg"))
         .persist()
-      nonStar =
-        stats.where(col("minw") < col("v") && col("deg") > lit(1)).count()
-      if (nonStar == 0) {
+      // try/finally: a failure mid-round must not leak the persisted
+      // aggregate's cached blocks in a long-lived session (r15 fix).
+      try {
+        nonStar =
+          stats.where(col("minw") < col("v") && col("deg") > lit(1)).count()
+        if (nonStar == 0 || iter >= maxIter) {
+          looping = false
+        } else {
+          // large-star: (lo, hi) -> (m(lo), hi). NOT distinct'd and NOT
+          // checkpointed (r14 perf pass): duplicates are harmless to the
+          // hi-keyed min and are absorbed by the round-end distinct, so the
+          // intermediate canonicalization was a pure extra full-width
+          // exchange; and its two consumers below are both keyed on `hi`,
+          // so exchange reuse (AQE stage reuse) materializes the join once —
+          // the round-end checkpoint of `small` still cuts lineage.
+          val mins = stats
+            .select(col("v").as("lo"), least(col("v"), col("minw")).as("m"))
+          val large = edges.join(mins, Seq("lo"))
+            .select(col("m").as("lo"), col("hi"))
+          // small-star: every smaller neighbor of hi, and hi itself, rewires
+          // to min(smaller neighbors of hi)
+          val minsS = large.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+          val rewired = large.join(minsS, Seq("hi"))
+            .where(col("m") =!= col("lo"))
+            .select(col("m").as("lo"), col("lo").as("hi"))
+          val centers = minsS.select(col("m").as("lo"), col("hi"))
+          val small = cutRaw(rewired.unionByName(centers).distinct())
+          nEdges = small.count()
+          org.apache.spark.sql.graftbridge.CheckpointBridge.release(edges)
+          edges = org.apache.spark.sql.graftbridge.CheckpointBridge
+            .withStats(small, BigInt(nEdges.max(1L)) * 48L)
+          iter += 1
+          onRound(iter, edges)
+        }
+      } finally {
         stats.unpersist()
-      } else {
-        // large-star: (lo, hi) -> (m(lo), hi). NOT distinct'd and NOT
-        // checkpointed (r14 perf pass): duplicates are harmless to the
-        // hi-keyed min and are absorbed by the round-end distinct, so the
-        // intermediate canonicalization was a pure extra full-width
-        // exchange; and its two consumers below are both keyed on `hi`,
-        // so exchange reuse (AQE stage reuse) materializes the join once —
-        // the round-end checkpoint of `small` still cuts lineage.
-        val mins = stats
-          .select(col("v").as("lo"), least(col("v"), col("minw")).as("m"))
-        val large = edges.join(mins, Seq("lo"))
-          .select(col("m").as("lo"), col("hi"))
-        // small-star: every smaller neighbor of hi, and hi itself, rewires
-        // to min(smaller neighbors of hi)
-        val minsS = large.groupBy(col("hi")).agg(min(col("lo")).as("m"))
-        val rewired = large.join(minsS, Seq("hi"))
-          .where(col("m") =!= col("lo"))
-          .select(col("m").as("lo"), col("lo").as("hi"))
-        val centers = minsS.select(col("m").as("lo"), col("hi"))
-        val small = cutRaw(rewired.unionByName(centers).distinct())
-        nEdges = small.count()
-        org.apache.spark.sql.graftbridge.CheckpointBridge.release(edges)
-        stats.unpersist()
-        edges = org.apache.spark.sql.graftbridge.CheckpointBridge
-          .withStats(small, BigInt(nEdges.max(1L)) * 48L)
-        iter += 1
-        onRound(iter, edges)
       }
     }
     require(nonStar == 0,

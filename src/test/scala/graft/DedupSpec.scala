@@ -489,6 +489,29 @@ class DedupSpec extends SparkSpec {
       .forall(_._2 == 1L))
   }
 
+  test("connectedComponents maxIter boundary: exact-budget converges, one-below throws fresh") {
+    // r15 ADVICE fix: the probe runs unconditionally each loop entry, so a
+    // graph converging in exactly maxIter rounds succeeds (the old loop
+    // exited on iter<maxIter BEFORE the final probe and threw with a stale
+    // pre-round count — effective budget was maxIter-1).
+    val chain = (1 until 40).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("doc_a", "doc_b")
+    var rounds = 0
+    Dedup.connectedComponents(chain, onRound = (r, _) => rounds = r)
+    assert(rounds >= 3, s"need a multi-round graph, got $rounds")
+    // exactly the budget: must converge cleanly, not throw
+    val labels = Dedup.connectedComponents(chain, maxIter = rounds)
+      .as[(Long, Long)].collect()
+    assert(labels.forall(_._2 == 1L))
+    // one below the budget: must throw the loud guard, with a fresh
+    // (non-stale, positive) remaining-vertex count in the message
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain, maxIter = rounds - 1).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    assert(ex.getMessage.contains(s"within ${rounds - 1}"))
+  }
+
   test("connectedComponents == union-find on random graphs") {
     val rng = new scala.util.Random(14)
     for (trial <- 1 to 3) {
