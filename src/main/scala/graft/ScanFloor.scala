@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Committed floor rows for the >2x-at-scale adjudications (round 15).
+  *
+  * For every query whose sfN ratio exceeds 2x, BASELINE.md's standing
+  * adjudication claims the residual is Spark's per-job / per-scan floor,
+  * not a plan defect. This main makes that claim REGENERABLE: it times
+  * (min of 3 noop writes, same harness as Bench) the bare column-pruned
+  * scans each flagged query cannot avoid reading, the one canonical
+  * exchange the shuffle-bound rows cannot avoid paying, and the empty-job
+  * dispatch floor the iterative/tiny-input rows pay per job — and writes
+  * them to a JSON file that is committed per SF
+  * (`tools/scan_floor_<sf>.json`). `tools/floor_adjudicate.py` reads
+  * these next to the committed min files and prints each flagged row as
+  * `query >= floor + epsilon` with the floor/duck ratio that decides
+  * "structurally floor-bound at this SF" vs "plan work remains".
+  *
+  * Usage: runMain graft.ScanFloor <sfDir> <outJson>
+  */
+object ScanFloor {
+  def main(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = if (args.length > 1) args(1) else "/tmp/scan_floor.json"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Sessions.local(cpus, "scan-floor")
+
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def minOf3(df: => DataFrame): Double =
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        noop(df)
+        (System.nanoTime() - t0) / 1e9
+      }.min
+
+    val li = () => Tables.lineitem(spark, sf)
+    val floors = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def row(name: String)(df: => DataFrame): Unit = {
+      floors(name) = BigDecimal(minOf3(df))
+        .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+      println(f"FLOOR  $name%-28s ${floors(name)}%7.3f s")
+    }
+
+    // warm the session (JIT, codegen, filesystem metadata) before any row
+    noop(li().select("l_orderkey"))
+
+    // empty-job dispatch: the per-job cost every query pays per action —
+    // iterative queries (kmeans' 2 rounds, CC's log rounds) pay it per
+    // round regardless of input size
+    row("job_floor")(spark.range(1000).toDF("i"))
+    // fact-scan floors, column-pruned exactly as the flagged queries read
+    row("lineitem_q8_5col")(li().select("l_partkey", "l_orderkey",
+      "l_suppkey", "l_extendedprice", "l_discount"))
+    row("lineitem_q9_6col")(li().select("l_partkey", "l_suppkey",
+      "l_orderkey", "l_extendedprice", "l_discount", "l_quantity"))
+    row("lineitem_q20_4col")(li().select("l_partkey", "l_suppkey",
+      "l_shipdate", "l_quantity"))
+    row("lineitem_q21_3col")(li().select("l_orderkey", "l_suppkey",
+      "l_shipdate"))
+    row("lineitem_xq109_3col")(li().select("l_partkey", "l_quantity",
+      "l_extendedprice"))
+    // the canonical exchange the Q21 shape cannot avoid: hash-repartition
+    // the 3 needed columns by orderkey (scan + full shuffle, no compute)
+    row("lineitem_q21_exchange")(li().select("l_orderkey", "l_suppkey",
+      "l_shipdate").repartition(col("l_orderkey")))
+    row("orders_scan_2col")(Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderdate"))
+    row("orders_scan_3col")(Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderdate", "o_custkey"))
+    row("part_scan_1col")(Tables.part(spark, sf).select("p_partkey"))
+    // event/embedding/document scans for the floor-band stragglers
+    row("events_scan_3col")(Tables.events(spark, sf)
+      .select("user_id", "ts", "value"))
+    row("embeddings_scan")(Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding"))
+    row("documents_text_scan")(Tables.documents(spark, sf)
+      .select(col("doc_id"), length(col("text")).as("len")))
+
+    val json = floors.map { case (k, v) => s""""$k":$v""" }
+      .mkString(s"""{"sf":"$sf","cpus":$cpus,"floors":{""", ",", "}}")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      json.getBytes("UTF-8"))
+    println(json)
+    spark.stop()
+  }
+}

@@ -35,7 +35,20 @@ object QueryDef {
     * time and hold through the immediately-following materialization.
     */
   val managedDefaults: Seq[(String, String)] = Seq(
-    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "128")
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "128",
+    // Runtime bloom-filter injection thresholds (InjectRuntimeFilter).
+    // Spark's defaults gate injection on a >=10 GB application-side scan —
+    // sized for a real cluster, where the fact scans of the TPC-H-shaped
+    // queries pass it automatically. At bench SFs the scans are far
+    // smaller, so the selective-join queries that WANT the bloom declare
+    // these per-query: app-side gate lowered to 10 MB (any bench-scale
+    // fact scan qualifies), creation-side cap raised to 256 MB (the
+    // date/status-filtered orders build sides estimate above the 10 MB
+    // default at sf>=1 without CBO stats). The bloom itself stays bounded:
+    // numItems/numBits are clamped by Spark's maxNumItems/maxNumBits, so
+    // oversized build sides degrade FPP, never correctness or memory.
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10MB",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "10GB")
 
   /** Reset managed keys to defaults, then apply this query's declared confs. */
   def applyConfs(s: SparkSession, confs: Seq[(String, String)]): Unit = {

@@ -1308,26 +1308,38 @@ object RelationalQueries {
     // RQ51: TPC-H Q20 (potential part promotion) — the nested
     // semi-join-over-aggregate: suppliers whose available quantity exceeds
     // half of what they actually shipped of the flagged parts in 1997.
-    // The correlated scalar SUM decorates to a (part, supplier) aggregate
-    // joined back; the NULL-comparison-excludes semantics of the scalar
-    // form is an inner join here (a pair with no 1997 shipments never
-    // qualifies). availqty > 0.5*sum is stated as 2*availqty > sum — all
-    // integer, no float boundary.
+    // The correlated scalar SUM decorates to a (part, supplier) aggregate;
+    // the NULL-comparison-excludes semantics of the scalar form restricts
+    // to pairs WITH 1997 shipments (a pair with no shipments never
+    // qualifies). That restriction makes the derived-partsupp side
+    // REDUNDANT (r15 plan pass): every 1997-shipping pair is a lineitem
+    // pair by construction, and ps_availqty is a pure integer function of
+    // the pair keys (same decorrelation rq50 makes for ps_supplycost) —
+    // so the 30M-row full-width DISTINCT + pair join the previous plan
+    // paid (distinct pairs = 98.5% of lineitem: the dominant exchange at
+    // every SF) carries zero information. One aggregate over the
+    // date-filtered, part-prefiltered lines replaces both. The 'small%'
+    // part filter is applied BEFORE the aggregate via a broadcast semi
+    // (12.7% of part — key-only list, MBs at any tested SF), so the
+    // exchange carries only qualifying parts' lines.
+    // availqty > 0.5*sum is stated as 2*availqty > sum — all integer, no
+    // float boundary.
     QueryDef("rq51_tpch_q20",
       (s, d) => {
-        val shipped = Tables.lineitem(s, d)
+        val smallParts = Tables.part(s, d)
+          .where(col("p_name").startsWith("small")).select("p_partkey")
+        val eligible = Tables.lineitem(s, d)
           .where(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
             col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+          .join(broadcast(smallParts),
+            col("l_partkey") === col("p_partkey"), "left_semi")
           .groupBy(col("l_partkey"), col("l_suppkey"))
           .agg(sum(col("l_quantity").cast("long")).as("shipped_qty"))
-        val eligible = partsupp(s, d)
-          .join(Tables.part(s, d).where(col("p_name").startsWith("small"))
-            .select("p_partkey"),
-            col("ps_partkey") === col("p_partkey"), "left_semi")
-          .join(shipped, col("ps_partkey") === col("l_partkey") &&
-            col("ps_suppkey") === col("l_suppkey"))
-          .where(col("ps_availqty") * 2 > col("shipped_qty"))
-          .select(col("ps_suppkey"))
+          // ps_availqty inlined from the keys, exactly as PartsuppCte
+          .where((pmod(col("l_partkey") * lit(31L) +
+            col("l_suppkey") * lit(17L), lit(10000L))) * 2 >
+            col("shipped_qty"))
+          .select(col("l_suppkey").as("ps_suppkey"))
         Tables.supplier(s, d)
           .join(broadcast(Tables.nation(s, d).where(col("n_name") === "NATION_3")),
             col("s_nationkey") === col("n_nationkey"))
@@ -1364,6 +1376,13 @@ object RelationalQueries {
     // orders join's l_orderkey hash partitioning (subset clustering), so
     // lineitem is scanned ONCE and exchanged ONCE — the previous semi+anti
     // self-join plan scanned and shuffled the order-joined lines three times.
+    //
+    // The declared confs let InjectRuntimeFilter put a bloom on the
+    // lineitem scan from the status-F orders build (33% selective): rows
+    // joining non-F orders are dropped BEFORE the l_orderkey exchange
+    // instead of inside the join (r15, measured 3.46 -> 2.85 s solo at
+    // sf5). On a cluster-scale fact table the default thresholds inject
+    // this filter without any conf — see QueryDef.managedDefaults.
     QueryDef("rq52_tpch_q21",
       (s, d) => {
         val perSupp = Tables.lineitem(s, d)
@@ -1406,7 +1425,10 @@ object RelationalQueries {
              |                  WHERE l3.l_orderkey = l1.l_orderkey
              |                    AND l3.l_suppkey <> l1.l_suppkey
              |                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
-             |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin))
+             |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin),
+      confs = Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "268435456",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "10485760"))
   )
 
   /** Derived partsupp for rq48/rq50/rq51: the synthetic schema ships no
