@@ -79,8 +79,39 @@ object ScanFloor {
     row("documents_text_scan")(Tables.documents(spark, sf)
       .select(col("doc_id"), length(col("text")).as("len")))
 
+    // Job counts for the floor-band stragglers: pq13/xq84/xq47 are
+    // multi-job plans over tiny (gate-SF) inputs, so their absolute time
+    // is n_jobs x job dispatch + scans, not compute. Counting jobs in the
+    // artifact lets floor_adjudicate.py state that composition from
+    // committed numbers instead of a prose claim.
+    val jobCounts = scala.collection.mutable.LinkedHashMap[String, Int]()
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        counter.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    for (q <- Seq("pq13_sessionize", "xq84_cluster_sample", "xq47_semdedup",
+        "xq109_bloom_join", "rq49_tpch_q8", "rq50_tpch_q9",
+        "rq51_tpch_q20", "rq52_tpch_q21")) {
+      val qd = SparkEntry.allDefs.find(_.name == q).get
+      queries.QueryDef.applyConfs(spark, qd.confs)
+      noop(qd.run(spark, sf)) // warm (plans/codegen)
+      Thread.sleep(500) // listener bus is async; let the warm run drain
+      counter.set(0)
+      noop(qd.run(spark, sf))
+      Thread.sleep(500)
+      jobCounts(q) = counter.get()
+      queries.QueryDef.applyConfs(spark, Nil)
+      println(f"JOBS   $q%-28s ${jobCounts(q)}%4d jobs")
+    }
+    operators.CacheRegistry.releaseAll(spark)
+
     val json = floors.map { case (k, v) => s""""$k":$v""" }
-      .mkString(s"""{"sf":"$sf","cpus":$cpus,"floors":{""", ",", "}}")
+      .mkString(s"""{"sf":"$sf","cpus":$cpus,"floors":{""", ",", "},") +
+      jobCounts.map { case (k, v) => s""""$k":$v""" }
+        .mkString(""""jobs":{""", ",", "}}")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       json.getBytes("UTF-8"))
     println(json)

@@ -501,6 +501,39 @@ object StageProbe {
         SparkEntry.queries("xq100_containment_capped")(spark, sf))
     }
 
+    // rq52 decomposition (round 15): the one sfN row still >2x after the
+    // r15 plan passes. Stages split the unavoidable pieces — 3-col fact
+    // scan, the canonical l_orderkey exchange of those columns, the
+    // status-F orders scan — from the actual query work (SHJ join, the
+    // stacked (orderkey,suppkey)->orderkey aggregates). The adjudication
+    // claim is "query ~= exchange floor + join/agg work with no wasted
+    // exchange": the groupBys ride the join's partitioning (one fact
+    // exchange total), verified in the plan dump below.
+    probe("rq52") {
+      import org.apache.spark.sql.functions.{col => c}
+      val li3 = Tables.lineitem(spark, sf)
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+      val ordersF = Tables.orders(spark, sf)
+        .where(c("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate")
+      timed("lineitem scan (3 cols)")(li3)
+      timed("scan + orderkey exchange")(li3.repartition(c("l_orderkey")))
+      timed("orders(F) scan")(ordersF)
+      val joined = li3.join(ordersF.hint("SHUFFLE_HASH"),
+        c("l_orderkey") === c("o_orderkey"))
+      timed("SHJ join (both exchanges)")(joined)
+      timed("join + perSupp agg")(joined
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(sum(when(c("l_shipdate") >
+          c("o_orderdate") + expr("INTERVAL 60 DAYS"), 1L).otherwise(0L))
+          .as("late_rows")))
+      val q = SparkEntry.queries("rq52_tpch_q21")(spark, sf)
+      timed("full query")(q)
+      println(q.queryExecution.executedPlan.toString.linesIterator
+        .filter(l => l.contains("Join") || l.contains("Exchange"))
+        .mkString("PLAN JOINS/EXCHANGES:\n", "\n", ""))
+    }
+
     spark.stop()
   }
 }
