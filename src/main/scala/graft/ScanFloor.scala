@@ -94,7 +94,9 @@ object ScanFloor {
     spark.sparkContext.addSparkListener(listener)
     for (q <- Seq("pq13_sessionize", "xq84_cluster_sample", "xq47_semdedup",
         "xq109_bloom_join", "rq49_tpch_q8", "rq50_tpch_q9",
-        "rq51_tpch_q20", "rq52_tpch_q21")) {
+        "rq51_tpch_q20", "rq52_tpch_q21", "pq01_daily_type_counts",
+        "pq15_sliding_window", "pq16_funnel", "pq17_cohort_retention",
+        "xq14_ann_ivf", "xq96_ann_serve", "xq27_lsh_multiprobe")) {
       val qd = SparkEntry.allDefs.find(_.name == q).get
       queries.QueryDef.applyConfs(spark, qd.confs)
       noop(qd.run(spark, sf)) // warm (plans/codegen)

@@ -23,10 +23,13 @@ not join evidence).
 
 Deliberately NOT replicated (symlinked, documented):
   nation/region — fixed-size at every TPC-H SF by spec.
-  events/embeddings — no linear-replication scheme that preserves their
-    semantics (event streams and vector corpora don't key-shift
-    meaningfully); any sfN row keyed on them measures the sf0.1 corpus
-    and is labeled as such in BASELINE.md/SCALING.md.
+
+Round-15 closes the last replication gap: events replicate along the
+USER axis (more users, same window — per-day cardinality scales, per-user
+session/funnel/cohort structure preserved exactly) and embeddings via
+per-replica deterministic SIGNED PERMUTATIONS of the dims (orthogonal:
+intra-replica geometry bit-exact, cross-replica cosines ~N(0, 1/64)).
+Rationale inline at each block.
 
 documents keeps the round-7 scheme verbatim: id-shifted replicas with
 per-replica marker tokens (~40% of shingles corpus-hot at sf5 — the
@@ -56,7 +59,22 @@ print(f"moduli: orders={M_O} part={M_P} supplier={M_S} customer={M_C}")
 
 REP = f"(SELECT unnest(range({factor})) AS k) k"
 
-con.execute(f"""
+def copy_table(table, sql):
+    """Idempotent: skip tables already materialized (deterministic output),
+    and UNLINK a pre-existing symlink first — COPY TO through a symlink
+    would try to write the (read-only) base corpus it points at."""
+    dst = f"{out}/{table}.parquet"
+    if os.path.islink(dst):
+        os.unlink(dst)
+    elif os.path.exists(dst):
+        print(f"skip {table} (exists)")
+        return
+    con.execute(sql)
+    print(f"wrote {table}")
+
+
+
+copy_table("lineitem", f"""
 COPY (
   SELECT base.* REPLACE (l_orderkey + k.k * {M_O} AS l_orderkey,
                          l_partkey  + k.k * {M_P} AS l_partkey,
@@ -65,7 +83,7 @@ COPY (
 ) TO '{out}/lineitem.parquet' (FORMAT PARQUET)
 """)
 
-con.execute(f"""
+copy_table("orders", f"""
 COPY (
   SELECT base.* REPLACE (o_orderkey + k.k * {M_O} AS o_orderkey,
                          o_custkey  + k.k * {M_C} AS o_custkey)
@@ -73,28 +91,28 @@ COPY (
 ) TO '{out}/orders.parquet' (FORMAT PARQUET)
 """)
 
-con.execute(f"""
+copy_table("customer", f"""
 COPY (
   SELECT base.* REPLACE (c_custkey + k.k * {M_C} AS c_custkey)
   FROM '{src}/customer.parquet' base, {REP}
 ) TO '{out}/customer.parquet' (FORMAT PARQUET)
 """)
 
-con.execute(f"""
+copy_table("supplier", f"""
 COPY (
   SELECT base.* REPLACE (s_suppkey + k.k * {M_S} AS s_suppkey)
   FROM '{src}/supplier.parquet' base, {REP}
 ) TO '{out}/supplier.parquet' (FORMAT PARQUET)
 """)
 
-con.execute(f"""
+copy_table("part", f"""
 COPY (
   SELECT base.* REPLACE (p_partkey + k.k * {M_P} AS p_partkey)
   FROM '{src}/part.parquet' base, {REP}
 ) TO '{out}/part.parquet' (FORMAT PARQUET)
 """)
 
-con.execute(f"""
+copy_table("documents", f"""
 COPY (
   WITH base AS (SELECT * FROM '{src}/documents.parquet'),
        mx AS (SELECT max(doc_id) + 1 AS m FROM base),
@@ -116,12 +134,63 @@ COPY (
 ) TO '{out}/documents.parquet' (FORMAT PARQUET)
 """)
 
-for t in ["region", "nation", "events", "embeddings"]:
+# events (round 15): replicate along the USER axis — replica k shifts
+# event_id and user_id by k * (max+1) and keeps timestamps verbatim. That
+# models how an event stream actually grows 10x: more users in the same
+# window, so per-day cardinality scales with the factor while per-user
+# session/funnel/cohort structure is preserved exactly (each replica user
+# behaves identically to its base user). Day-shifting was rejected: it
+# changes per-day counts by overlaying unrelated days and breaks every
+# windowed oracle's group structure.
+M_E = con.execute(f"SELECT max(event_id) + 1 FROM '{src}/events.parquet'").fetchone()[0]
+M_U = con.execute(f"SELECT max(user_id) + 1 FROM '{src}/events.parquet'").fetchone()[0]
+copy_table("events", f"""
+COPY (
+  SELECT base.* REPLACE (event_id + k.k * {M_E} AS event_id,
+                         user_id  + k.k * {M_U} AS user_id)
+  FROM '{src}/events.parquet' base, {REP}
+) TO '{out}/events.parquet' (FORMAT PARQUET)
+""")
+
+# embeddings (round 15): replica k applies a deterministic SIGNED
+# PERMUTATION of the 64 dims (seeded by k; k=0 is identity). A signed
+# permutation is orthogonal, so every intra-replica inner product, norm,
+# and cosine is preserved BIT-EXACTLY — near-dup pairs, cluster geometry,
+# and ANN neighborhoods replicate per copy — while cross-replica cosines
+# decorrelate to ~N(0, 1/64) (|cos| ~ 0.125 typical, far below any
+# near-dup threshold), so replicas do not collapse into synthetic
+# k-cliques. This is the faithful "10x more content with the same
+# intrinsic structure" growth a vector corpus has; naive jitter cannot
+# achieve both properties at once (small jitter makes every replica a
+# near-dup of its base, large jitter destroys intra-replica pairs).
+import random
+M_V = con.execute(f"SELECT max(vec_id) + 1 FROM '{src}/embeddings.parquet'").fetchone()[0]
+dims = con.execute(f"SELECT len(embedding) FROM '{src}/embeddings.parquet' LIMIT 1").fetchone()[0]
+branches = []
+for k in range(factor):
+    rng = random.Random(1000 + k)
+    perm = list(range(1, dims + 1))
+    signs = [1.0] * dims
+    if k > 0:
+        rng.shuffle(perm)
+        signs = [rng.choice((-1.0, 1.0)) for _ in range(dims)]
+    terms = ", ".join(
+        f"CAST({s} * embedding[{p}] AS FLOAT)" for s, p in zip(signs, perm))
+    branches.append(
+        f"SELECT vec_id + {k} * {M_V} AS vec_id, [{terms}] AS embedding, "
+        f"label FROM '{src}/embeddings.parquet'")
+copy_table("embeddings", f"""
+COPY ({' UNION ALL '.join(branches)})
+TO '{out}/embeddings.parquet' (FORMAT PARQUET)
+""")
+
+for t in ["region", "nation"]:
     dst = f"{out}/{t}.parquet"
     if not os.path.exists(dst):
         os.symlink(f"{src}/{t}.parquet", dst)
 
-for t in ["lineitem", "orders", "customer", "supplier", "part", "documents"]:
+for t in ["lineitem", "orders", "customer", "supplier", "part", "documents",
+          "events", "embeddings"]:
     n = con.execute(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
     print(t, n)
 print("done:", out)
