@@ -68,10 +68,7 @@ object Similarity {
     * iteration (round 3; xq41 was 22x DuckDB with that shape).
     */
   private def literalArgmax(v: Column, cents: Seq[(Long, Seq[Double])]): Column =
-    array_max(array(cents.map { case (cid, cvec) =>
-      struct(VectorFunctions.cosine(v, typedLit(cvec)).as("csim"),
-        lit(-cid).as("negc"), lit(cid).as("cluster"))
-    }: _*)).getField("cluster")
+    graft.expressions.BestCentroid.column(v, cents).getField("cluster")
 
   def kmeansFit(emb: DataFrame, vecCol: String, idCol: String, k: Int,
       iters: Int): DataFrame = {
@@ -133,26 +130,36 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq: Seq[Double]))
       .toIndexedSeq.sortBy(_._1)
-    val best = array_max(array(centLocal.map { case (cid, cvec) =>
-      struct(VectorFunctions.cosine(col("_v"), typedLit(cvec)).as("csim"),
-        lit(-cid).as("negc"), lit(cid).as("cluster"))
-    }: _*))
-    emb.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
-      .select(col(idCol), best.getField("cluster").as("cluster"),
-        best.getField("csim").as("csim"))
+    val best = graft.expressions.BestCentroid.column(col(vecCol), centLocal)
+    emb.select(col(idCol), best.getField("cluster").as("cluster"),
+      best.getField("csim").as("csim"))
   }
 
-  /** Cluster assignment: argmax-cosine centroid per vector (broadcast join +
-    * max_by, no wide shuffle).
+  /** Cluster assignment: argmax-cosine centroid per vector, MAP-ONLY via
+    * the [[graft.expressions.BestCentroid]] native expression (centroid
+    * set bounded k·dims, collected once — KBs at any corpus size).
+    *
+    * Two prior forms both failed at scale (r15, measured on xq14 at sf5):
+    * the crossJoin + groupBy(id, vec) + max_by shape paid a full-width
+    * exchange of the corpus just to reduce 8 broadcast rows per vector;
+    * the composed array_max-over-cosine-structs replacement was map-only
+    * but plan-hostile — a downstream join's isnotnull(cluster) constraint
+    * got rewritten through the projection, duplicating the whole argmax
+    * tree into a Filter and knocking the stage out of whole-stage codegen
+    * (2.8 -> 40 s). One native expression node keeps the plan small under
+    * constraint copies and the loop codegen'd. Double arithmetic matches
+    * the oracles' CAST(... AS DOUBLE[]).
     */
   def assign(emb: DataFrame, vecCol: String, idCol: String,
       nCentroids: Int): DataFrame = {
-    val c = centroids(emb, vecCol, idCol, nCentroids)
-    emb.crossJoin(broadcast(c))
-      .select(col(idCol), col(vecCol),
-        col("cid"), VectorFunctions.cosine(col(vecCol), col("c_vec")).as("csim"))
-      .groupBy(col(idCol), col(vecCol))
-      .agg(max_by(col("cid"), col("csim")).as("cluster"))
+    val centLocal = centroids(emb, vecCol, idCol, nCentroids)
+      .select(col("cid").cast("long"), col("c_vec").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq: Seq[Double]))
+      .toIndexedSeq.sortBy(_._1)
+    val best = graft.expressions.BestCentroid.column(col(vecCol), centLocal)
+    emb.select(col(idCol), col(vecCol),
+      best.getField("cluster").as("cluster"))
   }
 
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at

