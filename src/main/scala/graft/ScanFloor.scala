@@ -100,10 +100,13 @@ object ScanFloor {
       val qd = SparkEntry.allDefs.find(_.name == q).get
       queries.QueryDef.applyConfs(spark, qd.confs)
       noop(qd.run(spark, sf)) // warm (plans/codegen)
-      Thread.sleep(500) // listener bus is async; let the warm run drain
+      // deterministic barrier, not a wall-clock sleep: a slow async bus
+      // would otherwise leak warm-run job starts into the measured count
+      // or drop late ones (r15 ADVICE)
+      org.apache.spark.graftbridge.ListenerBridge.waitUntilEmpty(spark.sparkContext)
       counter.set(0)
       noop(qd.run(spark, sf))
-      Thread.sleep(500)
+      org.apache.spark.graftbridge.ListenerBridge.waitUntilEmpty(spark.sparkContext)
       jobCounts(q) = counter.get()
       queries.QueryDef.applyConfs(spark, Nil)
       println(f"JOBS   $q%-28s ${jobCounts(q)}%4d jobs")

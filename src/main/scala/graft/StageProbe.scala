@@ -534,6 +534,30 @@ object StageProbe {
         .mkString("PLAN JOINS/EXCHANGES:\n", "\n", ""))
     }
 
+    probe("pq16") {
+      // the sf10 RESIDUAL adjudication (r15 verdict #2): where do the
+      // 1.7 s go — the filtered scan, the user-keyed exchange + agg, or
+      // the 2-row presentation tail?
+      import org.apache.spark.sql.functions.{col => c}
+      val ev = Tables.events(spark, sf)
+        .where(c("event_type").isin("signup", "purchase"))
+        .select(c("user_id"), c("event_type"),
+          unix_timestamp(c("ts")).as("ts_sec"))
+      timed("filtered 3-col scan")(ev)
+      val perUser = ev.groupBy("user_id")
+        .agg(min(when(c("event_type") === "signup", c("ts_sec")))
+          .as("signup_ts"),
+          max(when(c("event_type") === "purchase", c("ts_sec")))
+            .as("last_purchase_ts"))
+        .where(c("signup_ts").isNotNull)
+      timed("scan + per-user agg (exchange)")(perUser)
+      timed("+ global funnel agg")(perUser
+        .agg(count(lit(1)).as("signed_up"),
+          coalesce(sum(when(c("last_purchase_ts") > c("signup_ts"), 1L)
+            .otherwise(0L)), lit(0L)).as("converted")))
+      timed("full query")(SparkEntry.queries("pq16_funnel")(spark, sf))
+    }
+
     spark.stop()
   }
 }

@@ -50,11 +50,17 @@ case class BestCentroid(child: Expression,
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case ArrayType(_: NumericType, _) =>
+      // only the element types numAt/genGet handle — DecimalType is a
+      // NumericType but has no fixed-width ArrayData getter here, so it
+      // must fail at analysis time, not as a runtime IllegalStateException
+      // (r15 ADVICE)
+      case ArrayType(ByteType | ShortType | IntegerType | LongType |
+                     FloatType | DoubleType, _) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case t =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"best_centroid needs a numeric array input, got $t")
+          s"best_centroid needs an array of a fixed-width numeric type " +
+            s"(byte/short/int/long/float/double), got $t")
     }
 
   private def elemType: DataType =

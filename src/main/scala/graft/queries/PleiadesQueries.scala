@@ -222,14 +222,21 @@ object PleiadesQueries {
           .where(col("signup_ts").isNotNull)
         perUser
           .agg(count(lit(1)).as("signed_up"),
-            sum(when(col("last_purchase_ts") > col("signup_ts"), 1L)
-              .otherwise(0L)).as("converted"))
+            // coalesce: on an input with zero signup users the global agg
+            // yields sum(...) = NULL while the oracle's COUNT over an empty
+            // CTE yields 0 (r15 ADVICE)
+            coalesce(sum(when(col("last_purchase_ts") > col("signup_ts"), 1L)
+              .otherwise(0L)), lit(0L)).as("converted"))
           .select(explode(array(
             struct(lit("converted").as("stage"), col("converted").as("n_users")),
             struct(lit("signed_up").as("stage"), col("signed_up").as("n_users"))))
             .as("r"))
           .select(col("r.stage").as("stage"), col("r.n_users").as("n_users"))
-          .orderBy("stage")
+          // the global aggregate is a single partition and the struct array
+          // is emitted already stage-ordered, so an in-partition sort is a
+          // total order — orderBy here cost a range-partitioner sampling
+          // job on a 2-row frame (one whole dispatch floor at every SF)
+          .sortWithinPartitions("stage")
       },
       Some("""WITH e AS (SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events),
              |su AS (SELECT user_id, MIN(ts_sec) AS signup_ts FROM e

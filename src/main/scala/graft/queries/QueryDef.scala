@@ -48,7 +48,15 @@ object QueryDef {
     // numItems/numBits are clamped by Spark's maxNumItems/maxNumBits, so
     // oversized build sides degrade FPP, never correctness or memory.
     "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10MB",
-    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "10GB")
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "10GB",
+    // Bloom sizing caps (Spark defaults 4M items / 64M bits = 8 MB). A
+    // build side whose distinct-key count exceeds maxNumItems silently
+    // degrades the filter's FPP toward 1 — at sf10 rq52's status-F orders
+    // build is ~5M keys, so the capped bloom was measured NEUTRAL (r15).
+    // Queries that expect build keys beyond 4M declare raised caps; the
+    // restore keeps every other query on Spark's defaults.
+    "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> "4000000",
+    "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> "67108864")
 
   /** Reset managed keys to defaults, then apply this query's declared confs. */
   def applyConfs(s: SparkSession, confs: Seq[(String, String)]): Unit = {

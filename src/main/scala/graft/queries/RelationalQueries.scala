@@ -1428,7 +1428,14 @@ object RelationalQueries {
              |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin),
       confs = Seq(
         "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "268435456",
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "10485760"))
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "10485760",
+        // status-F orders ≈ 0.5M keys per SF decade — 5M at sf10, past
+        // Spark's 4M-item default cap, which degraded the r15 bloom to
+        // measured-neutral there. 16M items / 256M bits (32 MB, one
+        // broadcast artifact) keeps FPP useful through sf10; a cluster
+        // run sizes this to its own build-key estimate the same way.
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> "16777216",
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> "268435456"))
   )
 
   /** Derived partsupp for rq48/rq50/rq51: the synthetic schema ships no

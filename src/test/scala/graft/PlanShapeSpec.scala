@@ -62,6 +62,53 @@ class PlanShapeSpec extends SparkSpec {
     assert(windows.isEmpty, "xq23 should not plan a window")
   }
 
+  test("Similarity.assign plans map-only: no exchange, BestCentroid codegen'd") {
+    // The ANN assign path (xq14/xq47/xq96) is ONE narrow codegen'd
+    // projection — the native BestCentroid expression. Two prior shapes
+    // regressed here and must stay dead: the crossJoin + groupBy argmax
+    // (full-width exchange of the corpus) and the composed
+    // array_max-over-structs form, whose argmax tree a downstream join's
+    // isnotnull(cluster) constraint duplicated into a Filter, knocking the
+    // stage out of whole-stage codegen (2.8 -> 40 s at sf5, r15).
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.functions._
+    // collect() stops at QueryStageExec leaves — flatten across AQE stage
+    // boundaries so codegen spans inside finalized stages are visible
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p.collect { case n => n }.flatMap {
+      case q: QueryStageExec => q +: allNodes(q.plan)
+      case a: AdaptiveSparkPlanExec => a +: allNodes(a.executedPlan)
+      case n => Seq(n)
+    }
+    def argmaxCodegenned(p: SparkPlan): Boolean =
+      allNodes(p).collect { case w: WholeStageCodegenExec => w }
+        .exists(_.find(n => n.expressions.exists(
+          _.find(_.isInstanceOf[expressions.BestCentroid]).isDefined)).isDefined)
+    val emb = Tables.embeddings(spark, sf)
+    val assigned = operators.Similarity.assign(emb, "embedding", "vec_id", 4)
+    val plan = physical(assigned.queryExecution.executedPlan)
+    assert(allNodes(plan).collect { case s: ShuffleExchangeLike => s }.isEmpty,
+      s"assign must be map-only, found an exchange:\n$plan")
+    assert(argmaxCodegenned(plan),
+      s"BestCentroid must sit inside a WholeStageCodegen span:\n$plan")
+    // the r15 regression shape: a join whose constraint propagation copies
+    // the cluster column into a Filter — the native node keeps the plan
+    // codegen'd and the argmax un-duplicated
+    val qRow = assigned.where(col("vec_id") === 0L)
+      .select(col("embedding").as("q_vec"), col("cluster"))
+    val j = assigned.where(col("vec_id") =!= 0L).join(broadcast(qRow), "cluster")
+      .select(col("vec_id"),
+        functions.VectorFunctions.cosine(col("embedding"), col("q_vec")).as("sim"))
+    // the join plan is adaptive (broadcast exchange): codegen stages only
+    // collapse once THIS queryExecution runs (df.write would spawn a fresh
+    // one and leave this plan un-finalized), so collect the smoke-SF frame
+    j.collect()
+    val jPlan = physical(j.queryExecution.executedPlan)
+    assert(argmaxCodegenned(jPlan),
+      s"assign under a join must keep the argmax codegen'd:\n$jPlan")
+  }
+
   test("per-query confs apply at build time and never leak to the next query") {
     // xq44 declares the raised ObjectHashAggregate fallback threshold
     // (bounded-state TopKRows); any query without the declaration must see

@@ -134,20 +134,30 @@ COPY (
 ) TO '{out}/documents.parquet' (FORMAT PARQUET)
 """)
 
-# events (round 15): replicate along the USER axis — replica k shifts
-# event_id and user_id by k * (max+1) and keeps timestamps verbatim. That
-# models how an event stream actually grows 10x: more users in the same
-# window, so per-day cardinality scales with the factor while per-user
-# session/funnel/cohort structure is preserved exactly (each replica user
-# behaves identically to its base user). Day-shifting was rejected: it
-# changes per-day counts by overlaying unrelated days and breaks every
-# windowed oracle's group structure.
+# events (round 15, shift fixed round 16): replicate along the USER axis —
+# replica k shifts event_id by k*(max event_id+1) and user_id by the
+# CUSTOMER modulus M_C (not max user_id+1), keeping timestamps verbatim.
+# That models how an event stream actually grows 10x: more users in the
+# same window, so per-day cardinality scales with the factor while
+# per-user session/funnel/cohort structure is preserved exactly (each
+# replica user behaves identically to its base user; a per-replica
+# constant shift is structure-neutral for every per-user query).
+# Why M_C: rq27_asof_join couples events to orders via user_id + 1 =
+# o_custkey, and o_custkey shifts by k*M_C — shifting user_id by its own
+# modulus broke the coupling at sfN (replica-k events pointed at
+# pseudo-random other-replica customers; r15 ADVICE). M_C > max(user_id)
+# (15000 vs 1499 at sf0.1), so replica user-id ranges stay disjoint and
+# the +1 coupling is coherent within every replica. Day-shifting was
+# rejected: it changes per-day counts by overlaying unrelated days and
+# breaks every windowed oracle's group structure.
 M_E = con.execute(f"SELECT max(event_id) + 1 FROM '{src}/events.parquet'").fetchone()[0]
-M_U = con.execute(f"SELECT max(user_id) + 1 FROM '{src}/events.parquet'").fetchone()[0]
+M_U_MAX = con.execute(f"SELECT max(user_id) FROM '{src}/events.parquet'").fetchone()[0]
+assert M_U_MAX < M_C, (
+    f"user_id range {M_U_MAX} >= customer modulus {M_C}: replicas would collide")
 copy_table("events", f"""
 COPY (
   SELECT base.* REPLACE (event_id + k.k * {M_E} AS event_id,
-                         user_id  + k.k * {M_U} AS user_id)
+                         user_id  + k.k * {M_C} AS user_id)
   FROM '{src}/events.parquet' base, {REP}
 ) TO '{out}/events.parquet' (FORMAT PARQUET)
 """)
