@@ -19,11 +19,17 @@ import org.apache.spark.sql.functions._
   * "structurally floor-bound at this SF" vs "plan work remains".
   *
   * Usage: runMain graft.ScanFloor <sfDir> <outJson>
+  *        runMain graft.ScanFloor <sfDir> <outJson> extra
+  * `extra` mode measures ONLY the rows/queries added after an artifact was
+  * produced (new floor rows + new job counts) and MERGES them into the
+  * existing artifact — a full re-run of an sf10 artifact costs ~25 min of
+  * xq47 alone, the extras cost seconds.
   */
 object ScanFloor {
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (args.length > 1) args(1) else "/tmp/scan_floor.json"
+    val extraOnly = args.length > 2 && args(2) == "extra"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.local(cpus, "scan-floor")
 
@@ -47,6 +53,7 @@ object ScanFloor {
     // warm the session (JIT, codegen, filesystem metadata) before any row
     noop(li().select("l_orderkey"))
 
+    if (!extraOnly) {
     // empty-job dispatch: the per-job cost every query pays per action —
     // iterative queries (kmeans' 2 rounds, CC's log rounds) pay it per
     // round regardless of input size
@@ -78,6 +85,20 @@ object ScanFloor {
       .select("vec_id", "embedding"))
     row("documents_text_scan")(Tables.documents(spark, sf)
       .select(col("doc_id"), length(col("text")).as("len")))
+    } // !extraOnly
+
+    // Per-read-set events floors (round 16): the pq-family rows read
+    // DIFFERENT column sets — a floor must lower-bound the query's own
+    // unavoidable read, so a shared 3-col row both over- and under-states
+    // (event_type's string decode is the expensive column; `value` is a
+    // cheap double). Measured in extra mode so existing artifacts gain
+    // them without re-paying a full sf10 re-run.
+    row("events_uet_scan")(Tables.events(spark, sf)
+      .select("user_id", "event_type", "ts"))       // pq16
+    row("events_et_scan")(Tables.events(spark, sf)
+      .select("event_type", "ts"))                  // pq01, pq15
+    row("events_ut_scan")(Tables.events(spark, sf)
+      .select("user_id", "ts"))                     // pq17
 
     // Job counts for the floor-band stragglers: pq13/xq84/xq47 are
     // multi-job plans over tiny (gate-SF) inputs, so their absolute time
@@ -92,11 +113,17 @@ object ScanFloor {
         counter.incrementAndGet()
     }
     spark.sparkContext.addSparkListener(listener)
-    for (q <- Seq("pq13_sessionize", "xq84_cluster_sample", "xq47_semdedup",
+    // extra mode counts only the queries added after the artifact was
+    // produced; a full run covers the whole flagged set
+    val jobQueries =
+      if (extraOnly) Seq("pq14_latest_per_user")
+      else Seq("pq13_sessionize", "xq84_cluster_sample", "xq47_semdedup",
         "xq109_bloom_join", "rq49_tpch_q8", "rq50_tpch_q9",
         "rq51_tpch_q20", "rq52_tpch_q21", "pq01_daily_type_counts",
+        "pq14_latest_per_user",
         "pq15_sliding_window", "pq16_funnel", "pq17_cohort_retention",
-        "xq14_ann_ivf", "xq96_ann_serve", "xq27_lsh_multiprobe")) {
+        "xq14_ann_ivf", "xq96_ann_serve", "xq27_lsh_multiprobe")
+    for (q <- jobQueries) {
       val qd = SparkEntry.allDefs.find(_.name == q).get
       queries.QueryDef.applyConfs(spark, qd.confs)
       noop(qd.run(spark, sf)) // warm (plans/codegen)
@@ -113,9 +140,28 @@ object ScanFloor {
     }
     operators.CacheRegistry.releaseAll(spark)
 
-    val json = floors.map { case (k, v) => s""""$k":$v""" }
+    // extra mode: prior artifact rows carry, freshly measured keys override
+    val (outFloors, outJobs) =
+      if (extraOnly) {
+        val text = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(out)), "UTF-8")
+        def block(name: String): Seq[(String, String)] =
+          (s""""$name":\\{([^}]*)\\}""").r.findFirstMatchIn(text)
+            .map(_.group(1)).getOrElse("")
+            .split(",").filter(_.contains(":")).toSeq.map { kv =>
+              val Array(k, v) = kv.split(":")
+              (k.replace("\"", ""), v)
+            }
+        (block("floors").filterNot(kv => floors.contains(kv._1)) ++
+           floors.map { case (k, v) => (k, v.toString) },
+         block("jobs").filterNot(kv => jobCounts.contains(kv._1)) ++
+           jobCounts.map { case (k, v) => (k, v.toString) })
+      } else (floors.toSeq.map { case (k, v) => (k, v.toString) },
+        jobCounts.toSeq.map { case (k, v) => (k, v.toString) })
+
+    val json = outFloors.map { case (k, v) => s""""$k":$v""" }
       .mkString(s"""{"sf":"$sf","cpus":$cpus,"floors":{""", ",", "},") +
-      jobCounts.map { case (k, v) => s""""$k":$v""" }
+      outJobs.map { case (k, v) => s""""$k":$v""" }
         .mkString(""""jobs":{""", ",", "}}")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       json.getBytes("UTF-8"))

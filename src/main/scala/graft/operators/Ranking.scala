@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.operators.CacheRegistry.Cacheable
 
@@ -229,4 +229,27 @@ object Ranking {
         array_join(
           slice(transform(array_sort(collect_list(col(idCol))),
             x => x.cast("string")), 1, maxPostings), ",").as("postings"))
+
+  /** Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR 2009:
+    * "Reciprocal rank fusion outperforms Condorcet and individual rank
+    * learning methods"): fuse two rankings of the same id space by
+    * score(id) = Σ_arms 1/(k0 + rank_arm(id)), ids absent from an arm
+    * contributing 0 for it. The standard calibration-free way a training
+    * -data pipeline marries a sparse (BM25) index to a dense (ANN) one —
+    * no score normalization across arms, only INTEGER ranks enter the
+    * fused score, so the result is bit-exact across engines by
+    * construction.
+    *
+    * Inputs are the two top-k arm frames — (id, rk_lex) / (id, rk_sem)
+    * with 1-based ranks — which are k rows each by construction (metadata
+    * scale at any corpus size), so the full-outer fusion join is constant
+    * cost; everything corpus-sized happened inside the arms.
+    */
+  def rrfFuse(lex: DataFrame, sem: DataFrame, k0: Int = 60): DataFrame = {
+    def arm(rk: Column): Column =
+      coalesce(lit(1.0) / (lit(k0.toDouble) + rk.cast("double")), lit(0.0))
+    lex.join(sem, Seq("id"), "full_outer")
+      .select(col("id"), col("rk_lex"), col("rk_sem"),
+        (arm(col("rk_lex")) + arm(col("rk_sem"))).as("rrf"))
+  }
 }

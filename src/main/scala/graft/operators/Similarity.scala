@@ -269,6 +269,74 @@ object Similarity {
     emb.join(semDedup(emb, vecCol, idCol, k, iters, threshold).select(idCol),
       Seq(idCol), "left_anti")
 
+  /** Maximal Marginal Relevance rerank (Carbonell & Goldstein, SIGIR 1998):
+    * greedily select `m` of the top-`window` cosine candidates for query
+    * vector `queryId`, each pick maximizing
+    * relWeight*sim(q,c) - divWeight*max_{s in selected} sim(c,s) —
+    * relevance-vs-redundancy selection for training-data curation (the
+    * anti-near-dup top-k). The weights are independent literals, NOT
+    * (lambda, 1-lambda): 1.0-0.7 is 0.30000000000000004 in IEEE double,
+    * the oracle's literal 0.3 is not — both engines must score with the
+    * same bit patterns.
+    *
+    * Scale shape: the rerank WINDOW is bounded by construction (50-500 in
+    * any production reranker — metadata scale at every corpus size), so
+    * the greedy runs driver-side over the collected window exactly like
+    * the k-means centroid state; everything corpus-sized — the scan,
+    * cosine scoring, bounded top-k (TopKRows: map-side combine, k rows
+    * per task on the wire) — stays in the engine. ONE corpus pass total:
+    * the window is collected once, and its pairwise cosines are computed
+    * back in the engine from a `window`-row LOCAL relation (broadcast
+    * non-equi self-join, window² rows), so every double the greedy
+    * compares is the engine's own matched-IEEE cosine, never a driver
+    * recomputation.
+    */
+  def mmrRerank(emb: DataFrame, vecCol: String, idCol: String,
+      queryId: Long, window: Int = 50, m: Int = 10,
+      relWeight: Double = 0.7, divWeight: Double = 0.3): DataFrame = {
+    require(m >= 1 && window >= m, s"need 1 <= m <= window; got m=$m window=$window")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = emb.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val qv = e.where(col("id") === queryId).select(col("v").as("qv"))
+    val windowRows = e.where(col("id") =!= queryId)
+      .crossJoin(broadcast(qv))
+      .select(col("id"), col("v"),
+        VectorFunctions.cosine(col("v"), col("qv")).as("simq"))
+      .agg(graft.expressions.TopKRows(
+        struct(col("simq"), col("id"), col("v")), window, Seq(true, false))
+        .as("_top"))
+      .select(posexplode(col("_top")))
+      .select(col("col.id").as("id"), col("col.v").as("v"),
+        col("col.simq").as("simq"))
+      .collect() // the bounded window — the only driver-resident state
+    val cands = windowRows.map(r =>
+      (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))).toIndexedSeq
+    val local = cands.toDF("id", "v", "simq")
+    val pairSim = local.select(col("id").as("a"), col("v").as("va"))
+      .join(broadcast(local.select(col("id").as("b"), col("v").as("vb"))),
+        col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        VectorFunctions.cosine(col("va"), col("vb")).as("sim"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val simq = cands.map(c => c._1 -> c._3).toMap
+    val first = cands.map(_._1).minBy(id => (-simq(id), id))
+    var selected = Vector(first)
+    while (selected.size < m && selected.size < cands.size) {
+      val chosen = selected.toSet
+      val next = cands.map(_._1).filterNot(chosen)
+        .minBy { id =>
+          val maxSim = selected.map(s => pairSim((id, s))).max
+          (-(relWeight * simq(id) - divWeight * maxSim), id)
+        }
+      selected :+= next
+    }
+    selected.zipWithIndex
+      .map { case (id, i) => (i + 1L, id) }.toDF("rk", "id")
+  }
+
   /** Random-hyperplane LSH bucketing: plane p's side bit = sign of
     * dot(v, plane_p); bucket = the nPlanes-bit signature. The plane set is
     * deterministic — embeddings with id 1..nPlanes, which for this corpus

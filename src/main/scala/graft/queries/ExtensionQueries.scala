@@ -3550,7 +3550,130 @@ object ExtensionQueries {
       },
       Some(pqProbeOracle(m = 4, subDim = 16, k = 16, iters = 2,
         queryIds = Seq(7L, 11L, 23L), kNN = 10,
-        trainWhere = Some("vec_id % 2 = 0"))))
+        trainWhere = Some("vec_id % 2 = 0")))),
+
+    // XQ110 (round 16): hybrid retrieval — a BM25 lexical arm and an
+    // embedding-cosine dense arm over the same corpus, fused by
+    // Reciprocal Rank Fusion (Ranking.rrfFuse; Cormack et al. 2009).
+    // Query = id 42: its distinct terms drive the lexical arm, its
+    // embedding the dense arm. Each arm is top-k=50 via the bounded-state
+    // TopKRows aggregate — map-side combine keeps at most k rows per task
+    // on the wire (never a full-stream window or a hot-key exchange) — so
+    // the fusion join sees two 50-row frames regardless of corpus size.
+    // At 100 TB the arms are one postings probe (or the persisted
+    // xq99/xq103 index equivalents) plus one map-only cosine scan + topk;
+    // the fused score uses only INTEGER ranks (bit-exact across engines),
+    // while the arm-internal orderings are deterministic via
+    // dsum-quantized BM25 / matched-IEEE cosine with id tie-breaks.
+    QueryDef("xq110_hybrid_rrf",
+      (s, d) => {
+        val qid = 42L
+        val k = 50
+        val scored = Ranking.bm25(Tables.documents(s, d), "text", "doc_id")
+        val lexTop = scored
+          .join(broadcast(scored.where(col("doc_id") === qid).select("term")),
+            "term")
+          .where(col("doc_id") =!= qid)
+          .groupBy("doc_id")
+          .agg(QueryDef.dsum(col("bm25")).as("lex_score"))
+          .agg(graft.expressions.TopKRows(
+            struct(col("lex_score"), col("doc_id")), k, Seq(true, false))
+            .as("_top"))
+          .select(posexplode(col("_top")))
+          .select(col("col.doc_id").as("id"),
+            (col("pos") + 1).cast("long").as("rk_lex"))
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val semTop = emb.where(col("vec_id") =!= qid)
+          .crossJoin(broadcast(
+            emb.where(col("vec_id") === qid).select(col("v").as("qv"))))
+          .select(col("vec_id"),
+            graft.functions.VectorFunctions.cosine(col("v"), col("qv"))
+              .as("sem_score"))
+          .agg(graft.expressions.TopKRows(
+            struct(col("sem_score"), col("vec_id")), k, Seq(true, false))
+            .as("_top"))
+          .select(posexplode(col("_top")))
+          .select(col("col.vec_id").as("id"),
+            (col("pos") + 1).cast("long").as("rk_sem"))
+        Ranking.rrfFuse(lexTop, semTop)
+          .orderBy(col("rrf").desc, col("id"))
+          .limit(10)
+      },
+      Some(s"""WITH tf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+              |cnt AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tf GROUP BY 1, 2),
+              |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM cnt GROUP BY 1),
+              |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM cnt GROUP BY 1),
+              |corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              |                  CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+              |scored AS (SELECT cnt.term, cnt.doc_id,
+              |  ((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)
+              |    * (CAST(cnt.tf AS DOUBLE) * 2.2))
+              |  / (CAST(cnt.tf AS DOUBLE)
+              |     + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / avgdl))) AS bm25
+              |  FROM cnt JOIN dl USING (doc_id) JOIN df USING (term), corpus),
+              |q AS (SELECT DISTINCT term FROM scored WHERE doc_id = 42),
+              |lex AS (SELECT s.doc_id AS id,
+              |          CAST(SUM(CAST(s.bm25 AS DECIMAL(18,2))) AS DOUBLE) AS lex_score
+              |        FROM scored s JOIN q USING (term) WHERE s.doc_id <> 42 GROUP BY 1),
+              |lexrk0 AS (SELECT id, CAST(ROW_NUMBER() OVER
+              |             (ORDER BY lex_score DESC, id) AS BIGINT) AS rk_lex FROM lex),
+              |lexrk AS (SELECT id, rk_lex FROM lexrk0 WHERE rk_lex <= 50),
+              |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |qv AS (SELECT v AS qv FROM e WHERE vec_id = 42),
+              |sem AS (SELECT e.vec_id AS id, ${oCos("e.v", "qv.qv")} AS sem_score
+              |        FROM e, qv WHERE e.vec_id <> 42),
+              |semrk0 AS (SELECT id, CAST(ROW_NUMBER() OVER
+              |             (ORDER BY sem_score DESC, id) AS BIGINT) AS rk_sem FROM sem),
+              |semrk AS (SELECT id, rk_sem FROM semrk0 WHERE rk_sem <= 50)
+              |SELECT COALESCE(l.id, r.id) AS id, l.rk_lex, r.rk_sem,
+              |  COALESCE(1.0 / (60.0 + CAST(l.rk_lex AS DOUBLE)), 0.0)
+              |    + COALESCE(1.0 / (60.0 + CAST(r.rk_sem AS DOUBLE)), 0.0) AS rrf
+              |FROM lexrk l FULL OUTER JOIN semrk r ON l.id = r.id
+              |ORDER BY rrf DESC, id LIMIT 10""".stripMargin),
+      // TopKRows state must stay hash-resident (the xq44 rationale); both
+      // arms' global aggregates are single-group, k-row state.
+      confs = Seq(
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+          -> "10000000")),
+
+    // XQ111 (round 16): MMR-diversified top-k — the anti-near-dup rerank
+    // (Carbonell & Goldstein 1998) over the dense arm's top-50 window for
+    // query vector 42: relevance 0.7, redundancy 0.3, first pick = argmax
+    // cosine, ties to the smaller id at every step. Output is (rank, id)
+    // only — integers, so the hash match is exact, and the selection
+    // itself is deterministic because both engines compare the same
+    // matched-IEEE doubles (engine-computed cosines, literal 0.7/0.3
+    // weights). The oracle replays the greedy as a recursive CTE over the
+    // same 50-candidate window and pairwise-cosine table.
+    QueryDef("xq111_mmr_rerank",
+      (s, d) => Similarity.mmrRerank(Tables.embeddings(s, d), "embedding",
+        "vec_id", queryId = 42L, window = 50, m = 10)
+        .orderBy("rk"),
+      Some(s"""WITH RECURSIVE
+              |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |qv AS (SELECT v AS qv FROM e WHERE vec_id = 42),
+              |sq AS (SELECT e.vec_id AS id, e.v, ${oCos("e.v", "qv.qv")} AS simq
+              |       FROM e, qv WHERE e.vec_id <> 42),
+              |rk0 AS (SELECT id, v, simq, ROW_NUMBER() OVER (ORDER BY simq DESC, id) AS rk FROM sq),
+              |cand AS (SELECT id, v, simq FROM rk0 WHERE rk <= 50),
+              |pairs AS (SELECT a.id AS a, b.id AS b, ${oCos("a.v", "b.v")} AS sim
+              |          FROM cand a JOIN cand b ON a.id <> b.id),
+              |sel AS (
+              |  SELECT CAST(1 AS BIGINT) AS rk, id, [id] AS ids
+              |  FROM (SELECT id FROM cand ORDER BY simq DESC, id LIMIT 1)
+              |  UNION ALL
+              |  SELECT sel.rk + 1, nxt.id, list_append(sel.ids, nxt.id)
+              |  FROM sel, LATERAL (
+              |    SELECT c.id FROM cand c
+              |    WHERE NOT list_contains(sel.ids, c.id)
+              |    ORDER BY 0.7 * c.simq - 0.3 * (
+              |        SELECT MAX(p.sim) FROM pairs p
+              |        WHERE p.a = c.id AND list_contains(sel.ids, p.b)) DESC, c.id
+              |    LIMIT 1) nxt
+              |  WHERE sel.rk < 10
+              |)
+              |SELECT rk, id FROM sel ORDER BY rk""".stripMargin))
   )
 
   /** xq105's two-generation staged corpus: generation A (even doc_ids of

@@ -92,4 +92,37 @@ class RankingSpec extends SparkSpec {
     assert(sa.exceptAll(sb).isEmpty && sb.exceptAll(sa).isEmpty,
       "probe after append must equal the full rebuild bit-exactly")
   }
+
+  test("rrfFuse: hand-computed fusion, absent-arm zeros, id coverage") {
+    import spark.implicits._
+    // lexical arm ranks: ids 0,1,2 at 1,2,3; dense arm ranks: ids 1,3 at 1,2
+    val lex = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("id", "rk_lex")
+    val sem = Seq((1L, 1L), (3L, 2L)).toDF("id", "rk_sem")
+    val got = Ranking.rrfFuse(lex, sem)
+      .select("id", "rrf").as[(Long, Double)].collect().toMap
+    assert(got.keySet == Set(0L, 1L, 2L, 3L),
+      "full-outer fusion must keep ids from either arm")
+    assert(got(0L) == 1.0 / 61)                 // lex-only
+    assert(got(1L) == 1.0 / 62 + 1.0 / 61)      // both arms
+    assert(got(2L) == 1.0 / 63)
+    assert(got(3L) == 1.0 / 62)                 // sem-only
+  }
+
+  test("xq110 invariants: fused top-10 is rank-consistent on the corpus") {
+    val rows = SparkEntry.queries("xq110_hybrid_rrf")(spark, sf).collect()
+    assert(rows.length == 10)
+    val rrfs = rows.map(_.getAs[Double]("rrf"))
+    assert(rrfs.zip(rrfs.tail).forall { case (a, b) => a >= b },
+      "rrf must be non-increasing in output order")
+    rows.foreach { r =>
+      val rl = Option(r.getAs[java.lang.Long]("rk_lex")).map(_.toLong)
+      val rs = Option(r.getAs[java.lang.Long]("rk_sem")).map(_.toLong)
+      assert(rl.nonEmpty || rs.nonEmpty, "a fused row must come from an arm")
+      (rl.toSeq ++ rs.toSeq).foreach(rk => assert(rk >= 1 && rk <= 50))
+      val expected = rl.map(k => 1.0 / (60.0 + k)).getOrElse(0.0) +
+        rs.map(k => 1.0 / (60.0 + k)).getOrElse(0.0)
+      assert(r.getAs[Double]("rrf") == expected,
+        s"rrf must be exactly the reciprocal-rank sum for $r")
+    }
+  }
 }

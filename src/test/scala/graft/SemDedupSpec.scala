@@ -69,4 +69,35 @@ class SemDedupSpec extends SparkSpec {
     assert(pinned.select(max(col("cluster"))).first().getLong(0) < 8L ||
       pinned.isEmpty)
   }
+
+  test("mmrRerank skips the near-duplicate a pure top-k would keep") {
+    import spark.implicits._
+    // q on the x-axis; a at +30deg azimuth, b 2deg beside a (near-dup,
+    // sim(a,b)=0.9994), c at 34deg on the OPPOSITE azimuth
+    // (sim(a,c)=0.438). Pure cosine ranking: a (0.8660), b (0.8480),
+    // c (0.8291). MMR(0.7/0.3) after a: mmr(b)=0.294 < mmr(c)=0.449 --
+    // b's redundancy beats its relevance edge, so the order is a, c, b.
+    val vecs = Seq(
+      (42L, Seq(1.0, 0.0, 0.0)),
+      (1L, Seq(0.866, 0.5, 0.0)),
+      (2L, Seq(0.848, 0.530, 0.0)),
+      (3L, Seq(0.829, -0.559, 0.0))).toDF("vec_id", "embedding")
+    val got = Similarity.mmrRerank(vecs, "embedding", "vec_id",
+      queryId = 42L, window = 3, m = 3)
+      .orderBy("rk").as[(Long, Long)].collect().toSeq
+    assert(got.map(_._2) == Seq(1L, 3L, 2L),
+      s"expected MMR order a, c, b; got $got")
+  }
+
+  test("mmrRerank first pick is the cosine argmax; ranks are 1..m") {
+    val emb = Tables.embeddings(spark, sf)
+    val got = Similarity.mmrRerank(emb, "embedding", "vec_id",
+      queryId = 42L, window = 20, m = 5).orderBy("rk").collect()
+    assert(got.map(_.getLong(0)).toSeq == (1L to 5L))
+    val top1 = Similarity.bruteForceTopK(
+      emb, "embedding", "vec_id", queryId = 42L, k = 1)
+      .collect().head.getLong(0)
+    assert(got.head.getLong(1) == top1,
+      "MMR's first pick must equal the plain cosine argmax")
+  }
 }

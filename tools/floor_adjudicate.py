@@ -41,10 +41,11 @@ COMPONENTS = {
     # pairs once make_sfn replicated their tables; the small-absolute rows
     # among them are multi-job plans whose adjudication is job dispatch
     # over modest inputs (events at sf10 = 10M rows ~ 200 MB)
-    "pq01_daily_type_counts": ["events_scan_3col"],
-    "pq15_sliding_window": ["events_scan_3col"],
-    "pq16_funnel": ["events_scan_3col"],
-    "pq17_cohort_retention": ["events_scan_3col"],
+    "pq01_daily_type_counts": ["events_et_scan"],
+    "pq14_latest_per_user": ["events_scan_3col"],  # reads (user_id, ts, value)
+    "pq15_sliding_window": ["events_et_scan"],
+    "pq16_funnel": ["events_uet_scan"],
+    "pq17_cohort_retention": ["events_ut_scan"],
     "xq14_ann_ivf": ["embeddings_scan"],
     "xq96_ann_serve": ["embeddings_scan"],
     "xq27_lsh_multiprobe": ["embeddings_scan"],
@@ -55,14 +56,14 @@ COMPONENTS = {
 # r16+ files without editing this script
 SFS = [
     ("sf1", "scan_floor_sf1.json",
-     ["sp_sf1_r15_min.json"],
-     ["du_sf1_r15_min.json"]),
+     ["sp_sf1_r16_min.json", "sp_sf1_r15_min.json"],
+     ["du_sf1_r16_min.json", "du_sf1_r15_min.json"]),
     ("sf5", "scan_floor_sf5.json",
-     ["sp_sf5_r15_min.json"],
-     ["du_sf5_r15_min.json"]),
+     ["sp_sf5_r16_min.json", "sp_sf5_r15_min.json"],
+     ["du_sf5_r16_min.json", "du_sf5_r15_min.json"]),
     ("sf10", "scan_floor_sf10.json",
-     ["sp_sf10_r15_min.json"],
-     ["du_sf10_r15_min.json"]),
+     ["sp_sf10_r16_min.json", "sp_sf10_r15_min.json"],
+     ["du_sf10_r16_min.json", "du_sf10_r15_min.json"]),
 ]
 
 
