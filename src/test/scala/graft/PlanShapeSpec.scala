@@ -109,6 +109,38 @@ class PlanShapeSpec extends SparkSpec {
       s"assign under a join must keep the argmax codegen'd:\n$jPlan")
   }
 
+  test("pqEncode plans map-only: no join, no exchange, BestCentroidL2 codegen'd") {
+    // The PQ encode path (xq57/xq103/xq108) is generate + ONE narrow
+    // codegen'd argmin projection — the native BestCentroidL2 expression
+    // (r17). The prior shape must stay dead: explode → broadcast-join
+    // codebook → groupBy(id, sub).min_by, a k× row blowup plus a hash
+    // aggregate keyed by the subvector (xq57's 3.0×/3.7× sf5/sf10
+    // residual, r16 VERDICT #1).
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p.collect { case n => n }.flatMap {
+      case q: QueryStageExec => q +: allNodes(q.plan)
+      case a: AdaptiveSparkPlanExec => a +: allNodes(a.executedPlan)
+      case n => Seq(n)
+    }
+    val emb = Tables.embeddings(spark, sf)
+    val cb = operators.Similarity.pqTrain(emb, "embedding", "vec_id",
+      m = 4, subDim = 16, k = 16, iters = 1)
+    val codes = operators.Similarity.pqEncode(emb, "embedding", "vec_id",
+      cb, m = 4, subDim = 16)
+    val plan = physical(codes.queryExecution.executedPlan)
+    assert(allNodes(plan).collect { case s: ShuffleExchangeLike => s }.isEmpty,
+      s"pqEncode must be map-only, found an exchange:\n$plan")
+    assert(allNodes(plan).collect { case j: BaseJoinExec => j }.isEmpty,
+      s"pqEncode must not join the codebook, found a join:\n$plan")
+    assert(allNodes(plan).collect { case w: WholeStageCodegenExec => w }
+      .exists(_.find(n => n.expressions.exists(
+        _.find(_.isInstanceOf[expressions.BestCentroidL2]).isDefined)).isDefined),
+      s"BestCentroidL2 must sit inside a WholeStageCodegen span:\n$plan")
+  }
+
   test("per-query confs apply at build time and never leak to the next query") {
     // xq44 declares the raised ObjectHashAggregate fallback threshold
     // (bounded-state TopKRows); any query without the declaration must see
