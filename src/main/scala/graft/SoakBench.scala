@@ -123,7 +123,7 @@ object SoakBench {
     val batches = q.lastProgress.batchId + 1
     q.stop()
 
-    val store = spark.read.parquet(tableDir)
+    val store = graft.streaming.CounterTable.read(spark, tableDir)
     val rows = store.count()
     val days = store.select("day").distinct().count()
     // plateau check: final dedup state must be a small fraction of the

@@ -117,6 +117,13 @@ object CounterPipeline {
     *     partition is exactly one file instead of one file per shuffle task —
     *     without it, N days × 32 tasks of tiny files compound into the next
     *     batch's read.
+    *
+    * Reader isolation (r17, [[CounterTable]]): the merge writes its
+    * changed days into a FRESH generation directory, hard-links the
+    * unchanged days over, and swaps the `_current` pointer atomically —
+    * a concurrent API read never sees a directory being rewritten (the
+    * previous in-place dynamic overwrite 500'd concurrent `/api/days`
+    * reads mid-swap, r16 SoakSpec log).
     */
   def mergeBatch(spark: SparkSession, tableDir: String)(batch: DataFrame, batchId: Long): Unit = {
     val rows = batch.select("day", "counter", "n", "growth")
@@ -124,17 +131,27 @@ object CounterPipeline {
     try {
       val days = rows.select("day").distinct().collect().map(_.getLong(0))
       if (days.nonEmpty) {
-        val existing =
-          try {
-            spark.read.parquet(tableDir)
-              .where(col("day").isin(days.toIndexedSeq: _*))
-              .select("day", "counter", "n", "growth")
-          } catch {
-            case _: org.apache.spark.sql.AnalysisException => // first batch
-              spark.emptyDataFrame
-                .select(lit(0L).as("day"), lit("").as("counter"),
-                  lit(0L).as("n"), lit(0L).as("growth")).limit(0)
-          }
+        val curGen = CounterTable.currentGen(tableDir)
+        // the prior data root: the live generation, or the plain directory
+        // for a store that predates generations (first merge adopts it)
+        val priorDir = curGen match {
+          case Some(g) => Some(new java.io.File(tableDir, g))
+          case None =>
+            val flat = new java.io.File(tableDir)
+            if (flat.isDirectory) Some(flat) else None
+        }
+        val existing = priorDir match {
+          case Some(d) =>
+            try {
+              spark.read.parquet(d.toString)
+                .where(col("day").isin(days.toIndexedSeq: _*))
+                .select("day", "counter", "n", "growth")
+            } catch {
+              case _: org.apache.spark.sql.AnalysisException => // first batch
+                emptyCounters(spark)
+            }
+          case None => emptyCounters(spark)
+        }
         // a day changed iff the batch carries a (key, total) the store
         // doesn't already hold — all-column anti-join, metadata-scale
         val changedDays = rows
@@ -146,17 +163,38 @@ object CounterPipeline {
             .unionByName(
               existing.where(changed).join(rows.select("day", "counter"),
                 Seq("day", "counter"), "left_anti"))
+          val nextIdx = curGen.map(CounterTable.genIndex(_) + 1).getOrElse(0L)
+          val newGen = CounterTable.genName(nextIdx)
+          val newDir = new java.io.File(tableDir, newGen)
+          // a crashed prior attempt left an uncommitted half-build here
+          if (newDir.exists()) CounterTable.deleteRecursively(newDir)
           merged
             .repartition(col("day")) // one file per day partition
             .write
             .mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("day")
-            .parquet(tableDir)
+            .parquet(newDir.toString)
+          // unchanged days ride over as hard links — O(changed days) work
+          val changedSet = changedDays.toSet
+          priorDir.foreach { prior =>
+            Option(prior.listFiles()).getOrElse(Array.empty[java.io.File])
+              .filter(f => f.isDirectory && f.getName.startsWith("day="))
+              .filterNot(f => changedSet(f.getName.stripPrefix("day=").toLong))
+              .foreach(dayDir => graft.operators.IndexStore.linkData(
+                dayDir.toString, new java.io.File(newDir, dayDir.getName).toString))
+          }
+          CounterTable.commit(tableDir, newGen)
+          // keep the predecessor as the in-flight-reader grace window
+          CounterTable.prune(tableDir, keepFrom = nextIdx - 1)
         }
       }
     } finally rows.unpersist()
   }
+
+  private def emptyCounters(spark: SparkSession): DataFrame =
+    spark.emptyDataFrame
+      .select(lit(0L).as("day"), lit("").as("counter"),
+        lit(0L).as("n"), lit(0L).as("growth")).limit(0)
 
   /** Wire the full pipeline: source → aggregate → merge sink. */
   def start(spark: SparkSession, messages: DataFrame, tableDir: String,

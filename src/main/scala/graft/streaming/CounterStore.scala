@@ -10,7 +10,10 @@ import org.apache.spark.sql.functions._
   */
 class CounterStore(spark: SparkSession, tableDir: String) {
 
-  def table: DataFrame = spark.read.parquet(tableDir)
+  /** Resolved per call: each query reads the generation that is live at
+    * ITS moment ([[CounterTable]]), isolated from concurrent merges.
+    */
+  def table: DataFrame = CounterTable.read(spark, tableDir)
 
   /** T9/T13: all counters of one day (partition-pruned point query). */
   def countersForDay(day: Long): DataFrame =

@@ -29,7 +29,7 @@ class CliSpec extends SparkSpec {
     val code = Cli.run(Array("aggregate", "--events", events.toString,
       "--available-now", "--table", table, "--checkpoint", ckpt), spark)
     assert(code == 0)
-    val total = spark.read.parquet(table)
+    val total = graft.streaming.CounterTable.read(spark, table)
       .where($"day" === day0 && $"counter" === "total")
       .select("n").as[Long].head()
     assert(total == 5L)

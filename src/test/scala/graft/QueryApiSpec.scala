@@ -138,6 +138,51 @@ class QueryApiSpec extends SparkSpec {
     assert(status == 404)
   }
 
+  test("concurrent merges never 500 a reader (generation-swap isolation)") {
+    // r16 VERDICT #3: the in-place dynamic partition overwrite was a
+    // delete+swap under the reader — a concurrent /api/days that listed
+    // files pre-swap threw FAILED_READ_FILE and surfaced a 500 (observed
+    // in the r16 SoakSpec log). With CounterTable's generation dirs +
+    // atomic pointer, readers resolve an immutable generation; this
+    // hammers the API from two threads across 12 full-store rewrites and
+    // requires every response to be a 200.
+    import spark.implicits._
+    import graft.streaming.CounterPipeline
+    val dir = Files.createTempDirectory("graft-qapi-merge").toString + "/counters"
+    def batch(v: Long) = (0 until 10)
+      .map(d => (18490L + d, "total", v + d, v))
+      .toDF("day", "counter", "n", "growth")
+    CounterPipeline.mergeBatch(spark, dir)(batch(1L), 0L)
+    val api2 = new QueryApi(new CounterStore(spark, dir))
+    val p2 = api2.start()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val statuses = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val readers = Seq(s"http://127.0.0.1:$p2/api/days",
+      s"http://127.0.0.1:$p2/api/stats/18492").map { url =>
+      new Thread(() => {
+        while (!stop.get()) {
+          try statuses.add(get(url)._1)
+          catch { case t: Throwable => failures.add(t) }
+        }
+      })
+    }
+    readers.foreach(_.start())
+    try {
+      // every batch changes every day's totals -> 12 full generation swaps
+      (1 to 12).foreach(i => CounterPipeline.mergeBatch(spark, dir)(batch(i + 1L), i.toLong))
+    } finally {
+      stop.set(true)
+      readers.foreach(_.join(30000))
+      api2.stop()
+    }
+    import scala.jdk.CollectionConverters._
+    assert(failures.isEmpty, s"reader threads must not throw: ${failures.asScala.headOption}")
+    val seen = statuses.asScala.map(_.toInt).toSeq
+    assert(seen.nonEmpty && seen.forall(_ == 200),
+      s"every concurrent read must be a 200, got ${seen.groupBy(identity).view.mapValues(_.size).toMap}")
+  }
+
   test("static SPA serving: index fallback, content types, traversal rejected") {
     val webDir = Files.createTempDirectory("graft-spa")
     Files.writeString(webDir.resolve("index.html"), "<html>pleiades</html>")

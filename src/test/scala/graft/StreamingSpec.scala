@@ -113,7 +113,8 @@ class StreamingSpec extends SparkSpec {
       dir
     }
     def snapshot(dir: String): Map[(Long, String), (Long, Long)] =
-      spark.read.parquet(dir).select("day", "counter", "n", "growth")
+      graft.streaming.CounterTable.read(spark, dir)
+        .select("day", "counter", "n", "growth")
         .as[(Long, String, Long, Long)].collect()
         .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
 
@@ -181,7 +182,8 @@ class StreamingSpec extends SparkSpec {
       new java.io.File(ckpt, "commits").listFiles().toSeq
         .filter(_.getName.forall(_.isDigit))
     def snap(): Set[(Long, String, Long, Long)] =
-      spark.read.parquet(tableDir).select("day", "counter", "n", "growth")
+      graft.streaming.CounterTable.read(spark, tableDir)
+        .select("day", "counter", "n", "growth")
         .as[(Long, String, Long, Long)].collect().toSet
 
     graft.sources.EventFiles.writeBatch(batch1.toDF("key", "value"), dropDir)
@@ -269,7 +271,8 @@ class StreamingSpec extends SparkSpec {
       new java.io.File(ckpt, "commits").listFiles().toSeq
         .filter(_.getName.forall(_.isDigit))
     def snap(): Set[(Long, String, Long, Long)] =
-      spark.read.parquet(tableDir).select("day", "counter", "n", "growth")
+      graft.streaming.CounterTable.read(spark, tableDir)
+        .select("day", "counter", "n", "growth")
         .as[(Long, String, Long, Long)].collect().toSet
 
     graft.sources.EventFiles.writeBatch(feed1.toDF("key", "value"), dropDir)
@@ -319,8 +322,13 @@ class StreamingSpec extends SparkSpec {
     )).toDF("day", "counter", "n", "growth")
     CounterPipeline.mergeBatch(spark, dir)(batch, 0L)
 
+    // Walk the LIVE generation: merges commit immutable gen-<n> dirs and
+    // swap a pointer (CounterTable), so layout assertions are about the
+    // generation a reader resolves, relativized so unchanged hard-linked
+    // files keep identical names across generations.
     def files(): Set[String] = {
-      val root = java.nio.file.Paths.get(dir)
+      val gen = graft.streaming.CounterTable.currentGen(dir).get
+      val root = java.nio.file.Paths.get(dir, gen)
       Files.walk(root).iterator().asScala
         .filter(p => p.toString.endsWith(".parquet"))
         .map(root.relativize(_).toString).toSet
@@ -345,7 +353,7 @@ class StreamingSpec extends SparkSpec {
       (after1 -- after0).forall(_.startsWith(s"day=${day0 + 3}/")),
       "single-day change must rewrite only that day's partition")
     // and the untouched key of the rewritten day survives
-    val row = spark.read.parquet(dir)
+    val row = graft.streaming.CounterTable.read(spark, dir)
       .where(col("day") === (day0 + 3) && col("counter") === "bot")
       .select("n").as[Long].collect()
     assert(row.toSeq == Seq(2L))
@@ -366,7 +374,7 @@ class StreamingSpec extends SparkSpec {
     try {
       events.grouped(67).foreach { g => stream.addData(g: _*); q.processAllAvailable() }
 
-      val streamed = spark.read.parquet(tableDir)
+      val streamed = graft.streaming.CounterTable.read(spark, tableDir)
         .select("day", "counter", "n", "growth")
         .as[(Long, String, Long, Long)].collect().toSet
 
