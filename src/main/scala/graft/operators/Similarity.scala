@@ -819,6 +819,107 @@ object Similarity {
       .limit(k)
   }
 
+  /** Persisted IVF index — the amortized build-once/probe-N posture for
+    * the coarse-quantizer family ([[writePqIndex]]'s sibling; r17
+    * completes the persisted-index set: band xq105, LM xq106, BM25 xq107,
+    * PQ xq108, IVF here). Layout under `dir` (lifecycle via [[IndexStore]],
+    * commit marker `stats/_SUCCESS`):
+    *  - `centroids/` (cluster, cvec) — k rows, the trained coarse
+    *    quantizer ([[kmeansFit]], cosine), broadcast at probe;
+    *  - `vectors/cluster=<c>/` (id, v, norm) — the corpus RE-LAID-OUT by
+    *    cell: the cluster id is a PARTITION COLUMN, so a probe's scan is
+    *    statically pruned to its query cells (the ScanPlanSpec-pinned
+    *    100 TB design); norms are computed once at ingest, not per probe;
+    *  - `stats/` (n_centroids, iters) — 1 row, written LAST.
+    */
+  def writeIvfIndex(emb: DataFrame, vecCol: String, idCol: String,
+      dir: String, nCentroids: Int = 8, iters: Int = 2): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    kmeansFit(emb, vecCol, idCol, nCentroids, iters)
+      .groupBy("cluster")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("centroid_val")))),
+        x => x.getField("centroid_val")).as("cvec"))
+      .write.mode("overwrite").parquet(dir + "/centroids")
+    ivfRows(emb, vecCol, idCol, spark.read.parquet(dir + "/centroids"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(dir + "/vectors")
+    Seq((nCentroids, iters)).toDF("n_centroids", "iters")
+      .write.mode("overwrite").parquet(dir + "/stats")
+  }
+
+  /** (id, v, norm, cluster) rows for the partitioned vector store — one
+    * map-only pass: BestCentroid assignment + the ingest-time norm.
+    */
+  private def ivfRows(emb: DataFrame, vecCol: String, idCol: String,
+      cents: DataFrame): DataFrame =
+    assignToCentroids(emb, vecCol, idCol, cents)
+      .select(col(idCol).cast("long").as("id"), col("cluster"))
+      .join(emb.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v")), "id")
+      .withColumn("norm", sqrt(VectorFunctions.dot(col("v"), col("v"))))
+      .select("id", "v", "norm", "cluster")
+
+  /** Append-delta refresh of a [[writeIvfIndex]] generation — the same
+    * FROZEN-QUANTIZER regime as [[appendPqIndex]]: centroids carry over
+    * verbatim (coarse quantizers retrain on a schedule, never per ingest
+    * batch), prior cell files hard-link, and only the appended vectors
+    * are assigned + normed — one map-only scan of the new batch; the
+    * indexed corpus is never re-read. Probe results are bit-identical to
+    * indexing the grown corpus under the SAME centroids (xq113's oracle
+    * trains on generation A and assigns every row). stats/ written last.
+    */
+  def appendIvfIndex(spark: SparkSession, delta: IndexStore.AppendDelta,
+      newDir: String, vecCol: String, idCol: String): Unit = {
+    IndexStore.linkData(s"${delta.priorDir}/centroids", s"$newDir/centroids")
+    IndexStore.linkData(s"${delta.priorDir}/vectors", s"$newDir/vectors")
+    ivfRows(spark.read.parquet(delta.newFiles: _*), vecCol, idCol,
+      spark.read.parquet(delta.priorDir + "/centroids"))
+      .write.mode("append").partitionBy("cluster").parquet(newDir + "/vectors")
+    spark.read.parquet(delta.priorDir + "/stats")
+      .write.mode("overwrite").parquet(newDir + "/stats")
+  }
+
+  /** Cosine top-k for a BATCH of query vectors against a persisted IVF
+    * index. The query batch is driver-bounded by contract (a serving
+    * batch): each query is assigned to its cell by the same BestCentroid
+    * argmax the index used, the vectors scan is statically pruned to the
+    * query cells via an `isin` on the PARTITION column (no full-corpus
+    * read — the probe touches ~|queries|/k of the files), and scoring is
+    * dot(v, qv)/(norm · q_norm) with the stored ingest-time norms — the
+    * same IEEE tree as [[lshTopK]]'s (oracle-proven on xq17). A query id
+    * present in the corpus is excluded from its own neighbors.
+    *
+    * Returns (query_id, rk, `idCol`, sim) ranked within each query.
+    */
+  def probeIvfIndex(spark: SparkSession, dir: String, queries: DataFrame,
+      vecCol: String, idCol: String, kNN: Int): DataFrame = {
+    val cents = spark.read.parquet(dir + "/centroids")
+    val qb = assignToCentroids(queries, vecCol, idCol, cents)
+      .select(col(idCol).cast("long").as("query_id"), col("cluster"))
+      .join(queries.select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).cast("array<double>").as("qv")), "query_id")
+      .withColumn("q_norm", sqrt(VectorFunctions.dot(col("qv"), col("qv"))))
+    val qLocal = qb.select("query_id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // a repeated id would duplicate candidate rows per query — refuse
+    // rather than mis-rank (the probePqIndex guard)
+    require(qLocal.map(_._1).distinct.length == qLocal.length,
+      "duplicate query ids in the probe batch")
+    val cells = qLocal.map(_._2).distinct
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim").desc, col("id"))
+    spark.read.parquet(dir + "/vectors")
+      .where(col("cluster").isin(cells.toIndexedSeq: _*)) // static pruning
+      .join(broadcast(qb), "cluster")
+      .where(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        (VectorFunctions.dot(col("v"), col("qv")) / (col("norm") * col("q_norm")))
+          .as("sim"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= kNN)
+      .select(col("query_id"), col("rk"), col("id").as(idCol), col("sim"))
+  }
+
   /** IVF top-k: probe only the query's cluster. Approximate — recall depends
     * on nCentroids/probes; exact within the probed cluster.
     */

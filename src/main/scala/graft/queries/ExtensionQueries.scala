@@ -3673,8 +3673,131 @@ object ExtensionQueries {
               |    LIMIT 1) nxt
               |  WHERE sel.rk < 10
               |)
-              |SELECT rk, id FROM sel ORDER BY rk""".stripMargin))
+              |SELECT rk, id FROM sel ORDER BY rk""".stripMargin)),
+
+    // XQ112 (round 17): persisted IVF index probe — the amortized
+    // build-once/probe-N regime for the coarse-quantizer family,
+    // completing the persisted-index set (band xq105, LM xq106, BM25
+    // xq107, PQ xq103/xq108). Build: kmeansFit centroids + the corpus
+    // re-laid-out with the CELL AS PARTITION COLUMN (the ScanPlanSpec
+    // 100 TB design, now an owned artifact instead of an inline exhibit).
+    // Probe: 3 query vectors assign to their cells (BestCentroid, map
+    // only), the vectors scan statically prunes to those cells, exact
+    // cosine within the cell with ingest-time norms, per-query top-10.
+    QueryDef("xq112_ivf_index_probe",
+      (s, d) => {
+        val dir = tableIndex("ivf", d, "embeddings", "stats/_SUCCESS")(
+          Similarity.writeIvfIndex(Tables.embeddings(s, d), "embedding",
+            "vec_id", _, nCentroids = 8, iters = 2))
+        Similarity.probeIvfIndex(s, dir,
+          Tables.embeddings(s, d).where(col("vec_id").isin(7L, 11L, 23L)),
+          "embedding", "vec_id", kNN = 10)
+          .orderBy("query_id", "rk")
+      },
+      Some(ivfProbeOracle(k = 8, iters = 2,
+        queryIds = Seq(7L, 11L, 23L), kNN = 10))),
+
+    // XQ113 (round 17): incremental IVF refresh — the FROZEN-QUANTIZER
+    // append regime (the xq108 posture applied to the coarse index):
+    // centroids trained on generation A (even vec_ids) carry over
+    // verbatim, prior cell files hard-link, only the appended generation
+    // B vectors are assigned + normed. The oracle trains its Lloyd CTEs
+    // on generation A and assigns EVERY row under those centroids —
+    // exactly what probe-after-append serves — so the hash match proves
+    // append ≡ index-the-grown-corpus under the frozen quantizer.
+    QueryDef("xq113_ivf_index_append",
+      (s, d) => {
+        val staged = stageAppendedIvf(s, d)
+        val dir = ensureIvfInc(s, staged)
+        Similarity.probeIvfIndex(s, dir,
+          Tables.embeddings(s, d).where(col("vec_id").isin(7L, 11L, 23L)),
+          "embedding", "vec_id", kNN = 10)
+          .orderBy("query_id", "rk")
+      },
+      Some(ivfProbeOracle(k = 8, iters = 2,
+        queryIds = Seq(7L, 11L, 23L), kNN = 10,
+        trainWhere = Some("vec_id % 2 = 0"))))
   )
+
+  /** DuckDB twin of writeIvfIndex + probeIvfIndex: Lloyd's rounds over the
+    * TRAINING subset (`trainWhere`; None = full corpus) unrolled as CTEs
+    * (the kmeansCtes pattern, plus the final-centroid rebuild the encode
+    * needs), full-corpus assignment under the final centroids (argmax
+    * cosine, min-cluster tie-break), then each query's cell scanned with
+    * exact cosine and a per-query ROW_NUMBER top-k (ties by vec_id,
+    * matching the Spark window).
+    */
+  private def ivfProbeOracle(k: Int, iters: Int, queryIds: Seq[Long],
+      kNN: Int, trainWhere: Option[String] = None): String = {
+    val ids = queryIds.mkString(", ")
+    val sb = new StringBuilder
+    sb ++= "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+    val t = trainWhere match {
+      case Some(w) =>
+        sb ++= s""",
+                  |t AS (SELECT * FROM e WHERE $w)""".stripMargin
+        "t"
+      case None => "e"
+    }
+    sb ++= s""",
+              |c0 AS (SELECT vec_id AS cluster, v AS cvec FROM $t ORDER BY vec_id LIMIT $k)""".stripMargin
+    for (i <- 1 to iters) {
+      sb ++= s""",
+                |a$i AS (SELECT e.vec_id, c.cluster, ${oCos("e.v", "c.cvec")} AS csim
+                |        FROM $t e, c${i - 1} c),
+                |m$i AS (SELECT vec_id, MAX(csim) AS ms FROM a$i GROUP BY 1),
+                |g$i AS (SELECT a.vec_id, MIN(a.cluster) AS cluster
+                |        FROM a$i a JOIN m$i m ON a.vec_id = m.vec_id AND a.csim = m.ms
+                |        GROUP BY 1),
+                |s$i AS (SELECT g.cluster, CAST(u.i AS BIGINT) AS dim,
+                |          SUM(CAST(floor(e.v[u.i] * 1000000 + 0.5) AS BIGINT)) AS s,
+                |          COUNT(*) AS cnt
+                |        FROM g$i g JOIN $t e ON g.vec_id = e.vec_id,
+                |             UNNEST(generate_series(1, len(e.v))) AS u(i)
+                |        GROUP BY 1, 2),
+                |c$i AS (SELECT cluster,
+                |          list(CAST(s AS DOUBLE) / (1000000.0 * cnt) ORDER BY dim) AS cvec
+                |        FROM s$i GROUP BY 1)""".stripMargin
+    }
+    sb ++= s""",
+              |af AS (SELECT e.vec_id, c.cluster, ${oCos("e.v", "c.cvec")} AS csim
+              |       FROM e, c$iters c),
+              |mf AS (SELECT vec_id, MAX(csim) AS ms FROM af GROUP BY 1),
+              |asn AS (SELECT a.vec_id, MIN(a.cluster) AS cluster
+              |        FROM af a JOIN mf m ON a.vec_id = m.vec_id AND a.csim = m.ms
+              |        GROUP BY 1),
+              |q AS (SELECT e.vec_id AS query_id, a.cluster, e.v AS qv
+              |      FROM e JOIN asn a ON e.vec_id = a.vec_id
+              |      WHERE e.vec_id IN ($ids)),
+              |cand AS (SELECT q.query_id, e.vec_id, ${oCos("e.v", "q.qv")} AS sim
+              |         FROM e JOIN asn a ON e.vec_id = a.vec_id
+              |              JOIN q ON a.cluster = q.cluster
+              |         WHERE e.vec_id <> q.query_id),
+              |rkd AS (SELECT query_id, vec_id, sim,
+              |          ROW_NUMBER() OVER (PARTITION BY query_id
+              |                             ORDER BY sim DESC, vec_id) AS rk
+              |        FROM cand)
+              |SELECT query_id, CAST(rk AS BIGINT) AS rk, vec_id, sim
+              |FROM rkd WHERE rk <= $kNN ORDER BY query_id, rk""".stripMargin
+    sb.toString
+  }
+
+  /** xq113's staged embeddings (generation A = even vec_ids, B = odd),
+    * indexed per generation through the ivf-inc tag: generation A trains
+    * the coarse quantizer; the append assigns B under it, frozen.
+    */
+  private def stageAppendedIvf(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    stageTwoGenerations(s, d, "ivf-stage", Tables.embeddings(s, d),
+      st => { ensureIvfInc(s, st); () }, idCol = "vec_id",
+      srcTable = "embeddings.parquet")
+
+  private def ensureIvfInc(s: org.apache.spark.sql.SparkSession,
+      staged: String): String =
+    IndexStore.ensureIncremental("ivf-inc", Seq(staged), "stats/_SUCCESS")(
+      Similarity.writeIvfIndex(s.read.parquet(staged), "embedding", "vec_id",
+        _, nCentroids = 8, iters = 2))(
+      (delta, nd) => Similarity.appendIvfIndex(s, delta, nd, "embedding", "vec_id"))
 
   /** xq105's two-generation staged corpus: generation A (even doc_ids of
     * the non-src3 corpus) written first and indexed in full, generation B
