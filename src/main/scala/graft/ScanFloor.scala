@@ -19,11 +19,14 @@ import org.apache.spark.sql.functions._
   * "structurally floor-bound at this SF" vs "plan work remains".
   *
   * Usage: runMain graft.ScanFloor <sfDir> <outJson>
-  *        runMain graft.ScanFloor <sfDir> <outJson> extra
-  * `extra` mode measures ONLY the rows/queries added after an artifact was
-  * produced (new floor rows + new job counts) and MERGES them into the
-  * existing artifact — a full re-run of an sf10 artifact costs ~25 min of
-  * xq47 alone, the extras cost seconds.
+  *        runMain graft.ScanFloor <sfDir> <outJson> extra <q1,q2,...>
+  * `extra` mode measures ONLY the rows added after an artifact was
+  * produced (new floor rows + job counts for EXACTLY the named queries)
+  * and MERGES them into the existing artifact — a full re-run of an sf10
+  * artifact costs ~25 min of xq47 alone, the extras cost seconds. The
+  * query list is REQUIRED (r16 ADVICE): the caller must state which jobs
+  * rows are stale after a plan change; carried rows stay verbatim, and
+  * the merge refuses an artifact whose sf/cpus differ from this run.
   */
 object ScanFloor {
   def main(args: Array[String]): Unit = {
@@ -113,10 +116,16 @@ object ScanFloor {
         counter.incrementAndGet()
     }
     spark.sparkContext.addSparkListener(listener)
-    // extra mode counts only the queries added after the artifact was
-    // produced; a full run covers the whole flagged set
+    // extra mode counts EXACTLY the queries the caller names (a plan
+    // change staled their counts; nothing else is touched); a full run
+    // covers the whole flagged set
     val jobQueries =
-      if (extraOnly) Seq("pq14_latest_per_user")
+      if (extraOnly) {
+        require(args.length > 3 && args(3).nonEmpty,
+          "extra mode requires the re-measured query list as arg 4 " +
+            "(comma-separated; pass the queries whose plans changed)")
+        args(3).split(",").toSeq
+      }
       else Seq("pq13_sessionize", "xq84_cluster_sample", "xq47_semdedup",
         "xq109_bloom_join", "rq49_tpch_q8", "rq50_tpch_q9",
         "rq51_tpch_q20", "rq52_tpch_q21", "pq01_daily_type_counts",
@@ -145,13 +154,43 @@ object ScanFloor {
       if (extraOnly) {
         val text = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(out)), "UTF-8")
-        def block(name: String): Seq[(String, String)] =
-          (s""""$name":\\{([^}]*)\\}""").r.findFirstMatchIn(text)
-            .map(_.group(1)).getOrElse("")
-            .split(",").filter(_.contains(":")).toSeq.map { kv =>
-              val Array(k, v) = kv.split(":")
-              (k.replace("\"", ""), v)
-            }
+        // This main is the artifact's only writer, so the grammar is
+        // closed: flat string/number scalars and one-level {..} objects
+        // of number-valued keys. Parse it TOTALLY within that grammar —
+        // keys via quoted-token scan, values from the LAST ':' (a key
+        // containing ':' round-trips) — and refuse anything that doesn't
+        // parse instead of silently corrupting the merge (r16 ADVICE).
+        def scalar(name: String): String =
+          (s""""$name"\\s*:\\s*"?([^",}]+)"?""").r.findFirstMatchIn(text)
+            .map(_.group(1).trim)
+            .getOrElse(sys.error(s"artifact $out: missing scalar '$name'"))
+        // a stale artifact from another SF/host must never be relabeled
+        // as this run's (the merge keeps old rows verbatim)
+        require(scalar("sf") == sf,
+          s"artifact $out was measured at sf='${scalar("sf")}', this run " +
+            s"is '$sf' — refusing to merge across scale factors")
+        require(scalar("cpus") == cpus,
+          s"artifact $out was measured with cpus=${scalar("cpus")}, this " +
+            s"run uses $cpus — refusing to merge across parallelism")
+        def block(name: String): Seq[(String, String)] = {
+          val start = text.indexOf(s""""$name":{""")
+          require(start >= 0, s"artifact $out: missing block '$name'")
+          val open = start + name.length + 4
+          val close = text.indexOf('}', open)
+          require(close >= 0, s"artifact $out: unterminated block '$name'")
+          val body = text.substring(open, close).trim
+          if (body.isEmpty) Seq.empty
+          else body.split(",").toSeq.map { kv =>
+            val cut = kv.lastIndexOf(':')
+            require(cut > 0, s"artifact $out: unparseable entry '$kv' in '$name'")
+            val k = kv.substring(0, cut).trim.stripPrefix("\"").stripSuffix("\"")
+            val v = kv.substring(cut + 1).trim
+            require(k.nonEmpty && v.nonEmpty &&
+              v.forall(c => c.isDigit || c == '.' || c == '-' || c == 'E' || c == 'e'),
+              s"artifact $out: non-numeric entry '$kv' in '$name'")
+            (k, v)
+          }
+        }
         (block("floors").filterNot(kv => floors.contains(kv._1)) ++
            floors.map { case (k, v) => (k, v.toString) },
          block("jobs").filterNot(kv => jobCounts.contains(kv._1)) ++

@@ -311,6 +311,11 @@ object Similarity {
       .select(col("col.id").as("id"), col("col.v").as("v"),
         col("col.simq").as("simq"))
       .collect() // the bounded window — the only driver-resident state
+    // an absent query id (or an empty corpus) must fail HERE with the
+    // contract named, not as minBy's UnsupportedOperationException on an
+    // empty collection three stages later (r16 ADVICE)
+    require(windowRows.nonEmpty,
+      s"query vector $queryId not found or corpus empty")
     val cands = windowRows.map(r =>
       (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))).toIndexedSeq
     val local = cands.toDF("id", "v", "simq")

@@ -3630,12 +3630,13 @@ object ExtensionQueries {
               |  COALESCE(1.0 / (60.0 + CAST(l.rk_lex AS DOUBLE)), 0.0)
               |    + COALESCE(1.0 / (60.0 + CAST(r.rk_sem AS DOUBLE)), 0.0) AS rrf
               |FROM lexrk l FULL OUTER JOIN semrk r ON l.id = r.id
-              |ORDER BY rrf DESC, id LIMIT 10""".stripMargin),
-      // TopKRows state must stay hash-resident (the xq44 rationale); both
-      // arms' global aggregates are single-group, k-row state.
-      confs = Seq(
-        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
-          -> "10000000")),
+              |ORDER BY rrf DESC, id LIMIT 10""".stripMargin)),
+      // No fallback-threshold conf here (r16 ADVICE): both arms' TopKRows
+      // aggregates are GLOBAL (single-group), and the sort-based fallback
+      // triggers on the number of DISTINCT KEYS in the hash map — one key
+      // can never cross any threshold, so the xq44 declaration (genuinely
+      // many-group) does not apply; xq111's identical single-group
+      // TopKRows has never needed it either.
 
     // XQ111 (round 16): MMR-diversified top-k — the anti-near-dup rerank
     // (Carbonell & Goldstein 1998) over the dense arm's top-50 window for

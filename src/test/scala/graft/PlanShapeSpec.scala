@@ -141,6 +141,32 @@ class PlanShapeSpec extends SparkSpec {
       s"BestCentroidL2 must sit inside a WholeStageCodegen span:\n$plan")
   }
 
+  test("pq16's tail is a single partition (sortWithinPartitions totality)") {
+    // pq16 replaces its output orderBy with sortWithinPartitions("stage"),
+    // which is a TOTAL order only because the ungrouped global aggregate
+    // collapses to one partition — an implicit physical invariant (r16
+    // ADVICE): if a plan change ever re-partitions the tail, this fails
+    // HERE by name instead of as a verify-time hash mismatch. Also pins
+    // the reason the orderBy was dropped: no range exchange (the
+    // range-partitioner sampling job cost one dispatch floor per SF).
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    val q = SparkEntry.allDefs.find(_.name == "pq16_funnel").get
+    val df = q.run(spark, sf)
+    assert(df.rdd.getNumPartitions == 1,
+      "pq16's post-aggregate tail must be exactly one partition")
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p.collect { case n => n }.flatMap {
+      case qs: QueryStageExec => qs +: allNodes(qs.plan)
+      case a: AdaptiveSparkPlanExec => a +: allNodes(a.executedPlan)
+      case n => Seq(n)
+    }
+    val ranged = allNodes(physical(df.queryExecution.executedPlan))
+      .collect { case s: ShuffleExchangeLike => s }
+      .filter(_.outputPartitioning.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.physical.RangePartitioning])
+    assert(ranged.isEmpty, s"pq16 must not plan a range exchange:\n$ranged")
+  }
+
   test("per-query confs apply at build time and never leak to the next query") {
     // xq44 declares the raised ObjectHashAggregate fallback threshold
     // (bounded-state TopKRows); any query without the declaration must see

@@ -417,6 +417,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedup state evicts after the watermark passes (bounded-state contract)") {
+    // r16 brief item 7: the batch dedup family is complete; this is the
+    // STREAMING personality's within-watermark dedup exhibit. Cross-batch
+    // redelivery inside the watermark is dropped (state holds the id);
+    // once event time moves past the watermark, the dedup rows EVICT —
+    // state is bounded by events-per-watermark-window, never by stream
+    // lifetime (SCALING.md §streaming-dedup has the sizing arithmetic).
+    val tableDir = Files.createTempDirectory("graft-dedup-evict").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt-evict").toString
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, String)]
+    val q = CounterPipeline.start(spark, stream.toDF().toDF("key", "value"),
+      tableDir, ckpt, watermark = "1 hour", trigger = Trigger.ProcessingTime(0))
+    try {
+      def dedupState = q.lastProgress.stateOperators
+        .find(_.operatorName.toLowerCase.contains("dedup")).get
+      val e1 = event(1, t(day0, 1), "enwiki", "edit")
+      stream.addData(e1, event(2, t(day0, 2), "dewiki", "edit"))
+      q.processAllAvailable()
+      assert(dedupState.numRowsTotal == 2L)
+      // cross-micro-batch redelivery INSIDE the watermark: dropped
+      stream.addData(e1)
+      q.processAllAvailable()
+      val store = new CounterStore(spark, tableDir)
+      assert(store.countersForDay(day0).as[(String, Long)].collect()
+        .toMap.apply("total") == 2L, "in-watermark redelivery must not count")
+      // events two days later advance the watermark far past day0; the
+      // eviction happens in the batch that RUNS with the advanced
+      // watermark, hence two feeds
+      stream.addData(event(3, t(day0 + 2, 1), "enwiki", "edit"))
+      q.processAllAvailable()
+      stream.addData(event(4, t(day0 + 2, 2), "enwiki", "edit"))
+      q.processAllAvailable()
+      assert(dedupState.numRowsTotal <= 2L,
+        s"day0 dedup rows must evict after the watermark, " +
+          s"state=${dedupState.numRowsTotal}")
+      assert(store.countersForDay(day0 + 2).as[(String, Long)].collect()
+        .toMap.apply("total") == 2L)
+    } finally q.stop()
+  }
+
   test("rate limit: backlog drains in bounded micro-batches, same totals") {
     // The reference backpressures through unbuffered channels; our twin is
     // per-trigger input bounding. 6 pre-existing .dat files + a limit of 2
