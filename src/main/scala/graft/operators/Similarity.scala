@@ -365,6 +365,106 @@ object Similarity {
       .join(sig, idCol)
   }
 
+  /** Signature buckets for `df` against an explicit (pid, p_vec) plane
+    * frame — the [[lshAssign]] shape with the plane set as an argument,
+    * shared by the persisted-index build/probe (the planes must be the
+    * STORED generation's, never recomputed from a grown corpus).
+    */
+  private def lshBuckets(df: DataFrame, vecCol: String, idCol: String,
+      planes: DataFrame): DataFrame =
+    df.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(planes))
+      .groupBy(col(idCol))
+      .agg(sum(
+        when(VectorFunctions.dot(col(vecCol), col("p_vec")) > 0d,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(pid AS INT) - 1)"))
+          .otherwise(0L)).as("bucket"))
+
+  /** Persisted sign-LSH index — the amortized posture for [[lshTopK]]
+    * (the sixth persisted family: band/LM/BM25/PQ/IVF/+LSH). Layout under
+    * `dir` ([[IndexStore]] lifecycle, commit marker `stats/_SUCCESS`):
+    *  - `planes/` (pid, p_vec) — the plane set FROZEN at build (the
+    *    corpus vectors with id in [1, nPlanes] of the BUILD generation);
+    *  - `vectors/bucket=<b>/` (id, v, norm) — the corpus laid out by
+    *    bucket: the signature is a PARTITION COLUMN, so a probe prunes
+    *    ~2^nPlanes-fold (the IVF cell design with hyperplane cells);
+    *  - `stats/` (n_planes) — 1 row, written LAST.
+    */
+  def writeLshIndex(emb: DataFrame, vecCol: String, idCol: String,
+      dir: String, nPlanes: Int = 6): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.where(col(idCol) >= 1 && col(idCol) <= nPlanes)
+      .select(col(idCol).cast("long").as("pid"), col(vecCol).cast("array<double>").as("p_vec"))
+      .write.mode("overwrite").parquet(dir + "/planes")
+    lshRows(emb, vecCol, idCol, spark.read.parquet(dir + "/planes"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir + "/vectors")
+    Seq(Tuple1(nPlanes)).toDF("n_planes")
+      .write.mode("overwrite").parquet(dir + "/stats")
+  }
+
+  /** (id, v, norm, bucket) rows for the partitioned vector store. */
+  private def lshRows(emb: DataFrame, vecCol: String, idCol: String,
+      planes: DataFrame): DataFrame =
+    lshBuckets(emb, vecCol, idCol, planes)
+      .select(col(idCol).cast("long").as("id"), col("bucket"))
+      .join(emb.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v")), "id")
+      .withColumn("norm", sqrt(VectorFunctions.dot(col("v"), col("v"))))
+      .select("id", "v", "norm", "bucket")
+
+  /** Append-delta refresh of a [[writeLshIndex]] generation — the
+    * frozen-quantizer regime with hyperplanes for the quantizer: the
+    * plane set carries verbatim (it defines every stored bucket; probing
+    * under new planes would unmap the corpus), prior bucket files
+    * hard-link, only the appended vectors are signed + normed.
+    */
+  def appendLshIndex(spark: SparkSession, delta: IndexStore.AppendDelta,
+      newDir: String, vecCol: String, idCol: String): Unit = {
+    IndexStore.linkData(s"${delta.priorDir}/planes", s"$newDir/planes")
+    IndexStore.linkData(s"${delta.priorDir}/vectors", s"$newDir/vectors")
+    lshRows(spark.read.parquet(delta.newFiles: _*), vecCol, idCol,
+      spark.read.parquet(delta.priorDir + "/planes"))
+      .write.mode("append").partitionBy("bucket").parquet(newDir + "/vectors")
+    spark.read.parquet(delta.priorDir + "/stats")
+      .write.mode("overwrite").parquet(newDir + "/stats")
+  }
+
+  /** Cosine top-k for a BATCH of query vectors against a persisted LSH
+    * index — single-probe ([[lshTopK]] semantics: only the query's own
+    * bucket, so fewer than k rows is the documented recall tradeoff).
+    * Query signatures are computed under the STORED planes; the vectors
+    * scan statically prunes to the query buckets; scoring is
+    * dot/(norm · q_norm) with ingest-time norms (the oracle-proven xq17
+    * tree). Returns (query_id, rk, `idCol`, sim).
+    */
+  def probeLshIndex(spark: SparkSession, dir: String, queries: DataFrame,
+      vecCol: String, idCol: String, kNN: Int): DataFrame = {
+    val planes = spark.read.parquet(dir + "/planes")
+    val qb = lshBuckets(queries, vecCol, idCol, planes)
+      .select(col(idCol).cast("long").as("query_id"), col("bucket"))
+      .join(queries.select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).cast("array<double>").as("qv")), "query_id")
+      .withColumn("q_norm", sqrt(VectorFunctions.dot(col("qv"), col("qv"))))
+    val qLocal = qb.select("query_id", "bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    require(qLocal.map(_._1).distinct.length == qLocal.length,
+      "duplicate query ids in the probe batch")
+    val buckets = qLocal.map(_._2).distinct
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim").desc, col("id"))
+    spark.read.parquet(dir + "/vectors")
+      .where(col("bucket").isin(buckets.toIndexedSeq: _*)) // static pruning
+      .join(broadcast(qb), "bucket")
+      .where(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        (VectorFunctions.dot(col("v"), col("qv")) / (col("norm") * col("q_norm")))
+          .as("sim"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= kNN)
+      .select(col("query_id"), col("rk"), col("id").as(idCol), col("sim"))
+  }
+
   /** LSH top-k: probe only the query's bucket (may return fewer than k —
     * the recall/speed tradeoff of single-probe LSH).
     */
@@ -756,6 +856,119 @@ object Similarity {
       .withColumn("rk", row_number().over(w).cast("long"))
       .where(col("rk") <= kNN)
       .select("query_id", "rk", idCol, "adc_dist2")
+  }
+
+  /** Persisted IVF-PQ index — the composed billion-scale serving layout
+    * (FAISS IVFx,PQy as an owned artifact; [[ivfPqTopK]] is the strict
+    * inline twin). Layout under `dir` ([[IndexStore]] lifecycle, commit
+    * marker `stats/_SUCCESS`):
+    *  - `cells/` (cluster, cvec) — the coarse quantizer: the
+    *    first-nCells deterministic centroids (the [[assign]]/xq14
+    *    design), broadcast at probe;
+    *  - `codebook/` (sub, cluster, cvec) — m·k PQ codebook rows;
+    *  - `codes/cell=<c>/` (id, sub, code) — the ONLY per-corpus state a
+    *    probe scans: 2 small ints + an id per row, laid out with the
+    *    CELL AS PARTITION COLUMN, so a probe reads ~N·m/nCells code rows
+    *    and never a raw vector;
+    *  - `stats/` (n_cells, m, sub_dim, k, iters) — 1 row, written LAST.
+    */
+  def writeIvfPqIndex(emb: DataFrame, vecCol: String, idCol: String,
+      dir: String, nCells: Int = 8, m: Int = 4, subDim: Int = 16,
+      k: Int = 16, iters: Int = 2): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    centroids(emb, vecCol, idCol, nCells)
+      .select(col("cid").cast("long").as("cluster"),
+        col("c_vec").cast("array<double>").as("cvec"))
+      .write.mode("overwrite").parquet(dir + "/cells")
+    val cb = pqTrain(emb, vecCol, idCol, m, subDim, k, iters)
+    cb.write.mode("overwrite").parquet(dir + "/codebook")
+    ivfPqCodeRows(emb, vecCol, idCol,
+      spark.read.parquet(dir + "/cells"), cb, m, subDim)
+      .write.mode("overwrite").partitionBy("cell").parquet(dir + "/codes")
+    Seq((nCells, m, subDim, k, iters))
+      .toDF("n_cells", "m", "sub_dim", "k", "iters")
+      .write.mode("overwrite").parquet(dir + "/stats")
+  }
+
+  /** (id, sub, code, cell) rows: PQ codes + coarse-cell assignment, both
+    * map-only (BestCentroidL2 / BestCentroid), one narrow id-keyed join.
+    */
+  private def ivfPqCodeRows(emb: DataFrame, vecCol: String, idCol: String,
+      cells: DataFrame, cb: DataFrame, m: Int, subDim: Int): DataFrame =
+    pqEncode(emb, vecCol, idCol, cb, m, subDim)
+      .withColumnRenamed(idCol, "id")
+      .join(assignToCentroids(emb, vecCol, idCol, cells)
+        .select(col(idCol).cast("long").as("id"), col("cluster").as("cell")), "id")
+      .select("id", "sub", "code", "cell")
+
+  /** Append-delta refresh of a [[writeIvfPqIndex]] generation — BOTH
+    * quantizers frozen (cells define the layout, the codebook defines
+    * every stored code); prior code files hard-link, only the appended
+    * vectors are encoded + cell-assigned.
+    */
+  def appendIvfPqIndex(spark: SparkSession, delta: IndexStore.AppendDelta,
+      newDir: String, vecCol: String, idCol: String): Unit = {
+    IndexStore.linkData(s"${delta.priorDir}/cells", s"$newDir/cells")
+    IndexStore.linkData(s"${delta.priorDir}/codebook", s"$newDir/codebook")
+    IndexStore.linkData(s"${delta.priorDir}/codes", s"$newDir/codes")
+    val st = spark.read.parquet(delta.priorDir + "/stats").collect()(0)
+    ivfPqCodeRows(spark.read.parquet(delta.newFiles: _*), vecCol, idCol,
+      spark.read.parquet(delta.priorDir + "/cells"),
+      spark.read.parquet(delta.priorDir + "/codebook"),
+      st.getAs[Int]("m"), st.getAs[Int]("sub_dim"))
+      .write.mode("append").partitionBy("cell").parquet(newDir + "/codes")
+    spark.read.parquet(delta.priorDir + "/stats")
+      .write.mode("overwrite").parquet(newDir + "/stats")
+  }
+
+  /** ADC top-k for a BATCH of query vectors against a persisted IVF-PQ
+    * index: each query assigns to its cell (BestCentroid vs the stored
+    * coarse centroids, map-only), its m·k LUT is driver-built from the
+    * stored codebook (the [[probePqIndex]] fold — bit-identical ADC),
+    * the codes scan statically prunes to the query cells, and the
+    * (cell, sub, code) join scores ONLY same-cell candidates. Returns
+    * (query_id, rk, `idCol`, adc_dist2).
+    */
+  def probeIvfPqIndex(spark: SparkSession, dir: String, queries: DataFrame,
+      vecCol: String, idCol: String, kNN: Int): DataFrame = {
+    import spark.implicits._
+    val st = spark.read.parquet(dir + "/stats").collect()(0)
+    val subDim = st.getAs[Int]("sub_dim")
+    val cellsDf = spark.read.parquet(dir + "/cells")
+    val qCells = assignToCentroids(queries, vecCol, idCol, cellsDf)
+      .select(col(idCol).cast("long").as("query_id"), col("cluster").as("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    require(qCells.map(_._1).distinct.length == qCells.length,
+      "duplicate query ids in the probe batch")
+    val cellOf = qCells.toMap
+    val cbLocal = spark.read.parquet(dir + "/codebook").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toIndexedSeq))
+    val qs = queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+    val lut = qs.toSeq.flatMap { case (qid, q) =>
+      lutEntries(q, cbLocal, subDim).map { case (sub, code, d2) =>
+        (qid, cellOf(qid), sub, code, d2)
+      }
+    }.toDF("query_id", "cell", "sub", "code", "d2")
+    val cells = qCells.map(_._2).distinct
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adc_dist2").asc, col("id"))
+    spark.read.parquet(dir + "/codes")
+      .where(col("cell").isin(cells.toIndexedSeq: _*)) // static pruning
+      .join(broadcast(lut), Seq("cell", "sub", "code"))
+      .select(col("query_id"), col("id"),
+        floor(col("d2") * lit(1e9) + lit(0.5)).cast("long").as("dq"))
+      .groupBy("query_id", "id")
+      .agg(sum(col("dq")).as("dqs"))
+      .where(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        (col("dqs").cast("double") / lit(1e9)).as("adc_dist2"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= kNN)
+      .select(col("query_id"), col("rk"), col("id").as(idCol), col("adc_dist2"))
   }
 
   /** Scalar int8 quantization (the FAISS "SQ8" regime): each dimension is

@@ -349,6 +349,59 @@ object ExtensionQueries {
     sb.toString
   }
 
+  /** DuckDB twin of writeIvfPqIndex + probeIvfPqIndex: the PQ CTE chain
+    * ([[pqCtes]], optionally trained on `trainWhere`) plus the coarse
+    * first-nCells cell quantizer (argmax cosine, min-cid tie-break —
+    * the xq14 design), per-query LUTs, and ADC sums restricted to
+    * SAME-CELL candidates — the composed IVF-PQ contract.
+    */
+  private def ivfPqProbeOracle(nCells: Int, m: Int, subDim: Int, k: Int,
+      iters: Int, queryIds: Seq[Long], kNN: Int,
+      trainWhere: Option[String] = None): String = {
+    val ids = queryIds.mkString(", ")
+    val cellWhere = trainWhere.map(w => s" AND ($w)").getOrElse("")
+    val sb = new StringBuilder
+    sb ++= pqCtes(m, subDim, k, iters, trainWhere)
+    sb ++= s""",
+              |cq AS (SELECT vec_id AS cid, v AS cvec FROM e
+              |       WHERE vec_id < $nCells$cellWhere),
+              |caf AS (SELECT e.vec_id, c.cid, ${oCos("e.v", "c.cvec")} AS cs
+              |        FROM e, cq c),
+              |cmf AS (SELECT vec_id, MAX(cs) AS ms FROM caf GROUP BY 1),
+              |casn AS (SELECT a.vec_id, MIN(a.cid) AS cell
+              |         FROM caf a JOIN cmf mm ON a.vec_id = mm.vec_id AND a.cs = mm.ms
+              |         GROUP BY 1),
+              |qcell AS (SELECT vec_id AS query_id, cell FROM casn
+              |          WHERE vec_id IN ($ids))""".stripMargin
+    for (s <- 0 until m) {
+      sb ++= s""",
+                |lutp$s AS (SELECT qe.vec_id AS query_id, c.cluster AS code,
+                |          ${oL2("qe.v", "c.cvec")} AS d2
+                |        FROM c${s}_$iters c,
+                |             (SELECT vec_id, v FROM e$s WHERE vec_id IN ($ids)) qe),
+                |adcp$s AS (SELECT l.query_id, co.vec_id,
+                |          CAST(floor(l.d2 * 1000000000.0 + 0.5) AS BIGINT) AS dq
+                |        FROM code$s co
+                |             JOIN lutp$s l ON co.code = l.code
+                |             JOIN casn a ON co.vec_id = a.vec_id
+                |             JOIN qcell qc ON qc.query_id = l.query_id
+                |                          AND a.cell = qc.cell)""".stripMargin
+    }
+    sb ++= s""",
+              |g AS (SELECT query_id, vec_id,
+              |        CAST(SUM(dq) AS DOUBLE) / 1000000000.0 AS adc_dist2
+              |      FROM (${(0 until m).map(s => s"SELECT query_id, vec_id, dq FROM adcp$s").mkString(" UNION ALL ")})
+              |      WHERE vec_id <> query_id
+              |      GROUP BY 1, 2),
+              |r AS (SELECT query_id, vec_id, adc_dist2,
+              |        ROW_NUMBER() OVER (PARTITION BY query_id
+              |                           ORDER BY adc_dist2 ASC, vec_id) AS rk
+              |      FROM g)
+              |SELECT query_id, CAST(rk AS BIGINT) AS rk, vec_id, adc_dist2
+              |FROM r WHERE rk <= $kNN ORDER BY query_id, rk""".stripMargin
+    sb.toString
+  }
+
   /** DuckDB twin of ZOrder.interleave: per-bit shift/mask terms on disjoint
     * positions, summed (= bitwise or).
     */
@@ -3717,8 +3770,162 @@ object ExtensionQueries {
       },
       Some(ivfProbeOracle(k = 8, iters = 2,
         queryIds = Seq(7L, 11L, 23L), kNN = 10,
+        trainWhere = Some("vec_id % 2 = 0")))),
+
+    // XQ114 (round 17): persisted sign-LSH index probe — the amortized
+    // twin of strict xq17 (which re-signs the corpus per query), and the
+    // sixth persisted-index family. Buckets are hyperplane-sign
+    // signatures stored as a PARTITION COLUMN; a query batch signs
+    // against the stored planes and scans only its own buckets
+    // (single-probe semantics: fewer than k rows is the documented
+    // recall tradeoff, identical to xq17).
+    QueryDef("xq114_lsh_index_probe",
+      (s, d) => {
+        val dir = tableIndex("lsh", d, "embeddings", "stats/_SUCCESS")(
+          Similarity.writeLshIndex(Tables.embeddings(s, d), "embedding",
+            "vec_id", _, nPlanes = 6))
+        Similarity.probeLshIndex(s, dir,
+          Tables.embeddings(s, d).where(col("vec_id").isin(7L, 11L, 23L)),
+          "embedding", "vec_id", kNN = 10)
+          .orderBy("query_id", "rk")
+      },
+      Some(lshProbeOracle(nPlanes = 6,
+        queryIds = Seq(7L, 11L, 23L), kNN = 10))),
+
+    // XQ115 (round 17): incremental LSH refresh — frozen-QUANTIZER with
+    // hyperplanes as the quantizer: the plane set (generation A's vectors
+    // with id in [1,6] — for even-id gen A that is {2,4,6}) carries over
+    // verbatim because it DEFINES every stored bucket; prior bucket files
+    // hard-link; only generation B is signed + normed. The oracle draws
+    // its planes from generation A and signs every row under them —
+    // probe-after-append ≡ index-the-grown-corpus under frozen planes.
+    QueryDef("xq115_lsh_index_append",
+      (s, d) => {
+        val staged = stageAppendedLsh(s, d)
+        val dir = ensureLshInc(s, staged)
+        Similarity.probeLshIndex(s, dir,
+          Tables.embeddings(s, d).where(col("vec_id").isin(7L, 11L, 23L)),
+          "embedding", "vec_id", kNN = 10)
+          .orderBy("query_id", "rk")
+      },
+      Some(lshProbeOracle(nPlanes = 6,
+        queryIds = Seq(7L, 11L, 23L), kNN = 10,
+        trainWhere = Some("vec_id % 2 = 0")))),
+
+    // XQ116 (round 17): persisted IVF-PQ composed index probe — the
+    // billion-scale serving layout (FAISS IVFx,PQy) as an owned,
+    // ORACLE-PAIRED artifact (ivfPqTopK was the spec-only inline twin):
+    // coarse first-nCells cells prune the candidate set (cell = the
+    // codes table's PARTITION column), PQ codes rank the survivors by
+    // quantized ADC sums — a probe reads ~N·m/nCells 2-small-int rows
+    // and never a raw vector.
+    QueryDef("xq116_ivfpq_index_probe",
+      (s, d) => {
+        val dir = tableIndex("ivfpq", d, "embeddings", "stats/_SUCCESS")(
+          Similarity.writeIvfPqIndex(Tables.embeddings(s, d), "embedding",
+            "vec_id", _, nCells = 8, m = 4, subDim = 16, k = 16, iters = 2))
+        Similarity.probeIvfPqIndex(s, dir,
+          Tables.embeddings(s, d).where(col("vec_id").isin(7L, 11L, 23L)),
+          "embedding", "vec_id", kNN = 10)
+          .orderBy("query_id", "rk")
+      },
+      Some(ivfPqProbeOracle(nCells = 8, m = 4, subDim = 16, k = 16,
+        iters = 2, queryIds = Seq(7L, 11L, 23L), kNN = 10))),
+
+    // XQ117 (round 17): incremental IVF-PQ refresh — BOTH quantizers
+    // frozen from generation A (cells define the layout, the codebook
+    // defines every stored code); prior code files hard-link, the
+    // appended generation is encoded + cell-assigned only. The oracle
+    // trains cells and codebooks on generation A and codes/assigns every
+    // row under them — probe-after-append ≡ index-the-grown-corpus under
+    // the frozen pair.
+    QueryDef("xq117_ivfpq_index_append",
+      (s, d) => {
+        val staged = stageAppendedIvfPq(s, d)
+        val dir = ensureIvfPqInc(s, staged)
+        Similarity.probeIvfPqIndex(s, dir,
+          Tables.embeddings(s, d).where(col("vec_id").isin(7L, 11L, 23L)),
+          "embedding", "vec_id", kNN = 10)
+          .orderBy("query_id", "rk")
+      },
+      Some(ivfPqProbeOracle(nCells = 8, m = 4, subDim = 16, k = 16,
+        iters = 2, queryIds = Seq(7L, 11L, 23L), kNN = 10,
         trainWhere = Some("vec_id % 2 = 0"))))
   )
+
+  /** xq117's staged embeddings (generation A = even vec_ids, B = odd),
+    * indexed per generation through the ivfpq-inc tag.
+    */
+  private def stageAppendedIvfPq(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    stageTwoGenerations(s, d, "ivfpq-stage", Tables.embeddings(s, d),
+      st => { ensureIvfPqInc(s, st); () }, idCol = "vec_id",
+      srcTable = "embeddings.parquet")
+
+  private def ensureIvfPqInc(s: org.apache.spark.sql.SparkSession,
+      staged: String): String =
+    IndexStore.ensureIncremental("ivfpq-inc", Seq(staged), "stats/_SUCCESS")(
+      Similarity.writeIvfPqIndex(s.read.parquet(staged), "embedding",
+        "vec_id", _, nCells = 8, m = 4, subDim = 16, k = 16, iters = 2))(
+      (delta, nd) => Similarity.appendIvfPqIndex(s, delta, nd, "embedding", "vec_id"))
+
+  /** DuckDB twin of writeLshIndex + probeLshIndex: plane set = the
+    * TRAINING subset's vectors with id in [1, nPlanes] (`trainWhere`;
+    * None = full corpus — xq17's planes exactly), full-corpus sign
+    * signatures under those planes, then each query's bucket scanned
+    * with exact cosine and a per-query ROW_NUMBER top-k.
+    */
+  private def lshProbeOracle(nPlanes: Int, queryIds: Seq[Long],
+      kNN: Int, trainWhere: Option[String] = None): String = {
+    val ids = queryIds.mkString(", ")
+    val sb = new StringBuilder
+    sb ++= "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+    val t = trainWhere match {
+      case Some(w) =>
+        sb ++= s""",
+                  |t AS (SELECT * FROM e WHERE $w)""".stripMargin
+        "t"
+      case None => "e"
+    }
+    sb ++= s""",
+              |p AS (SELECT vec_id AS pid, v AS pv FROM $t
+              |      WHERE vec_id BETWEEN 1 AND $nPlanes),
+              |sig AS (SELECT e.vec_id,
+              |    CAST(SUM(CASE WHEN list_inner_product(e.v, p.pv) > 0
+              |         THEN (CAST(1 AS BIGINT) << CAST(pid - 1 AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+              |  FROM e, p GROUP BY e.vec_id),
+              |q AS (SELECT s.bucket, e.vec_id AS query_id, e.v AS qv
+              |      FROM sig s JOIN e ON s.vec_id = e.vec_id
+              |      WHERE e.vec_id IN ($ids)),
+              |cand AS (SELECT q.query_id, e.vec_id, ${oCos("e.v", "q.qv")} AS sim
+              |         FROM e JOIN sig ON e.vec_id = sig.vec_id
+              |              JOIN q ON sig.bucket = q.bucket
+              |         WHERE e.vec_id <> q.query_id),
+              |rkd AS (SELECT query_id, vec_id, sim,
+              |          ROW_NUMBER() OVER (PARTITION BY query_id
+              |                             ORDER BY sim DESC, vec_id) AS rk
+              |        FROM cand)
+              |SELECT query_id, CAST(rk AS BIGINT) AS rk, vec_id, sim
+              |FROM rkd WHERE rk <= $kNN ORDER BY query_id, rk""".stripMargin
+    sb.toString
+  }
+
+  /** xq115's staged embeddings (generation A = even vec_ids, B = odd),
+    * indexed per generation through the lsh-inc tag: generation A fixes
+    * the plane set; the append signs B under it, frozen.
+    */
+  private def stageAppendedLsh(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    stageTwoGenerations(s, d, "lsh-stage", Tables.embeddings(s, d),
+      st => { ensureLshInc(s, st); () }, idCol = "vec_id",
+      srcTable = "embeddings.parquet")
+
+  private def ensureLshInc(s: org.apache.spark.sql.SparkSession,
+      staged: String): String =
+    IndexStore.ensureIncremental("lsh-inc", Seq(staged), "stats/_SUCCESS")(
+      Similarity.writeLshIndex(s.read.parquet(staged), "embedding", "vec_id",
+        _, nPlanes = 6))(
+      (delta, nd) => Similarity.appendLshIndex(s, delta, nd, "embedding", "vec_id"))
 
   /** DuckDB twin of writeIvfIndex + probeIvfIndex: Lloyd's rounds over the
     * TRAINING subset (`trainWhere`; None = full corpus) unrolled as CTEs
