@@ -440,17 +440,35 @@ object Similarity {
     */
   def probeLshIndex(spark: SparkSession, dir: String, queries: DataFrame,
       vecCol: String, idCol: String, kNN: Int): DataFrame = {
-    val planes = spark.read.parquet(dir + "/planes")
-    val qb = lshBuckets(queries, vecCol, idCol, planes)
-      .select(col(idCol).cast("long").as("query_id"), col("bucket"))
-      .join(queries.select(col(idCol).cast("long").as("query_id"),
-        col(vecCol).cast("array<double>").as("qv")), "query_id")
-      .withColumn("q_norm", sqrt(VectorFunctions.dot(col("qv"), col("qv"))))
-    val qLocal = qb.select("query_id", "bucket").collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-    require(qLocal.map(_._1).distinct.length == qLocal.length,
+    import spark.implicits._
+    // The query-side state is metadata (nPlanes plane vectors, a bounded
+    // serving batch): signing it in the ENGINE cost a broadcast-join +
+    // aggregate + collect job chain that dominated the probe at every SF
+    // (~2 s flat, r17 bench — pure dispatch, zero compute). Driver-side
+    // signing is the adcLut recipe: the strict left-to-right dot fold is
+    // VectorDot's (so the >0 sign test compares the same double), the
+    // bucket is an order-free integer bit sum, q_norm = Math.sqrt of the
+    // same fold (Spark's sqrt) — bit-identical, jobs cut to the reads.
+    val planes = spark.read.parquet(dir + "/planes").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+    def dot(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0d; var i = 0
+      while (i < a.length && i < b.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val qs = queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+    require(qs.map(_._1).distinct.length == qs.length,
       "duplicate query ids in the probe batch")
-    val buckets = qLocal.map(_._2).distinct
+    val signed = qs.toSeq.map { case (qid, v) =>
+      val bucket = planes.map { case (pid, pv) =>
+        if (dot(v, pv) > 0d) 1L << (pid - 1).toInt else 0L }.sum
+      (qid, bucket, v, math.sqrt(dot(v, v)))
+    }
+    val qb = signed.toDF("query_id", "bucket", "qv", "q_norm")
+    val buckets = signed.map(_._2).distinct
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("sim").desc, col("id"))
     spark.read.parquet(dir + "/vectors")
