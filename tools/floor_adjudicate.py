@@ -55,6 +55,12 @@ COMPONENTS = {
     "xq14_ann_ivf": ["embeddings_scan"],
     "xq96_ann_serve": ["embeddings_scan"],
     "xq27_lsh_multiprobe": ["embeddings_scan"],
+    # r17 persisted-LSH serving rows: ~1.2-1.7 s flat at EVERY SF (index
+    # resolve + planes/queries reads + pruned probe = 11 jobs measured)
+    # against an oracle whose sign CTE is trivial on the small embeddings
+    # table — dispatch-bound by construction, like pq14/pq17
+    "xq114_lsh_index_probe": ["embeddings_scan"],
+    "xq115_lsh_index_append": ["embeddings_scan"],
 }
 
 # sf label -> (scan_floor file, spark min file candidates, duck min file
@@ -92,6 +98,12 @@ ADJUDICATIONS = {
     ("pq17_cohort_retention", "sf10"):
         "BASELINE.md r16 '>2x adjudication' (floors + dispatch cover 1.25 "
         "of 1.87 s; remainder = the per-user exchange; FLOOR-BOUND at sf5)",
+    ("xq114_lsh_index_probe", "sf5"):
+        "tools/scan_floor_sf5.json; 11 jobs x 0.081 dispatch + 0.27 "
+        "embeddings scan = 1.16 of 1.69 s — dispatch-bound, just under "
+        "the 60% jf-alone bar (JOB-FLOOR at sf1 AND sf10, and the probe "
+        "is ~1.4 s FLAT across sf0.1-sf10 while duck's trivial sign CTE "
+        "grows — the flat absolute IS the floor evidence)",
     ("rq50_tpch_q9", "sf5"):
         "BASELINE.md r16 '>2x adjudication' (0.21x over bar, floor band "
         "1.32+1.13 of 2.51 s; sf1 JOB-FLOOR, sf10 UNDER-BAR — noise-band)",
