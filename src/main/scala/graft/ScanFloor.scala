@@ -88,20 +88,21 @@ object ScanFloor {
       .select("vec_id", "embedding"))
     row("documents_text_scan")(Tables.documents(spark, sf)
       .select(col("doc_id"), length(col("text")).as("len")))
-    } // !extraOnly
-
     // Per-read-set events floors (round 16): the pq-family rows read
     // DIFFERENT column sets — a floor must lower-bound the query's own
     // unavoidable read, so a shared 3-col row both over- and under-states
     // (event_type's string decode is the expensive column; `value` is a
-    // cheap double). Measured in extra mode so existing artifacts gain
-    // them without re-paying a full sf10 re-run.
+    // cheap double). Inside the full-run guard since r17: every artifact
+    // now carries them, and an extra-mode side-effect re-measure was
+    // observed REPLACING committed values 2.6x higher (contradicting the
+    // carried-verbatim contract and inflating floor adjudications).
     row("events_uet_scan")(Tables.events(spark, sf)
       .select("user_id", "event_type", "ts"))       // pq16
     row("events_et_scan")(Tables.events(spark, sf)
       .select("event_type", "ts"))                  // pq01, pq15
     row("events_ut_scan")(Tables.events(spark, sf)
       .select("user_id", "ts"))                     // pq17
+    } // !extraOnly
 
     // Job counts for the floor-band stragglers: pq13/xq84/xq47 are
     // multi-job plans over tiny (gate-SF) inputs, so their absolute time
@@ -124,7 +125,15 @@ object ScanFloor {
         require(args.length > 3 && args(3).nonEmpty,
           "extra mode requires the re-measured query list as arg 4 " +
             "(comma-separated; pass the queries whose plans changed)")
-        args(3).split(",").toSeq
+        val names = args(3).split(",").toSeq
+        // validate BEFORE any measurement: a typo'd name would otherwise
+        // surface as None.get after minutes of floor timing, artifact
+        // unwritten (r17 review)
+        val known = SparkEntry.allDefs.map(_.name).toSet
+        val bad = names.filterNot(known.contains)
+        require(bad.isEmpty,
+          s"unknown query name(s) in extra list: ${bad.mkString(", ")}")
+        names
       }
       else Seq("pq13_sessionize", "xq84_cluster_sample", "xq47_semdedup",
         "xq109_bloom_join", "rq49_tpch_q8", "rq50_tpch_q9",

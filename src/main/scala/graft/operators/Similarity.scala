@@ -351,18 +351,14 @@ object Similarity {
     */
   def lshAssign(emb: DataFrame, vecCol: String, idCol: String,
       nPlanes: Int): DataFrame = {
+    // one signature aggregation, shared with the persisted index
+    // ([[lshBuckets]]) — the inline query and xq114's index MUST stay
+    // bit-identical, so there is exactly one copy of the shape
     val planes = emb.where(col(idCol) >= 1 && col(idCol) <= nPlanes)
       .select(col(idCol).as("pid"), col(vecCol).as("p_vec"))
-    val sig = emb.select(col(idCol), col(vecCol))
-      .crossJoin(broadcast(planes))
-      .groupBy(col(idCol))
-      .agg(sum(
-        when(VectorFunctions.dot(col(vecCol), col("p_vec")) > 0d,
-          expr("shiftleft(CAST(1 AS BIGINT), CAST(pid AS INT) - 1)"))
-          .otherwise(0L)).as("bucket"))
     emb.select(col(idCol), col(vecCol),
         sqrt(VectorFunctions.dot(col(vecCol), col(vecCol))).as("norm"))
-      .join(sig, idCol)
+      .join(lshBuckets(emb, vecCol, idCol, planes), idCol)
   }
 
   /** Signature buckets for `df` against an explicit (pid, p_vec) plane
@@ -462,6 +458,14 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
     require(qs.map(_._1).distinct.length == qs.length,
       "duplicate query ids in the probe batch")
+    // the engine sign test nulls out on a length mismatch (VectorDot) —
+    // a silently truncated driver fold would route such a query to a
+    // bucket the build could never assign; fail loudly instead
+    qs.foreach { case (qid, v) =>
+      planes.foreach { case (pid, pv) =>
+        require(pv.length == v.length,
+          s"query $qid has ${v.length} dims but plane $pid has " +
+            s"${pv.length} — the index was built over a different width") } }
     val signed = qs.toSeq.map { case (qid, v) =>
       val bucket = planes.map { case (pid, pv) =>
         if (dot(v, pv) > 0d) 1L << (pid - 1).toInt else 0L }.sum

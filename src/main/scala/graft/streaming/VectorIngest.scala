@@ -77,12 +77,19 @@ class VectorIngest(spark: SparkSession, storeDir: String,
           (col("_na") * col("_nb")) >= threshold)
         .select(col("_idb").as("id")).distinct()
       val inBatch = rows.join(inBatchDup, Seq("id"), "left_anti")
-      // 2. vs the persisted store, pruned to the batch's own cells
+      // 2. vs the persisted store, pruned to the batch's own cells.
+      // The batch's OWN partition is excluded: a crash during job commit
+      // can leave batch=<id> partially visible, and an at-least-once
+      // replay that compared against those rows would self-reject them
+      // (cosine 1.0) and then OVERWRITE the partition with the remainder
+      // — silently dropping the already-persisted vectors. Excluding it
+      // makes the per-batch overwrite genuinely idempotent.
       val cells = inBatch.select("cluster").distinct()
         .collect().map(_.getLong(0))
       val admitted = store() match {
         case Some(st) if cells.nonEmpty =>
-          val dup = st.where(col("cluster").isin(cells.toIndexedSeq: _*))
+          val dup = st.where(col("batch") =!= batchId)
+            .where(col("cluster").isin(cells.toIndexedSeq: _*))
             .select(col("cluster"), col("v").as("_vs"), col("norm").as("_ns"))
             .join(inBatch, Seq("cluster"))
             .where(VectorFunctions.dot(col("v"), col("_vs")) /
@@ -91,13 +98,19 @@ class VectorIngest(spark: SparkSession, storeDir: String,
           inBatch.join(dup, Seq("id"), "left_anti")
         case _ => inBatch
       }
-      val n = admitted.count()
-      if (n > 0) {
-        admitted.select("id", "v", "norm", "cluster")
-          .write.mode(SaveMode.Overwrite).partitionBy("cluster")
-          .parquet(s"$storeDir/batch=$batchId")
-      }
-      n
+      // persisted: count() and the write would otherwise each run the
+      // full dedup-join + store-probe chain (the hot per-batch path)
+      val admittedCached = admitted
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val n = admittedCached.count()
+        if (n > 0) {
+          admittedCached.select("id", "v", "norm", "cluster")
+            .write.mode(SaveMode.Overwrite).partitionBy("cluster")
+            .parquet(s"$storeDir/batch=$batchId")
+        }
+        n
+      } finally { admittedCached.unpersist(); () }
     } finally { rows.unpersist(); () }
   }
 

@@ -56,6 +56,30 @@ class VectorIngestSpec extends SparkSpec {
     assert(after == before, "replay must not duplicate or drop rows")
   }
 
+  test("replay after a PARTIALLY visible batch write restores the full batch") {
+    // the crash-in-job-commit window: some of batch 1's cluster dirs are
+    // visible, the rest are not; the replayed batch must not self-reject
+    // against its own partial partition and overwrite it with the
+    // remainder (the silent-drop shape) — final store == clean run
+    val (ing, base) = fresh()
+    ing.ingestBatch(batch1, 0L)
+    ing.ingestBatch(batch2, 1L)
+    val clean = ing.admitted().get.select("id").as[Long].collect().toSet
+    // tear: drop one cluster directory of batch=1 (partial visibility)
+    val b1 = new java.io.File(s"$base/store/batch=1")
+    val victim = b1.listFiles().filter(_.getName.startsWith("cluster=")).head
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(wipe)
+      assert(f.delete())
+    }
+    wipe(victim)
+    assert(ing.admitted().get.select("id").as[Long].collect().toSet != clean,
+      "precondition: the tear must actually remove rows")
+    ing.ingestBatch(batch2, 1L) // at-least-once replay
+    assert(ing.admitted().get.select("id").as[Long].collect().toSet == clean,
+      "replay must restore the full batch, not the remainder")
+  }
+
   test("quantizer is frozen at first ingest; store is cell-partitioned") {
     val (ing, base) = fresh()
     ing.ingestBatch(batch1, 0L)

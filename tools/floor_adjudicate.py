@@ -19,9 +19,10 @@ verdicts:
   UNDER-BAR    measured ratio is <= 2x: no adjudication needed
   ADJUDICATED  a committed artifact records this row's terminal
                decomposition (stage split / floor prose) — printed with
-               the artifact pointer so the verdict is machine-checkable;
-               keys are exact (query, sf), so a NEW residual can never
-               hide behind an old adjudication
+               the decided-at ratio and the artifact pointer; keys are
+               exact (query, sf) AND the current ratio must stay within
+               1.25x of the decided-at ratio, so neither a new row nor a
+               regression on an old one can hide behind an adjudication
   RESIDUAL     plan work may remain: the floors do not explain the row
                and no committed adjudication covers it
 
@@ -78,35 +79,39 @@ SFS = [
      ["du_sf10_r17_min.json", "du_sf10_r16_min.json", "du_sf10_r15_min.json"]),
 ]
 
-# (query, sf) -> the committed artifact recording this row's TERMINAL
-# adjudication (r16 VERDICT "what's wrong" #1: the prose verdict and the
-# machine output had drifted). A stageprobe reference is validated to
-# exist on disk; delete a row here to force the tool back to RESIDUAL.
+# (query, sf) -> (ratio the adjudication was DECIDED at, committed
+# artifact recording the terminal decomposition). r16 VERDICT #1: the
+# prose verdict and the machine output had drifted; r17 review: an entry
+# keyed by (query, sf) alone would let a FUTURE regression on the same
+# row hide behind the old adjudication, so the decided-at ratio is
+# pinned and a current measurement >1.25x past it falls back to
+# RESIDUAL(drifted). A stageprobe reference is validated to exist on
+# disk; delete a row here to force the tool back to RESIDUAL.
 ADJUDICATIONS = {
-    ("rq52_tpch_q21", "sf10"):
+    ("rq52_tpch_q21", "sf10"): (4.62,
         "tools/stageprobe_rq52_sf10.txt; BASELINE.md r16 '>2x adjudication' "
         "(one fact exchange, residual = exchange serialization vs radix "
         "join; raised bloom caps measured neutral locally, kept for the "
-        "67% cluster-scale fact cut)",
-    ("pq16_funnel", "sf10"):
+        "67% cluster-scale fact cut)"),
+    ("pq16_funnel", "sf10"): (9.77,
         "tools/stageprobe_pq16_sf10.txt; BASELINE.md r16 '>2x adjudication' "
         "(scan 0.30 + 4 jobs x 0.124 dispatch + the one user-keyed "
-        "exchange the funnel semantics require)",
-    ("pq14_latest_per_user", "sf10"):
+        "exchange the funnel semantics require)"),
+    ("pq14_latest_per_user", "sf10"): (7.01,
         "BASELINE.md r16 '>2x adjudication' (floors + dispatch cover 0.80 "
-        "of 1.89 s; remainder = the per-user exchange; FLOOR-BOUND at sf5)",
-    ("pq17_cohort_retention", "sf10"):
+        "of 1.89 s; remainder = the per-user exchange; FLOOR-BOUND at sf5)"),
+    ("pq17_cohort_retention", "sf10"): (10.77,
         "BASELINE.md r16 '>2x adjudication' (floors + dispatch cover 1.25 "
-        "of 1.87 s; remainder = the per-user exchange; FLOOR-BOUND at sf5)",
-    ("xq114_lsh_index_probe", "sf5"):
+        "of 1.87 s; remainder = the per-user exchange; FLOOR-BOUND at sf5)"),
+    ("xq114_lsh_index_probe", "sf5"): (2.56,
         "tools/scan_floor_sf5.json; 11 jobs x 0.081 dispatch + 0.27 "
         "embeddings scan = 1.16 of 1.69 s — dispatch-bound, just under "
         "the 60% jf-alone bar (JOB-FLOOR at sf1 AND sf10, and the probe "
         "is ~1.4 s FLAT across sf0.1-sf10 while duck's trivial sign CTE "
-        "grows — the flat absolute IS the floor evidence)",
-    ("rq50_tpch_q9", "sf5"):
+        "grows — the flat absolute IS the floor evidence)"),
+    ("rq50_tpch_q9", "sf5"): (2.21,
         "BASELINE.md r16 '>2x adjudication' (0.21x over bar, floor band "
-        "1.32+1.13 of 2.51 s; sf1 JOB-FLOOR, sf10 UNDER-BAR — noise-band)",
+        "1.32+1.13 of 2.51 s; sf1 JOB-FLOOR, sf10 UNDER-BAR — noise-band)"),
 }
 
 
@@ -150,12 +155,16 @@ def main():
             elif jf >= 0.6 * s:
                 verdict = "JOB-FLOOR"
             elif (q, sf) in ADJUDICATIONS:
-                art = ADJUDICATIONS[(q, sf)]
-                ref = art.split(";")[0]
+                pinned, note = ADJUDICATIONS[(q, sf)]
+                ref = note.split(";")[0]
                 if ref.startswith("tools/"):
                     assert os.path.exists(os.path.join(HERE, "..", ref)), \
                         f"adjudication artifact missing: {ref}"
-                verdict = f"ADJUDICATED({art})"
+                if ratio > 1.25 * pinned:
+                    verdict = (f"RESIDUAL(drifted: {ratio:.2f}x vs "
+                               f"adjudicated {pinned:.2f}x — re-adjudicate)")
+                else:
+                    verdict = f"ADJUDICATED(decided at {pinned:.2f}x; {note})"
             else:
                 verdict = "RESIDUAL"
             print(f"  {q:24s} spark {s:6.2f}  duck {d:6.2f}  ratio "
