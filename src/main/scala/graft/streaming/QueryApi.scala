@@ -108,8 +108,16 @@ final class QueryApi(store: CounterStore, recorder: Option[ProgressRecorder] = N
       // handler.go:179 — the get_days timer starts at the top of getDays and
       // wraps the keys query + dedup + sort; json.Marshal is OUTSIDE it.
       val t0 = System.nanoTime()
-      val days = store.availableDays(minDay).select("day").collect()
-        .map(_.get(0).toString).sorted
+      // A store that has not received its first merge yet reads as a
+      // missing/empty parquet path (AnalysisException). The reference
+      // over an empty Redis returns [] with 200 (`handler.go:183-211` —
+      // KEYS on an empty keyspace is an empty list, not an error); a 500
+      // here was a fidelity gap the SoakSpec startup window exposed.
+      val days =
+        try store.availableDays(minDay).select("day").collect()
+          .map(_.get(0).toString).sorted
+        catch { case _: org.apache.spark.sql.AnalysisException =>
+          Array.empty[String] }
       marshalDur.observe("get_days", (System.nanoTime() - t0) / 1e9)
       val body = days.map(jsonStr).mkString("[", ",", "]")
       (200, "application/json", body)
@@ -122,7 +130,13 @@ final class QueryApi(store: CounterStore, recorder: Option[ProgressRecorder] = N
     // parsing; json.Marshal happens outside it, and the empty-day early
     // return skips ObserveDuration entirely.
     val t0 = System.nanoTime()
-    val counters = store.countersForDay(day).collect()
+    // pre-first-merge store: same empty-keyspace fidelity as /api/days —
+    // a day with no counters is a 404, whether the store is empty or
+    // just doesn't hold that day (handler.go:145-147)
+    val counters =
+      try store.countersForDay(day).collect()
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        Array.empty[org.apache.spark.sql.Row] }
     if (counters.isEmpty) (404, "application/json", "")
     else {
       val parsed = counters.map(r => (r.getString(0), r.getLong(1)))

@@ -138,6 +138,21 @@ class QueryApiSpec extends SparkSpec {
     assert(status == 404)
   }
 
+  test("pre-first-merge store: /api/days is [] and /api/stats is 404, not 500") {
+    // the reference over an empty Redis returns an empty key list
+    // (handler.go:183-211) and a 404 for a counter-less day
+    // (handler.go:145-147); a missing parquet path must read the same way
+    val dir = Files.createTempDirectory("graft-qapi-empty").toString + "/counters"
+    val api0 = new QueryApi(new CounterStore(spark, dir))
+    val p0 = api0.start()
+    try {
+      val (ds, dbody, _) = get(s"http://127.0.0.1:$p0/api/days")
+      assert(ds == 200 && dbody == "[]", s"got $ds $dbody")
+      val (ss, _, _) = get(s"http://127.0.0.1:$p0/api/stats/18490")
+      assert(ss == 404)
+    } finally api0.stop()
+  }
+
   test("concurrent merges never 500 a reader (generation-swap isolation)") {
     // r16 VERDICT #3: the in-place dynamic partition overwrite was a
     // delete+swap under the reader — a concurrent /api/days that listed
