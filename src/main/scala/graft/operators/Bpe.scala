@@ -66,11 +66,17 @@ object Bpe {
     var words = wordTable(docs, textCol).trackedCache
     val mergeRows = Seq.newBuilder[(Long, String, String, Long)]
     for (step <- 1 to merges) {
-      val pc = pairCounts(words)
-      val best = pc
-        .crossJoin(broadcast(pc.agg(max(col("cnt")).as("_mx"))))
-        .where(col("cnt") === col("_mx"))
-        .agg(min(struct(col("left"), col("right"), col("cnt"))).as("b"))
+      // r17 optimization (guide §2.4): the winning pair used to be found as
+      // crossJoin(broadcast(max(cnt))) → filter → min(struct) — the pair
+      // table was AGGREGATED TWICE per iteration (once under the broadcast
+      // max, once post-filter) plus a broadcast-exchange job. max-count
+      // with smallest-(left,right) tie-break is expressible as ONE
+      // declarative aggregate: min over struct(−cnt, left, right) — the
+      // same total order (struct comparison is field-lexicographic, and
+      // min over −cnt is max over cnt), so the selected pair is identical.
+      val best = pairCounts(words)
+        .agg(min(struct((-col("cnt")).as("nc"), col("left"), col("right"),
+          col("cnt"))).as("b"))
         .select(col("b.left"), col("b.right"), col("b.cnt"))
         .collect().head
       if (!best.isNullAt(0)) { // no pairs left: every word is one symbol

@@ -29,9 +29,15 @@ import java.io.File
   *   and then re-checks the marker, failing loudly if the build did not
   *   produce it (a silent no-marker build would otherwise rebuild forever).
   *
-  * Single-writer per (tag, input) is assumed, as everywhere in this
-  * engine's batch surface: concurrent builders of the SAME index would race
-  * benignly (both write identical data) but waste work.
+  * Concurrent builders of the SAME index are safe (r17): each build runs in
+  * a session-private staging directory and publishes with one atomic rename;
+  * a builder that loses the publish race discards its stage and adopts the
+  * winner (identical by identity-key construction). The previous
+  * build-in-place scheme really did corrupt under a race — two Spark
+  * sessions' interleaved partitioned-overwrite writes left a union of both
+  * builds' part files (measured: a 500-vector LSH store serving 934 rows
+  * after a verify run and a plan audit overlapped), and the success marker
+  * could not tell, because both builds "completed".
   */
 object IndexStore {
 
@@ -94,13 +100,46 @@ object IndexStore {
       baseDir: String = sys.props("java.io.tmpdir"))
       (build: String => Unit): String = {
     val h = resolve(tag, inputs, successRel, baseDir)
-    if (!h.ready) {
-      build(h.dir)
-      require(new File(h.dir, successRel).exists(),
-        s"index build '$tag' completed without writing $successRel under " +
-          s"${h.dir} — refusing to treat a markerless build as ready")
-    }
+    if (!h.ready) stagedPublish(new File(h.dir), successRel, tag)(build)
     h.dir
+  }
+
+  /** Run `build` into a fresh session-private staging dir next to `target`
+    * and publish with an atomic rename. Losing the rename race (another
+    * session published the same (tag, identity) generation first) discards
+    * the stage and adopts the winner; a build that throws cleans its stage
+    * up. The staging suffix can never be adopted by [[resolve]] or
+    * [[findAppendDelta]] (their name patterns end at the 16-hex key).
+    */
+  private def stagedPublish(target: File, successRel: String, tag: String)
+      (build: String => Unit): Unit = {
+    val stage = new File(target.getPath + ".stage-" +
+      java.util.UUID.randomUUID().toString)
+    stage.mkdirs()
+    try build(stage.getPath)
+    catch { case e: Throwable => deleteRecursively(stage); throw e }
+    require(new File(stage, successRel).exists(),
+      s"index build '$tag' completed without writing $successRel under " +
+        s"${stage.getPath} — refusing to publish a markerless build")
+    // A crashed PRE-STAGING half-build may occupy the target without its
+    // success marker; rename cannot replace a non-empty dir, so clear it.
+    // (A READY target is never deleted — losing the publish race below
+    // adopts it instead.)
+    if (target.exists() && !new File(target, successRel).exists())
+      deleteRecursively(target)
+    if (!stage.renameTo(target)) {
+      deleteRecursively(stage)
+      require(new File(target, successRel).exists(),
+        s"index build '$tag' could not publish ${stage.getPath} -> " +
+          s"${target.getPath} and no ready generation exists there")
+    }
+  }
+
+  private def deleteRecursively(f: File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty[File])
+        .foreach(deleteRecursively)
+    f.delete(): Unit
   }
 
   // ------------------------------------------------------------------
@@ -239,18 +278,23 @@ object IndexStore {
       (buildDelta: (AppendDelta, String) => Unit): String = {
     val h = resolve(tag, inputs, successRel, baseDir)
     if (!h.ready) {
-      findAppendDelta(tag, inputs, successRel, baseDir) match {
-        case Some(d) => buildDelta(d, h.dir)
-        case None => buildFull(h.dir)
+      // The input manifest is written INTO the stage (before publish) so a
+      // published generation is always manifest-complete — no post-publish
+      // window where two sessions could interleave writes to one manifest.
+      stagedPublish(new File(h.dir), successRel, tag) { stageDir =>
+        findAppendDelta(tag, inputs, successRel, baseDir) match {
+          case Some(d) => buildDelta(d, stageDir)
+          case None => buildFull(stageDir)
+        }
+        val w = new java.io.PrintWriter(new File(stageDir, ManifestRel), "UTF-8")
+        try manifestLines(inputs).foreach(w.println) finally w.close()
       }
-      require(new File(h.dir, successRel).exists(),
-        s"index build '$tag' completed without writing $successRel under " +
-          s"${h.dir} — refusing to treat a markerless build as ready")
-    }
-    val mf = new File(h.dir, ManifestRel)
-    if (!mf.exists()) {
-      val w = new java.io.PrintWriter(mf, "UTF-8")
-      try manifestLines(inputs).foreach(w.println) finally w.close()
+    } else {
+      val mf = new File(h.dir, ManifestRel)
+      if (!mf.exists()) {
+        val w = new java.io.PrintWriter(mf, "UTF-8")
+        try manifestLines(inputs).foreach(w.println) finally w.close()
+      }
     }
     h.dir
   }

@@ -90,9 +90,27 @@ object QualityClassifier {
       lr: Double = 0.1): DataFrame = {
     require(iters >= 1 && nBuckets >= 1, s"bad iters=$iters nBuckets=$nBuckets")
     val spark = docs.sparkSession
+    // r17 optimization (guide §2.4 — share one exchange): the feature table
+    // is cached PARTITIONED BY doc id, the key of everything each GD
+    // iteration does with it. hashedCounts' own aggregation leaves it
+    // hash-partitioned by (id, bucket), which satisfies NO downstream
+    // requirement, so every iteration used to pay two corpus-scale
+    // exchanges (margins' groupBy(id) after the broadcast weight join, and
+    // the feats side of the gradient join on id) — 2·iters exchanges of
+    // the biggest table in the query. Partitioned by id at cache time:
+    // the broadcast join preserves the partitioning, groupBy(id) and both
+    // id-keyed joins reuse it, and the per-iteration plan's only exchange
+    // left is the 64-row bucket-gradient aggregation. The label frame is
+    // cached id-partitioned for the same reason (it used to be re-scanned
+    // and re-shuffled every iteration). Results are unchanged by
+    // construction — every aggregate here is an order-free integer sum
+    // (the spec pins stability under repartitioning).
     val feats = hashedCounts(docs, textCol, idCol, nBuckets)
+      .repartition(col(idCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val labs = labels.select(col(idCol), col("y").cast("long").as("y"))
+      .repartition(col(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDocs = docs.count()
     var w = spark.range(nBuckets)
       .select(col("id").as("bucket"), lit(0L).as("w_u"))
@@ -120,6 +138,7 @@ object QualityClassifier {
     val out = w.select(col("bucket"), col("w_u"),
       (col("w_u").cast("double") / lit(1e6)).as("weight"))
     feats.unpersist()
+    labs.unpersist()
     out
   }
 

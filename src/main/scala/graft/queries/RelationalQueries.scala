@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -569,12 +569,56 @@ object RelationalQueries {
     // RQ26: exact percentile/median — Spark's `percentile` and DuckDB's
     // `quantile_cont` both sort and linearly interpolate, so exact doubles
     // hash-match (unlike approx_percentile, which is engine-specific).
+    //
+    // r17 optimization (guide §1.2 step 2 — per-task work): the
+    // `percentile(...)` aggregate is a TypedImperativeAggregate that builds
+    // an OpenHashMap[boxed Double, Long] per partition, serializes every
+    // distinct value through the partial/final exchange, and sorts the map
+    // driver-side of the group — 2.1–2.7 s at sf0.1 vs DuckDB's 0.045 s
+    // (47x, the worst paired ratio in the suite). Replaced with the
+    // codegen-friendly sorted-rank form: one exchange by group, one
+    // ascending sort, row_number + a same-partition count window (the sort
+    // and exchange are shared), then the 4 boundary ranks are selected and
+    // interpolated with BIT-IDENTICAL arithmetic to PercentileBase
+    // .getPercentile (decompiled, Spark 4.1.2): position = p·(n−1) in
+    // double, lowerKey at 0-indexed floor(position), higherKey at
+    // ceil(position), result = lowerKey when the two keys are equal else
+    // (higher−position)·lowerKey + (position−lower)·higherKey, evaluated
+    // left-to-right. Oracle unchanged; hash-equality re-proven vs DuckDB at
+    // sf0.001/sf0.01 and vs the old plan at sf0.1/sf1.
+    // (Whole-group windows are fine here: rq26 is the oracleOnly exact
+    // proof — rq28's sketch is the 100 TB path, as before.)
     QueryDef("rq26_median",
-      (s, d) => Tables.lineitem(s, d)
-        .groupBy("l_returnflag")
-        .agg(expr("percentile(l_extendedprice, 0.5)").as("median_price"),
-          expr("percentile(l_extendedprice, 0.9)").as("p90_price"))
-        .orderBy("l_returnflag"),
+      (s, d) => {
+        val w = Window.partitionBy("l_returnflag").orderBy("x")
+        val cw = Window.partitionBy("l_returnflag")
+        def loRank(p: Double) =
+          floor(lit(p) * (col("n") - 1L).cast("double")) + 1L
+        def hiRank(p: Double) =
+          ceil(lit(p) * (col("n") - 1L).cast("double")) + 1L
+        def sel(rank: Column) = max(when(col("rn") === rank, col("x")))
+        def interp(p: Double, vlo: Column, vhi: Column) = {
+          val pos = lit(p) * (col("n") - 1L).cast("double")
+          when(vlo === vhi, vlo).otherwise(
+            (ceil(pos).cast("double") - pos) * vlo +
+              (pos - floor(pos).cast("double")) * vhi)
+        }
+        Tables.lineitem(s, d)
+          .select(col("l_returnflag"), col("l_extendedprice").as("x"))
+          .where(col("x").isNotNull)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(cw))
+          .where(col("rn") === loRank(0.5) || col("rn") === hiRank(0.5) ||
+            col("rn") === loRank(0.9) || col("rn") === hiRank(0.9))
+          .groupBy("l_returnflag")
+          .agg(sel(loRank(0.5)).as("vlo50"), sel(hiRank(0.5)).as("vhi50"),
+            sel(loRank(0.9)).as("vlo90"), sel(hiRank(0.9)).as("vhi90"),
+            max(col("n")).as("n"))
+          .select(col("l_returnflag"),
+            interp(0.5, col("vlo50"), col("vhi50")).as("median_price"),
+            interp(0.9, col("vlo90"), col("vhi90")).as("p90_price"))
+          .orderBy("l_returnflag")
+      },
       Some("""SELECT l_returnflag,
              |  quantile_cont(l_extendedprice, 0.5) AS median_price,
              |  quantile_cont(l_extendedprice, 0.9) AS p90_price

@@ -59,6 +59,30 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(builds == 1, "ensure must rebuild over a crashed half-build")
   }
 
+  test("builds stage privately; losing the publish race adopts the winner") {
+    val base = tmp()
+    val in = writeInput(tmp(), "table.parquet", "rows-v1")
+    val h = IndexStore.resolve("spec-idx", Seq(in.toString),
+      baseDir = base.toString)
+    var stageDir: String = null
+    val out = IndexStore.ensure("spec-idx", Seq(in.toString),
+        baseDir = base.toString) { dir =>
+      stageDir = dir
+      // a concurrent session publishes the same (tag, identity) generation
+      // while this build is still running
+      new File(h.dir).mkdirs()
+      Files.write(new File(h.dir, "_SUCCESS").toPath, "winner".getBytes)
+      Files.write(new File(dir, "_SUCCESS").toPath, "loser".getBytes)
+    }
+    assert(out == h.dir)
+    assert(stageDir != h.dir, "build must run in a private staging dir")
+    assert(new String(Files.readAllBytes(
+      new File(h.dir, "_SUCCESS").toPath)) == "winner",
+      "the first published generation must win; the stage must not replace it")
+    assert(!new File(stageDir).exists(),
+      "the losing stage must be discarded, not left in the store")
+  }
+
   test("changed input invalidates: new identity, fresh not-ready dir") {
     val base = tmp()
     val inDir = tmp()
