@@ -214,6 +214,67 @@ object Ranking {
           .reduce(_ + _).as("score"))
   }
 
+  /** A BATCH of [[scoreBm25Index]] queries in ONE pass over the index
+    * (r17, guide §2.4): the per-query form re-scanned postings, rebuilt
+    * the dfs/stats broadcasts, and re-aggregated once per query — at a
+    * 3-query serving batch that was 3 scan+broadcast+aggregate chains
+    * (plus per-query single-partition windows in the callers) for one
+    * probe. Here the query list becomes a broadcast (query_no, term, slot)
+    * frame: postings are scanned once filtered to the UNION of the terms,
+    * each posting row fans out to the queries containing its term, and one
+    * (query_no, doc)-keyed aggregate pivots the per-slot contributions.
+    * The score is the slot-ordered sum coalesce(b0,0)+...+coalesce(bN,0) —
+    * EXACTLY the xq99/xq107 oracle's expression (its 3-slot CASE/COALESCE
+    * sum), and bit-equal to the per-query form's caller-order sum: a
+    * query's own slots produce the same operands in the same order, and
+    * the padding `+ 0.0` for absent slots cannot change any IEEE double
+    * that is not -0.0 (no BM25 contribution is -0.0: tf ≥ 1 and idf's
+    * numerator n − df + 0.5 is never zero).
+    * Returns (query_no, `idCol`, score) for docs matching ≥ 1 term.
+    */
+  def scoreBm25IndexBatch(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queries: Seq[(Long, Seq[String])],
+      idCol: String = "doc_id", k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "scoreBm25IndexBatch needs at least one query")
+    require(queries.map(_._1).distinct.size == queries.size,
+      "duplicate query_no in the probe batch")
+    queries.foreach { case (qno, terms) =>
+      require(terms.nonEmpty, s"query $qno needs at least one term")
+      require(terms.distinct.size == terms.size,
+        s"query $qno terms must be distinct, got duplicates: " +
+          terms.diff(terms.distinct).distinct.mkString(", "))
+    }
+    import spark.implicits._
+    val nSlots = queries.map(_._2.size).max
+    val qdf = queries
+      .flatMap { case (qno, ts) =>
+        ts.zipWithIndex.map { case (t, i) => (qno, t, i) } }
+      .toDF("query_no", "term", "_slot")
+    val allTerms = queries.flatMap(_._2).distinct
+    val postings = spark.read.parquet(s"$indexDir/postings")
+      .where(col("term").isin(allTerms: _*))
+    val dfs = spark.read.parquet(s"$indexDir/dfs")
+      .where(col("term").isin(allTerms: _*))
+    val stats = spark.read.parquet(s"$indexDir/stats")
+    val idf = (col("n").cast("double") - col("df").cast("double") + 0.5) /
+      (col("df").cast("double") + 0.5)
+    val denom = col("tf").cast("double") +
+      lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / col("avgdl")))
+    val perSlot = (0 until nSlots).map(i =>
+      max(when(col("_slot") === i, col("bm25"))).as(s"_b$i"))
+    postings
+      .join(broadcast(dfs), "term")
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), col("term"),
+        ((idf * (col("tf").cast("double") * lit(k1 + 1))) / denom).as("bm25"))
+      .join(broadcast(qdf), "term")
+      .groupBy(col("query_no"), col(idCol))
+      .agg(perSlot.head, perSlot.tail: _*)
+      .select(col("query_no"), col(idCol),
+        (0 until nSlots).map(i => coalesce(col(s"_b$i"), lit(0.0)))
+          .reduce(_ + _).as("score"))
+  }
+
   /** Inverted index: per term, document frequency and the posting list of
     * the first `maxPostings` doc ids (ascending, comma-joined). Postings at
     * real scale are stored columnar per term-shard; the bounded CSV form

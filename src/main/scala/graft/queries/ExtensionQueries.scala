@@ -3285,18 +3285,19 @@ object ExtensionQueries {
         val docs = Tables.documents(s, d)
         val dir = tableIndex("bm25-index", d, "documents", "stats/_SUCCESS")(
           Ranking.writeBm25Index(docs, "text", "doc_id", _))
+        // r17: the 3-query serving batch is ONE index pass
+        // (Ranking.scoreBm25IndexBatch) + one query-partitioned top-5
+        // window — the per-query form paid 3 scan/broadcast/aggregate
+        // chains and 3 single-partition global windows for the same rows.
         val queries = Seq(
           0L -> Seq("join", "hash"),
           1L -> Seq("scan", "filter", "merge"),
           2L -> Seq("customer", "column"))
-        queries.map { case (qno, terms) =>
-          val top = Ranking.scoreBm25Index(s, dir, terms)
-            .orderBy(col("score").desc, col("doc_id")).limit(5)
-          val w = org.apache.spark.sql.expressions.Window
-            .orderBy(col("score").desc, col("doc_id"))
-          top.withColumn("rk", row_number().over(w).cast("long"))
-            .withColumn("query_no", lit(qno))
-        }.reduce(_ unionByName _)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_no").orderBy(col("score").desc, col("doc_id"))
+        Ranking.scoreBm25IndexBatch(s, dir, queries)
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .where(col("rk") <= 5)
           .select("query_no", "rk", "doc_id", "score")
           .orderBy("query_no", "rk")
       },
@@ -3539,18 +3540,16 @@ object ExtensionQueries {
       (s, d) => {
         val staged = stageAppendedBm25(s, d)
         val dir = ensureBm25Inc(s, staged)
+        // r17: one-pass serving batch — see xq99.
         val queries = Seq(
           0L -> Seq("join", "hash"),
           1L -> Seq("scan", "filter", "merge"),
           2L -> Seq("customer", "column"))
-        queries.map { case (qno, terms) =>
-          val top = Ranking.scoreBm25Index(s, dir, terms)
-            .orderBy(col("score").desc, col("doc_id")).limit(5)
-          val w = org.apache.spark.sql.expressions.Window
-            .orderBy(col("score").desc, col("doc_id"))
-          top.withColumn("rk", row_number().over(w).cast("long"))
-            .withColumn("query_no", lit(qno))
-        }.reduce(_ unionByName _)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_no").orderBy(col("score").desc, col("doc_id"))
+        Ranking.scoreBm25IndexBatch(s, dir, queries)
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .where(col("rk") <= 5)
           .select("query_no", "rk", "doc_id", "score")
           .orderBy("query_no", "rk")
       },
