@@ -26,11 +26,36 @@ object StageProbe {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), "stage-probe")
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+    // Per-materialization Spark-stage accounting (round 18, the xq38/xq39
+    // 32-core-collapse diagnosis): sums task metrics over every stage that
+    // completes inside the timed window, plus the count of stages/tasks —
+    // when `wall >> executorRunTime/cores`, the time is NOT in tasks
+    // (scheduling, planning, JIT); when gcTime spikes, it is allocation.
+    val stageAgg = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Int, Long, Long, Long)]() // (numTasks, executorRunTime, jvmGCTime, shuffleReadMs)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val m = sc.stageInfo.taskMetrics
+          stageAgg.add((sc.stageInfo.numTasks, m.executorRunTime,
+            m.jvmGCTime, m.shuffleReadMetrics.fetchWaitTime))
+        }
+      })
     def timed(label: String)(df: => DataFrame): Double = {
+      stageAgg.clear()
       val t0 = System.nanoTime()
       noop(df)
       val s = (System.nanoTime() - t0) / 1e9
-      println(f"STAGE  $label%-34s ${s}%8.2f s")
+      // listener events are async — drain before reading
+      org.apache.spark.graftbridge.ListenerBridge.waitUntilEmpty(
+        spark.sparkContext)
+      import scala.jdk.CollectionConverters._
+      val st = stageAgg.asScala.toSeq
+      println(f"STAGE  $label%-34s ${s}%8.2f s  " +
+        f"[stages=${st.size}%d tasks=${st.map(_._1).sum}%d " +
+        f"run=${st.map(_._2).sum / 1e3}%.2fs gc=${st.map(_._3).sum / 1e3}%.2fs " +
+        f"fetchWait=${st.map(_._4).sum / 1e3}%.2fs]")
       s
     }
     def probe(name: String)(body: => Unit): Unit =
@@ -532,6 +557,56 @@ object StageProbe {
       println(q.queryExecution.executedPlan.toString.linesIterator
         .filter(l => l.contains("Join") || l.contains("Exchange"))
         .mkString("PLAN JOINS/EXCHANGES:\n", "\n", ""))
+    }
+
+    // xq38/xq39 decomposition (round 18): the r17 driver bench measured a
+    // 32-core-only collapse (xq38 0.79 -> 7.21 s, xq39 0.91 -> 3.51 s vs
+    // 0.74/0.30 s at 8 cores, unchanged code — scaling ratios 0.10/0.09,
+    // the suite's two worst). The stage rows split the narrow chunk/shingle
+    // generate from each shuffle-bearing stage so the collapsing stage is
+    // identified by elimination at both core counts.
+    probe("xq38") {
+      val docs = Tables.documents(spark, sf)
+      val paras = Chunking.chunk(docs, "text", "doc_id", size = 8, overlap = 0)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_text"))
+      timed("paras (narrow chunk)")(paras)
+      val df = paras.groupBy(col("chunk_text"))
+        .agg(countDistinct(col("doc_id")).as("_nd"))
+      timed("df count (chunk_text agg)")(df)
+      val kept = paras.join(df, "chunk_text").where(col("_nd") < 2)
+      timed("kept (join back)")(kept)
+      timed("rebuilt (collect_list agg)")(kept.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("chunk_idx"),
+          col("chunk_text")))), x => x.getField("chunk_text")), " ")
+          .as("clean_text")))
+      (1 to 6).foreach { i =>
+        timed(s"full query run $i")(
+          SparkEntry.queries("xq38_paragraph_dedup")(spark, sf))
+      }
+    }
+
+    probe("xq39") {
+      val docs = Tables.documents(spark, sf)
+      val train = docs.where(col("source") =!= "src0")
+      val eval = docs.where(col("source") === "src0")
+      val evalGrams = Shingles.hashed(eval, "text", "doc_id", 4)
+        .select("shingle").distinct()
+      timed("eval grams distinct")(evalGrams)
+      val hits = Shingles.hashedWithPos(train, "text", "doc_id", 4)
+        .join(broadcast(evalGrams), "shingle")
+        .select(col("doc_id"), col("pos"))
+      timed("hits (gen + bcast join)")(hits)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      timed("spans (window + agg)")(hits
+        .withColumn("_grp", col("pos") - row_number().over(w))
+        .groupBy(col("doc_id"), col("_grp"))
+        .agg(min(col("pos")).as("span_start"), count(lit(1)).as("span_grams")))
+      timed("full query (with sort)")(
+        SparkEntry.queries("xq39_contamination_spans")(spark, sf))
+      timed("full again (steady state)")(
+        SparkEntry.queries("xq39_contamination_spans")(spark, sf))
     }
 
     probe("pq16") {
