@@ -559,6 +559,72 @@ object StageProbe {
         .mkString("PLAN JOINS/EXCHANGES:\n", "\n", ""))
     }
 
+    // xq80/xq81 trainer decomposition (round 18, VERDICT item 5): the r17
+    // id-repartitioned cache claimed to kill 2·iters corpus exchanges but
+    // the driver measured xq80 x0.88 / xq81 x0.91 COLD. The rows below put
+    // stage counts and task time on all three shapes — r16 (cache as the
+    // (id,bucket) aggregate leaves it; per-iteration groupBy(id) + join
+    // re-exchange), r17 (id-repartitioned cache, exchange-free iterations),
+    // and the r18 dense path (per-doc count vectors, 1 job/iteration, no
+    // joins at all) — so the repartition question is settled by numbers.
+    probe("xq80") {
+      val docs = Tables.documents(spark, sf)
+      val labels = docs.select(col("doc_id"),
+        when(col("source") === "src0", 1L).otherwise(0L).as("y"))
+      def sparseLoop(idPart: Boolean): DataFrame = {
+        // inline copy of the sparse trainer with the r17 repartition made
+        // optional — the r16-vs-r17 comparison the VERDICT asked for.
+        val feats0 = QualityClassifier.hashedCounts(docs, "text", "doc_id", 64)
+        val feats = (if (idPart) feats0.repartition(col("doc_id")) else feats0)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val labs0 = labels.select(col("doc_id"), col("y").cast("long").as("y"))
+        val labs = (if (idPart) labs0.repartition(col("doc_id")) else labs0)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nDocs = docs.count()
+        var w = spark.range(64)
+          .select(col("id").as("bucket"), lit(0L).as("w_u"))
+        for (_ <- 1 to 3) {
+          val margins = feats.join(broadcast(w), "bucket")
+            .groupBy(col("doc_id"))
+            .agg(sum(col("c") * col("w_u")).as("margin_u"))
+            .join(labs, "doc_id")
+          val errs = margins.select(col("doc_id"),
+            floor((lit(1.0) / (lit(1.0) +
+              exp(-(col("margin_u").cast("double") / lit(1e6)))) -
+              col("y").cast("double")) * lit(1e6) + lit(0.5)).cast("long").as("e"))
+          val grads = feats.join(errs, "doc_id")
+            .groupBy("bucket").agg(sum(col("c") * col("e")).as("grad"))
+          val updated = w.join(grads, Seq("bucket"), "left")
+            .select(col("bucket"),
+              (col("w_u") - floor(lit(0.1) *
+                coalesce(col("grad"), lit(0L)).cast("double") /
+                lit(nDocs.toDouble) + lit(0.5)).cast("long")).as("w_u"))
+          w = spark.createDataFrame(
+            java.util.Arrays.asList(updated.collect(): _*), updated.schema)
+        }
+        feats.unpersist(); labs.unpersist()
+        w.select(col("bucket"), col("w_u"),
+          (col("w_u").cast("double") / lit(1e6)).as("weight"))
+      }
+      timed("r16 shape (agg-part cache)")(sparseLoop(idPart = false))
+      timed("r16 shape again")(sparseLoop(idPart = false))
+      timed("r17 shape (id-part cache)")(sparseLoop(idPart = true))
+      timed("r17 shape again")(sparseLoop(idPart = true))
+      timed("r18 dense trainLogistic")(QualityClassifier.trainLogistic(
+        docs, "text", "doc_id", labels, 64, 3, 0.1))
+      timed("r18 dense again")(QualityClassifier.trainLogistic(
+        docs, "text", "doc_id", labels, 64, 3, 0.1))
+      timed("full xq80")(
+        SparkEntry.queries("xq80_train_classifier")(spark, sf))
+      timed("full xq81")(
+        SparkEntry.queries("xq81_train_apply")(spark, sf))
+      CacheRegistry.releaseAll(spark)
+      timed("full xq80 again")(
+        SparkEntry.queries("xq80_train_classifier")(spark, sf))
+      timed("full xq81 again")(
+        SparkEntry.queries("xq81_train_apply")(spark, sf))
+    }
+
     // xq38/xq39 decomposition (round 18): the r17 driver bench measured a
     // 32-core-only collapse (xq38 0.79 -> 7.21 s, xq39 0.91 -> 3.51 s vs
     // 0.74/0.30 s at 8 cores, unchanged code — scaling ratios 0.10/0.09,

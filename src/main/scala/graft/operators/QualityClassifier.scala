@@ -60,9 +60,15 @@ object QualityClassifier {
   /** In-engine training of the quality classifier — full-batch logistic
     * regression by gradient descent over the hashed count features (the
     * CCNet recipe's TRAINER: label a target split positive, the crawl
-    * negative, fit a linear gate). Everything a cluster does per iteration
-    * is two bucket/doc-keyed aggregations; the weight vector is nBuckets
-    * rows, broadcast each round.
+    * negative, fit a linear gate).
+    *
+    * Two physical regimes (r18): up to [[DenseMaxBuckets]] buckets the loop
+    * runs DENSE — one cached per-doc count-vector table, one 1-job
+    * map+aggregate pass per iteration, weights held on the driver as
+    * literals (see [[trainDense]]). Above the cap the sparse join-loop
+    * below runs: per iteration two bucket/doc-keyed aggregations with the
+    * weight vector broadcast each round. Both produce bit-identical
+    * weights (differential-tested).
     *
     * Cross-engine determinism (the xq48 ln recipe applied to exp): weights
     * live in exact integer MICRO-units; the per-doc sigmoid error is
@@ -89,6 +95,41 @@ object QualityClassifier {
       labels: DataFrame, nBuckets: Int = 64, iters: Int = 3,
       lr: Double = 0.1): DataFrame = {
     require(iters >= 1 && nBuckets >= 1, s"bad iters=$iters nBuckets=$nBuckets")
+    val spark = docs.sparkSession
+    if (nBuckets <= DenseMaxBuckets) {
+      // r18 dense path (guide §1.2 step 1 — fix the distributed algorithm):
+      // the whole loop runs over ONE cached per-doc dense count-vector
+      // table; per iteration the cluster does a single 1-job pass (map-side
+      // margin/err + one nBuckets-slot global aggregate) instead of a
+      // broadcast build plus two cached-corpus joins. Weights live on the
+      // driver (nBuckets longs — they were collected per round anyway).
+      val featVecs = featureVectors(docs, textCol, idCol, labels, nBuckets)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nDocs = docs.count()
+      val w = trainDense(featVecs, nBuckets, iters, lr, nDocs)
+      val out = spark.createDataFrame(
+        java.util.Arrays.asList(w.zipWithIndex.map { case (wu, b) =>
+          org.apache.spark.sql.Row(b.toLong, wu) }: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("bucket",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("w_u",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+        .select(col("bucket"), col("w_u"),
+          (col("w_u").cast("double") / lit(1e6)).as("weight"))
+      featVecs.unpersist()
+      return out
+    }
+    trainLogisticSparse(docs, textCol, idCol, labels, nBuckets, iters, lr)
+  }
+
+  /** The sparse join-loop trainer — [[trainLogistic]]'s regime above
+    * [[DenseMaxBuckets]] (exposed package-private so the differential spec
+    * can pin dense == sparse bit-for-bit at any bucket count).
+    */
+  private[graft] def trainLogisticSparse(docs: DataFrame, textCol: String,
+      idCol: String, labels: DataFrame, nBuckets: Int, iters: Int,
+      lr: Double): DataFrame = {
     val spark = docs.sparkSession
     // r17 optimization (guide §2.4 — share one exchange): the feature table
     // is cached PARTITIONED BY doc id, the key of everything each GD
@@ -140,6 +181,102 @@ object QualityClassifier {
     feats.unpersist()
     labs.unpersist()
     out
+  }
+
+  /** Bucket-count cap for the dense training path: per-doc count vectors
+    * are nBuckets longs wide and the per-iteration gradient aggregate has
+    * nBuckets buffer slots, so density only pays while the vector is small
+    * against the document itself (the fastText-style quality gates this
+    * models use 2^6..2^9 hash buckets). Above the cap [[trainLogistic]]
+    * falls back to the sparse join-loop, which scales in features, not
+    * buckets.
+    */
+  val DenseMaxBuckets = 512
+
+  /** Per-doc DENSE feature row: (idCol, c0..c{n-1}, y) — bucket counts as
+    * one wide row per doc, labels attached once (LEFT join: unlabeled docs
+    * keep y null and are excluded from gradient passes only). Built with a
+    * SINGLE id-keyed exchange: the nBuckets conditional-count aggregate
+    * partial-aggregates map-side, so the exchange carries one (id, vector)
+    * row per (task, doc) instead of the sparse (id, bucket, c) stream plus
+    * a second exchange for the pivot. Docs with no features (empty text)
+    * have no bucket rows and are absent — the sparse path's inner-join
+    * semantics exactly.
+    */
+  private def featureVectors(docs: DataFrame, textCol: String, idCol: String,
+      labels: DataFrame, nBuckets: Int): DataFrame = {
+    val counts = (0 until nBuckets).map(i =>
+      sum(when(col("bucket") === i, 1L).otherwise(0L)).as(s"c$i"))
+    bucketStream(docs, textCol, idCol, nBuckets)
+      .groupBy(col(idCol))
+      .agg(counts.head, counts.tail: _*)
+      .join(labels.select(col(idCol), col("y").cast("long").as("y")),
+        Seq(idCol), "left")
+  }
+
+  /** The GD loop over [[featureVectors]]: per iteration ONE job — margins
+    * and quantized sigmoid errors are map-side column arithmetic (the
+    * weight vector is embedded as literals), and the nBuckets gradient
+    * sums collapse in a single global aggregate. Arithmetic is
+    * expression-for-expression the sparse loop's: margins/gradients are
+    * order-free integer sums (the dense zero terms add exactly nothing)
+    * and the driver-side update runs the same IEEE sequence
+    * lr·grad/nDocs + 0.5 the Spark expression evaluated, so the learned
+    * weights are bit-identical (QualityClassifierSpec's differential test
+    * pins this).
+    */
+  private def trainDense(featVecs: DataFrame, nBuckets: Int, iters: Int,
+      lr: Double, nDocs: Long): Array[Long] = {
+    val w = new Array[Long](nBuckets)
+    for (_ <- 1 to iters) {
+      val margin = (0 until nBuckets).map(i =>
+        col(s"c$i") * lit(w(i))).reduce(_ + _)
+      val e = floor((lit(1.0) / (lit(1.0) +
+        exp(-(margin.cast("double") / lit(1e6)))) -
+        col("y").cast("double")) * lit(1e6) + lit(0.5)).cast("long")
+      val gradCols = (0 until nBuckets).map(i =>
+        sum(col(s"c$i") * col("_e")).as(s"g$i"))
+      val row = featVecs.where(col("y").isNotNull)
+        .withColumn("_e", e)
+        .agg(gradCols.head, gradCols.tail: _*)
+        .collect()(0)
+      for (i <- 0 until nBuckets) {
+        val grad = if (row.isNullAt(i)) 0L else row.getLong(i)
+        w(i) -= math.floor(lr * grad.toDouble / nDocs.toDouble + 0.5).toLong
+      }
+    }
+    w
+  }
+
+  /** Fused train -> apply (xq81's shape): train exactly as
+    * [[trainLogistic]], then score EVERY featured doc's margin with the
+    * final weights off the SAME cached feature table — the apply pass the
+    * sparse form paid a full corpus re-featurization plus a broadcast join
+    * for. Returns (idCol, margin_u); margin_u is the identical order-free
+    * integer sum Σ c·w_u. The feature cache is registry-tracked (the
+    * returned frame still reads it; the session owner releases).
+    */
+  def trainLogisticMargins(docs: DataFrame, textCol: String, idCol: String,
+      labels: DataFrame, nBuckets: Int = 64, iters: Int = 3,
+      lr: Double = 0.1): DataFrame = {
+    require(iters >= 1 && nBuckets >= 1, s"bad iters=$iters nBuckets=$nBuckets")
+    if (nBuckets > DenseMaxBuckets) {
+      // sparse fallback: weights via the join-loop, margins via the
+      // hashed-count join — the pre-r18 xq81 shape.
+      val w = trainLogistic(docs, textCol, idCol, labels, nBuckets, iters, lr)
+      return hashedCounts(docs, textCol, idCol, nBuckets)
+        .join(broadcast(w.select("bucket", "w_u")), "bucket")
+        .groupBy(col(idCol))
+        .agg(sum(col("c") * col("w_u")).as("margin_u"))
+    }
+    import graft.operators.CacheRegistry.Cacheable
+    val featVecs = featureVectors(docs, textCol, idCol, labels, nBuckets)
+      .trackedCache
+    val nDocs = docs.count()
+    val w = trainDense(featVecs, nBuckets, iters, lr, nDocs)
+    val margin = (0 until nBuckets).map(i =>
+      col(s"c$i") * lit(w(i))).reduce(_ + _)
+    featVecs.select(col(idCol), margin.as("margin_u"))
   }
 
   /** Per-doc margin over unigram + bigram hashed features:

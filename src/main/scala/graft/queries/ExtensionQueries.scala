@@ -2557,14 +2557,13 @@ object ExtensionQueries {
     QueryDef("xq81_train_apply",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val w = QualityClassifier.trainLogistic(docs, "text", "doc_id",
+        // r18: fused train->apply — margins come off the SAME cached
+        // feature table the trainer used (identical integer sums; the
+        // pre-r18 shape re-featurized the corpus for the apply pass).
+        QualityClassifier.trainLogisticMargins(docs, "text", "doc_id",
           docs.select(col("doc_id"),
             when(col("source") === "src0", 1L).otherwise(0L).as("y")),
           nBuckets = 64, iters = 3, lr = 0.1)
-        QualityClassifier.hashedCounts(docs, "text", "doc_id", 64)
-          .join(broadcast(w.select("bucket", "w_u")), "bucket")
-          .groupBy("doc_id")
-          .agg(sum(col("c") * col("w_u")).as("margin_u"))
           .join(docs.select("doc_id", "source"), "doc_id")
           .select(col("doc_id"), col("source"), col("margin_u"),
             when(col("margin_u") > 0L, lit("keep")).otherwise(lit("drop"))

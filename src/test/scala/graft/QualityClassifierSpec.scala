@@ -71,4 +71,39 @@ class QualityClassifierSpec extends SparkSpec {
       .select("bucket", "w_u").as[(Long, Long)].collect().toMap
     assert(again == wm)
   }
+
+  test("dense (<= DenseMaxBuckets) and sparse train paths are bit-identical") {
+    // Mixed corpus incl. an empty doc (no features) and an unlabeled doc:
+    // the dense path must reproduce the sparse loop's inner-join semantics
+    // (featureless docs absent; unlabeled docs excluded from gradients
+    // only) and its exact integer/IEEE arithmetic, weight for weight.
+    val corpus = Tables.documents(spark, sf).limit(40)
+    val labels = corpus
+      .where(col("doc_id") =!= 3L) // doc 3 unlabeled
+      .select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, 1L).otherwise(0L).as("y"))
+    val n = 96 // <= DenseMaxBuckets -> dense path
+    assert(n <= QualityClassifier.DenseMaxBuckets)
+    val dense = QualityClassifier.trainLogistic(corpus, "text", "doc_id",
+      labels, nBuckets = n, iters = 3, lr = 0.25)
+      .select("bucket", "w_u", "weight")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val sparse = QualityClassifier.trainLogisticSparse(corpus, "text",
+      "doc_id", labels, nBuckets = n, iters = 3, lr = 0.25)
+      .select("bucket", "w_u", "weight")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(dense == sparse)
+    // The fused train->apply margins equal scoring hashedCounts with the
+    // trained weights (xq81's pre-r18 shape), row for row.
+    val wDf = QualityClassifier.trainLogistic(corpus, "text", "doc_id",
+      labels, nBuckets = n, iters = 3, lr = 0.25)
+    val viaJoin = QualityClassifier.hashedCounts(corpus, "text", "doc_id", n)
+      .join(wDf.select("bucket", "w_u"), "bucket")
+      .groupBy("doc_id").agg(sum(col("c") * col("w_u")).as("margin_u"))
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val fused = QualityClassifier.trainLogisticMargins(corpus, "text",
+      "doc_id", labels, nBuckets = n, iters = 3, lr = 0.25)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(fused == viaJoin)
+  }
 }
