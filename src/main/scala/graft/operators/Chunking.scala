@@ -14,14 +14,29 @@ import org.apache.spark.sql.functions._
   */
 object Chunking {
 
+  /** Number of chunks [[chunk]] emits for a token array — exposed so
+    * consumers needing per-doc chunk totals (xq38's n_paras) can compute
+    * them as a NARROW map over the source docs instead of re-counting the
+    * exploded chunk rows through an id-keyed exchange (r18). Null for null
+    * token arrays (such docs explode to zero rows and vanish from chunk
+    * output — callers must filter).
+    */
+  def chunkCount(toks: org.apache.spark.sql.Column, size: Int,
+      overlap: Int): org.apache.spark.sql.Column = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size, got size=$size overlap=$overlap")
+    val stride = size - overlap
+    val n = size_(toks)
+    when(n <= size, lit(1L))
+      .otherwise(floor((n - size + stride - 1) / stride) + 1L)
+  }
+
   def chunk(docs: DataFrame, textCol: String, idCol: String,
       size: Int, overlap: Int): DataFrame = {
     require(size > 0 && overlap >= 0 && overlap < size,
       s"need 0 <= overlap < size, got size=$size overlap=$overlap")
     val stride = size - overlap
-    val n = size_(col("toks"))
-    val nChunks = when(n <= size, lit(1L))
-      .otherwise(floor((n - size + stride - 1) / stride) + 1L)
+    val nChunks = chunkCount(col("toks"), size, overlap)
     docs
       .select(col(idCol), split(col(textCol), " ").as("toks"))
       .select(col(idCol), col("toks"),

@@ -857,19 +857,42 @@ object Dedup {
     * survivors in order. Documents that were pure boilerplate survive with
     * empty `clean_text` (the caller decides whether to drop them).
     *
-    * Scale shape: chunking is narrow; the document-frequency count and the
-    * join back are both keyed by paragraph text (bounded at `paraWords`
-    * tokens, uniformly spread); reassembly shuffles once on the doc id.
-    * No stage is all-pairs and no window is global.
+    * Scale shape (r18 re-plan, guide §2.4): chunking is narrow; the
+    * boilerplate test runs IN PLACE as aggregate windows over one
+    * paragraph-keyed exchange (for the standard minDocs = 2,
+    * "one distinct doc" is exactly min(doc) = max(doc), two aggregates
+    * sharing a single Window operator; general minDocs stacks a
+    * dense_rank + max pair on the same exchange) — the previous
+    * groupBy(para) + join-back shape shuffled every paragraph string
+    * TWICE more (once into the df aggregate, once as the join's probe
+    * side). Per-doc totals are a closed form of the token count
+    * ([[Chunking.chunkCount]] — chunk() emits exactly that many rows), so
+    * the totals exchange is gone outright; reassembly shuffles the KEPT
+    * text once on the doc id. No stage is all-pairs and no window is
+    * global.
     */
   def dropDuplicateParagraphs(docs: DataFrame, textCol: String, idCol: String,
       paraWords: Int = 8, minDocs: Int = 2): DataFrame = {
     val paras = Chunking.chunk(docs, textCol, idCol, size = paraWords, overlap = 0)
       .select(col(idCol), col("chunk_idx"), col("chunk_text"))
-    val df = paras.groupBy(col("chunk_text"))
-      .agg(countDistinct(col(idCol)).as("_nd"))
-    val kept = paras.join(df, "chunk_text").where(col("_nd") < minDocs)
-    val totals = paras.groupBy(col(idCol)).agg(count(lit(1)).as("n_paras"))
+    val byPara = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("chunk_text"))
+    val kept =
+      if (minDocs == 2)
+        paras
+          .withColumn("_mn", min(col(idCol)).over(byPara))
+          .withColumn("_mx", max(col(idCol)).over(byPara))
+          .where(col("_mn") === col("_mx"))
+      else
+        paras
+          .withColumn("_dr", dense_rank().over(byPara.orderBy(col(idCol))))
+          .withColumn("_nd", max(col("_dr")).over(byPara))
+          .where(col("_nd") < minDocs)
+    val totals = docs
+      .select(col(idCol),
+        Chunking.chunkCount(split(col(textCol), " "), paraWords, 0)
+          .as("n_paras"))
+      .where(col("n_paras").isNotNull)
     val rebuilt = kept.groupBy(col(idCol)).agg(
       count(lit(1)).as("n_kept"),
       array_join(
