@@ -36,6 +36,7 @@ object Graphs {
     // literal — computing it here would shift every rank by 2e-17 and break
     // the bit-exact contract.
     require(iters >= 1, s"need iters >= 1, got $iters")
+    val spark = edges.sparkSession
     // Persisted: every iteration re-joins the edge list, and the caller's
     // edge derivation is often itself a join pipeline (xq60's is the LSH
     // pair search) — without the persist each iteration would recompute it
@@ -47,22 +48,47 @@ object Graphs {
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
       .trackedCache
     val nodes = e.select(col("src").as("id")).distinct()
-    val withN = nodes.crossJoin(broadcast(nodes.agg(count(lit(1)).as("n_nodes"))))
-    var pr = withN.select(col("id"),
-      (lit(1.0) / col("n_nodes").cast("double")).as("pr"), col("n_nodes"))
+    // One count job: n_nodes is constant across iterations (symmetrized
+    // graphs give every listed node an in-edge, so no rank row ever
+    // disappears), so it rides the loop as a LITERAL instead of the
+    // r17 crossJoin(broadcast(count agg)) column — same doubles, one plan
+    // node instead of a per-iteration broadcast subtree. The count also
+    // sizes the per-round checkpoint stats below.
+    val nNodes = nodes.count()
+    val nNodesD = lit(nNodes.toDouble)
+    // Per-round lineage cut (r18, guide §2.4/§7.3 — the same discipline as
+    // [[Dedup.connectedComponents]], and for the same measured reason: the
+    // un-cut loop re-optimizes a plan that GROWS by a join+aggregate
+    // subtree per iteration — xq60's final frame carried 178 Exchange
+    // nodes over 1365 plan lines for 3 iterations). AUTO mode: reliable
+    // df.checkpoint() when the session has a checkpoint dir (cluster
+    // posture — survives executor loss), single-JVM localCheckpoint
+    // otherwise; superseded rounds are released as soon as the next round
+    // materializes, so a long-lived session holds exactly one live rank
+    // frame (~n_nodes rows). Stats are pinned to the honest row count —
+    // the default rewrite compounds join-product estimates across rounds
+    // (see CheckpointBridge.withStats).
+    def cut(df: DataFrame): DataFrame = {
+      val raw = if (spark.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint() else df.localCheckpoint()
+      org.apache.spark.sql.graftbridge.CheckpointBridge
+        .withStats(raw, BigInt(nNodes.max(1L)) * 16L)
+    }
+    var pr = cut(nodes.select(col("id"), (lit(1.0) / nNodesD).as("pr")))
     for (_ <- 1 to iters) {
       val contrib = e
-        .join(pr.select(col("id").as("src"), col("pr"), col("n_nodes")), "src")
+        .join(pr.select(col("id").as("src"), col("pr")), "src")
         .join(deg, "src")
-        .select(col("dst").as("id"), col("n_nodes"),
+        .select(col("dst").as("id"),
           floor((col("pr") / col("deg").cast("double")) * lit(1e12) + lit(0.5))
             .cast("long").as("cq"))
-      pr = contrib.groupBy("id", "n_nodes")
+      val next = cut(contrib.groupBy("id")
         .agg(sum(col("cq")).as("s"))
         .select(col("id"),
-          (lit(teleport) / col("n_nodes").cast("double") +
-            lit(damping) * (col("s").cast("double") / lit(1e12))).as("pr"),
-          col("n_nodes"))
+          (lit(teleport) / nNodesD +
+            lit(damping) * (col("s").cast("double") / lit(1e12))).as("pr")))
+      org.apache.spark.sql.graftbridge.CheckpointBridge.release(pr)
+      pr = next
     }
     pr.select("id", "pr")
   }
