@@ -271,6 +271,59 @@ object IndexStore {
     * off it. Identity/completeness semantics are unchanged from [[ensure]]
     * — the delta path only changes who computes the bytes.
     */
+  /** Run `buildDelta` against a READY prior generation and `newFiles` into
+    * a FRESH session-private generation — every call; returns its dir.
+    *
+    * This is the measurable form of an append refresh (r17 verdict item 3):
+    * [[ensureIncremental]] amortizes the refresh across runs (build-once
+    * semantics — right for serving), which made a timed append row measure
+    * store TEMPERATURE instead of append work — cold /tmp paid the full
+    * base build inside the row, warm /tmp reduced it to a probe, a 7x
+    * swing on identical code. Here the base generation stays amortized
+    * (the caller ensures it separately) while the delta build executes on
+    * every invocation, so the row times exactly: link prior data + index
+    * the appended files + commit marker.
+    *
+    * The fresh dir name (`graft-<tag>-fresh-<uuid>`) can never be adopted
+    * by [[resolve]] (its names end at the 16-hex identity key) or
+    * [[findAppendDelta]] (no input manifest is written), and the PREVIOUS
+    * fresh generation of the same tag from this session is deleted first
+    * — callers materialize each result before the next call (bench rounds
+    * are sequential), so a session holds at most one live fresh generation
+    * per tag; concurrent sessions are isolated by the UUID.
+    */
+  def freshAppend(tag: String, priorDir: String, newFiles: Seq[String],
+      successRel: String = "_SUCCESS",
+      baseDir: String = sys.props("java.io.tmpdir"))
+      (buildDelta: (AppendDelta, String) => Unit): String = {
+    require(new File(priorDir).exists(), s"prior generation missing: $priorDir")
+    // Cross-session housekeeping: a JVM leaves its LAST fresh generation
+    // behind (nothing outlives it to delete it), so long-lived /tmp would
+    // accrue one dir per tag per run. Stale fresh dirs of this tag from
+    // clearly-dead sessions (>2 h old) are swept here; a live session's
+    // dir is never that old because callers materialize each result
+    // before the next append call.
+    val staleBefore = System.currentTimeMillis() - 2L * 3600 * 1000
+    Option(new File(baseDir).listFiles()).getOrElse(Array.empty[File])
+      .filter(f => f.isDirectory && f.getName.startsWith(s"graft-$tag-fresh-") &&
+        f.lastModified < staleBefore)
+      .foreach(deleteRecursively)
+    val dir = new File(baseDir,
+      s"graft-$tag-fresh-${java.util.UUID.randomUUID().toString}")
+    try {
+      buildDelta(AppendDelta(priorDir, newFiles), dir.getPath)
+      require(new File(dir, successRel).exists(),
+        s"append build '$tag' completed without writing $successRel under " +
+          s"${dir.getPath}")
+    } catch { case e: Throwable => deleteRecursively(dir); throw e }
+    val prev = freshGens.put(tag, dir)
+    if (prev != null) deleteRecursively(prev)
+    dir.getPath
+  }
+
+  private val freshGens =
+    new java.util.concurrent.ConcurrentHashMap[String, File]()
+
   def ensureIncremental(tag: String, inputs: Seq[String],
       successRel: String = "_SUCCESS",
       baseDir: String = sys.props("java.io.tmpdir"))

@@ -3455,9 +3455,16 @@ object ExtensionQueries {
     // hash match IS the proof that probe-after-append ≡ full rebuild.
     QueryDef("xq105_band_index_append",
       (s, d) => {
-        val staged = stageAppendedCorpus(s, d)
-        val dir = IndexStore.ensureIncremental("band-inc-w2", Seq(staged))(
-          Dedup.writeBandIndex(s.read.parquet(staged), "text", "doc_id", _))(
+        // r18 measurement fix (r17 verdict item 3): the B-delta append now
+        // EXECUTES on every invocation against the warm A-only base index
+        // (IndexStore.freshAppend) — under ensureIncremental the row timed
+        // store temperature (full build on cold /tmp, pure probe on warm),
+        // a 7x swing that was never the append. Same output by
+        // construction: the fresh generation is byte-equivalent to what
+        // the first-ever ensureIncremental run produced.
+        val st = stageAppendedCorpus(s, d)
+        val dir = IndexStore.freshAppend("band-inc-w2",
+          ensureBandInc(s, st.aFiles), st.bFiles)(
           (delta, nd) => Dedup.appendBandIndex(s, delta, nd, "text", "doc_id"))
         Dedup.probeBandIndex(s, dir,
           Tables.documents(s, d).where(col("source") === "src3"),
@@ -3498,8 +3505,11 @@ object ExtensionQueries {
     // that probe-after-append ≡ full retrain.
     QueryDef("xq106_lm_index_append",
       (s, d) => {
-        val staged = stageAppendedTrain(s, d)
-        val dir = ensureLmInc(s, staged)
+        // r18: measured append — see xq105.
+        val st = stageAppendedTrain(s, d)
+        val dir = IndexStore.freshAppend("lm-inc",
+          ensureLmInc(s, st.aFiles), st.bFiles, "stats/_SUCCESS")(
+          (delta, nd) => NgramLm.appendLmIndex(s, delta, nd, "text", "doc_id"))
         NgramLm.scoreLmIndex(s, dir,
           Tables.documents(s, d).where(col("source") === "src3"),
           "text", "doc_id")
@@ -3537,8 +3547,11 @@ object ExtensionQueries {
     // over the whole corpus, so the hash match IS the proof.
     QueryDef("xq107_bm25_index_append",
       (s, d) => {
-        val staged = stageAppendedBm25(s, d)
-        val dir = ensureBm25Inc(s, staged)
+        // r18: measured append — see xq105.
+        val st = stageAppendedBm25(s, d)
+        val dir = IndexStore.freshAppend("bm25-inc",
+          ensureBm25Inc(s, st.aFiles), st.bFiles, "stats/_SUCCESS")(
+          (delta, nd) => Ranking.appendBm25Index(s, delta, nd, "text", "doc_id"))
         // r17: one-pass serving batch — see xq99.
         val queries = Seq(
           0L -> Seq("join", "hash"),
@@ -3592,8 +3605,11 @@ object ExtensionQueries {
     // frozen codebook.
     QueryDef("xq108_pq_index_append",
       (s, d) => {
-        val staged = stageAppendedPq(s, d)
-        val dir = ensurePqInc(s, staged)
+        // r18: measured append — see xq105.
+        val st = stageAppendedPq(s, d)
+        val dir = IndexStore.freshAppend("pq-inc",
+          ensurePqInc(s, st.aFiles), st.bFiles, "stats/_SUCCESS")(
+          (delta, nd) => Similarity.appendPqIndex(s, delta, nd, "embedding", "vec_id"))
         Similarity.probePqIndex(s, dir,
           Tables.embeddings(s, d).where(col("vec_id").isin(7L, 11L, 23L)),
           "embedding", "vec_id", kNN = 10)
@@ -3759,8 +3775,11 @@ object ExtensionQueries {
     // append ≡ index-the-grown-corpus under the frozen quantizer.
     QueryDef("xq113_ivf_index_append",
       (s, d) => {
-        val staged = stageAppendedIvf(s, d)
-        val dir = ensureIvfInc(s, staged)
+        // r18: measured append — see xq105.
+        val st = stageAppendedIvf(s, d)
+        val dir = IndexStore.freshAppend("ivf-inc",
+          ensureIvfInc(s, st.aFiles), st.bFiles, "stats/_SUCCESS")(
+          (delta, nd) => Similarity.appendIvfIndex(s, delta, nd, "embedding", "vec_id"))
         Similarity.probeIvfIndex(s, dir,
           Tables.embeddings(s, d).where(col("vec_id").isin(7L, 11L, 23L)),
           "embedding", "vec_id", kNN = 10)
@@ -3799,8 +3818,11 @@ object ExtensionQueries {
     // probe-after-append ≡ index-the-grown-corpus under frozen planes.
     QueryDef("xq115_lsh_index_append",
       (s, d) => {
-        val staged = stageAppendedLsh(s, d)
-        val dir = ensureLshInc(s, staged)
+        // r18: measured append — see xq105.
+        val st = stageAppendedLsh(s, d)
+        val dir = IndexStore.freshAppend("lsh-inc",
+          ensureLshInc(s, st.aFiles), st.bFiles, "stats/_SUCCESS")(
+          (delta, nd) => Similarity.appendLshIndex(s, delta, nd, "embedding", "vec_id"))
         Similarity.probeLshIndex(s, dir,
           Tables.embeddings(s, d).where(col("vec_id").isin(7L, 11L, 23L)),
           "embedding", "vec_id", kNN = 10)
@@ -3839,8 +3861,11 @@ object ExtensionQueries {
     // the frozen pair.
     QueryDef("xq117_ivfpq_index_append",
       (s, d) => {
-        val staged = stageAppendedIvfPq(s, d)
-        val dir = ensureIvfPqInc(s, staged)
+        // r18: measured append — see xq105.
+        val st = stageAppendedIvfPq(s, d)
+        val dir = IndexStore.freshAppend("ivfpq-inc",
+          ensureIvfPqInc(s, st.aFiles), st.bFiles, "stats/_SUCCESS")(
+          (delta, nd) => Similarity.appendIvfPqIndex(s, delta, nd, "embedding", "vec_id"))
         Similarity.probeIvfPqIndex(s, dir,
           Tables.embeddings(s, d).where(col("vec_id").isin(7L, 11L, 23L)),
           "embedding", "vec_id", kNN = 10)
@@ -3855,15 +3880,15 @@ object ExtensionQueries {
     * indexed per generation through the ivfpq-inc tag.
     */
   private def stageAppendedIvfPq(s: org.apache.spark.sql.SparkSession,
-      d: String): String =
+      d: String): StagedAppend =
     stageTwoGenerations(s, d, "ivfpq-stage", Tables.embeddings(s, d),
-      st => { ensureIvfPqInc(s, st); () }, idCol = "vec_id",
+      files => { ensureIvfPqInc(s, files); () }, idCol = "vec_id",
       srcTable = "embeddings.parquet")
 
   private def ensureIvfPqInc(s: org.apache.spark.sql.SparkSession,
-      staged: String): String =
-    IndexStore.ensureIncremental("ivfpq-inc", Seq(staged), "stats/_SUCCESS")(
-      Similarity.writeIvfPqIndex(s.read.parquet(staged), "embedding",
+      inputs: Seq[String]): String =
+    IndexStore.ensureIncremental("ivfpq-inc", inputs, "stats/_SUCCESS")(
+      Similarity.writeIvfPqIndex(s.read.parquet(inputs: _*), "embedding",
         "vec_id", _, nCells = 8, m = 4, subDim = 16, k = 16, iters = 2))(
       (delta, nd) => Similarity.appendIvfPqIndex(s, delta, nd, "embedding", "vec_id"))
 
@@ -3913,15 +3938,15 @@ object ExtensionQueries {
     * the plane set; the append signs B under it, frozen.
     */
   private def stageAppendedLsh(s: org.apache.spark.sql.SparkSession,
-      d: String): String =
+      d: String): StagedAppend =
     stageTwoGenerations(s, d, "lsh-stage", Tables.embeddings(s, d),
-      st => { ensureLshInc(s, st); () }, idCol = "vec_id",
+      files => { ensureLshInc(s, files); () }, idCol = "vec_id",
       srcTable = "embeddings.parquet")
 
   private def ensureLshInc(s: org.apache.spark.sql.SparkSession,
-      staged: String): String =
-    IndexStore.ensureIncremental("lsh-inc", Seq(staged), "stats/_SUCCESS")(
-      Similarity.writeLshIndex(s.read.parquet(staged), "embedding", "vec_id",
+      inputs: Seq[String]): String =
+    IndexStore.ensureIncremental("lsh-inc", inputs, "stats/_SUCCESS")(
+      Similarity.writeLshIndex(s.read.parquet(inputs: _*), "embedding", "vec_id",
         _, nPlanes = 6))(
       (delta, nd) => Similarity.appendLshIndex(s, delta, nd, "embedding", "vec_id"))
 
@@ -3993,15 +4018,15 @@ object ExtensionQueries {
     * the coarse quantizer; the append assigns B under it, frozen.
     */
   private def stageAppendedIvf(s: org.apache.spark.sql.SparkSession,
-      d: String): String =
+      d: String): StagedAppend =
     stageTwoGenerations(s, d, "ivf-stage", Tables.embeddings(s, d),
-      st => { ensureIvfInc(s, st); () }, idCol = "vec_id",
+      files => { ensureIvfInc(s, files); () }, idCol = "vec_id",
       srcTable = "embeddings.parquet")
 
   private def ensureIvfInc(s: org.apache.spark.sql.SparkSession,
-      staged: String): String =
-    IndexStore.ensureIncremental("ivf-inc", Seq(staged), "stats/_SUCCESS")(
-      Similarity.writeIvfIndex(s.read.parquet(staged), "embedding", "vec_id",
+      inputs: Seq[String]): String =
+    IndexStore.ensureIncremental("ivf-inc", inputs, "stats/_SUCCESS")(
+      Similarity.writeIvfIndex(s.read.parquet(inputs: _*), "embedding", "vec_id",
         _, nCentroids = 8, iters = 2))(
       (delta, nd) => Similarity.appendIvfIndex(s, delta, nd, "embedding", "vec_id"))
 
@@ -4011,41 +4036,44 @@ object ExtensionQueries {
     * append of one growing table.
     */
   private def stageAppendedCorpus(s: org.apache.spark.sql.SparkSession,
-      d: String): String =
+      d: String): StagedAppend =
     stageTwoGenerations(s, d, "band-stage",
       Tables.documents(s, d).where(col("source") =!= "src3"),
-      st => { IndexStore.ensureIncremental("band-inc-w2", Seq(st))(
-        Dedup.writeBandIndex(s.read.parquet(st), "text", "doc_id", _))(
-        (delta, nd) => Dedup.appendBandIndex(s, delta, nd, "text", "doc_id"))
-        ; () })
+      files => { ensureBandInc(s, files); () })
+
+  private def ensureBandInc(s: org.apache.spark.sql.SparkSession,
+      inputs: Seq[String]): String =
+    IndexStore.ensureIncremental("band-inc-w2", inputs)(
+      Dedup.writeBandIndex(s.read.parquet(inputs: _*), "text", "doc_id", _))(
+      (delta, nd) => Dedup.appendBandIndex(s, delta, nd, "text", "doc_id"))
 
   /** xq106's staged LM train corpus (generation A = even doc_ids of src0,
     * generation B = odd), indexed per generation through the lm-inc tag.
     */
   private def stageAppendedTrain(s: org.apache.spark.sql.SparkSession,
-      d: String): String =
+      d: String): StagedAppend =
     stageTwoGenerations(s, d, "lm-stage",
       Tables.documents(s, d).where(col("source") === "src0"),
-      st => { ensureLmInc(s, st); () })
+      files => { ensureLmInc(s, files); () })
 
   private def ensureLmInc(s: org.apache.spark.sql.SparkSession,
-      staged: String): String =
-    IndexStore.ensureIncremental("lm-inc", Seq(staged), "stats/_SUCCESS")(
-      NgramLm.writeLmIndex(s.read.parquet(staged), "text", "doc_id", _))(
+      inputs: Seq[String]): String =
+    IndexStore.ensureIncremental("lm-inc", inputs, "stats/_SUCCESS")(
+      NgramLm.writeLmIndex(s.read.parquet(inputs: _*), "text", "doc_id", _))(
       (delta, nd) => NgramLm.appendLmIndex(s, delta, nd, "text", "doc_id"))
 
   /** xq107's staged full corpus (generation A = even doc_ids, B = odd),
     * indexed per generation through the bm25-inc tag.
     */
   private def stageAppendedBm25(s: org.apache.spark.sql.SparkSession,
-      d: String): String =
+      d: String): StagedAppend =
     stageTwoGenerations(s, d, "bm25-stage", Tables.documents(s, d),
-      st => { ensureBm25Inc(s, st); () })
+      files => { ensureBm25Inc(s, files); () })
 
   private def ensureBm25Inc(s: org.apache.spark.sql.SparkSession,
-      staged: String): String =
-    IndexStore.ensureIncremental("bm25-inc", Seq(staged), "stats/_SUCCESS")(
-      Ranking.writeBm25Index(s.read.parquet(staged), "text", "doc_id", _))(
+      inputs: Seq[String]): String =
+    IndexStore.ensureIncremental("bm25-inc", inputs, "stats/_SUCCESS")(
+      Ranking.writeBm25Index(s.read.parquet(inputs: _*), "text", "doc_id", _))(
       (delta, nd) => Ranking.appendBm25Index(s, delta, nd, "text", "doc_id"))
 
   /** xq108's staged embeddings (generation A = even vec_ids, B = odd),
@@ -4053,15 +4081,15 @@ object ExtensionQueries {
     * the codebook; the append encodes B under it, frozen.
     */
   private def stageAppendedPq(s: org.apache.spark.sql.SparkSession,
-      d: String): String =
+      d: String): StagedAppend =
     stageTwoGenerations(s, d, "pq-stage", Tables.embeddings(s, d),
-      st => { ensurePqInc(s, st); () }, idCol = "vec_id",
+      files => { ensurePqInc(s, files); () }, idCol = "vec_id",
       srcTable = "embeddings.parquet")
 
   private def ensurePqInc(s: org.apache.spark.sql.SparkSession,
-      staged: String): String =
-    IndexStore.ensureIncremental("pq-inc", Seq(staged), "stats/_SUCCESS")(
-      Similarity.writePqIndex(s.read.parquet(staged), "embedding", "vec_id",
+      inputs: Seq[String]): String =
+    IndexStore.ensureIncremental("pq-inc", inputs, "stats/_SUCCESS")(
+      Similarity.writePqIndex(s.read.parquet(inputs: _*), "embedding", "vec_id",
         _, m = 4, subDim = 16, k = 16, iters = 2))(
       (delta, nd) => Similarity.appendPqIndex(s, delta, nd, "embedding", "vec_id"))
 
@@ -4074,10 +4102,19 @@ object ExtensionQueries {
     * restaged, and the rewrite's fresh mtimes correctly invalidate any
     * index generation built over the old staging.
     */
+  /** A staged two-generation table: the staged directory plus the exact
+    * generation-A and generation-B data-file lists — the structured form
+    * the measured-append rows need so the B-delta build can run against
+    * the A-only base index on EVERY invocation (r18; see
+    * [[IndexStore.freshAppend]]).
+    */
+  private final case class StagedAppend(staged: String, aFiles: Seq[String],
+      bFiles: Seq[String])
+
   private def stageTwoGenerations(s: org.apache.spark.sql.SparkSession,
       d: String, stageName: String, rows: org.apache.spark.sql.DataFrame,
-      ensureGen1: String => Unit, idCol: String = "doc_id",
-      srcTable: String = "documents.parquet"): String = {
+      ensureGen1: Seq[String] => Unit, idCol: String = "doc_id",
+      srcTable: String = "documents.parquet"): StagedAppend = {
     // identity keyed off the table actually being staged: regenerating
     // embeddings.parquet alone must invalidate the pq staging even when
     // documents.parquet is untouched.
@@ -4085,6 +4122,11 @@ object ExtensionQueries {
     val staged = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft-$stageName-${IndexStore.identityKey(Seq(srcPath))}")
     val done = new java.io.File(staged, "_graft_staged_b")
+    val aList = new java.io.File(staged, "_graft_gen_a_files")
+    def dataFiles(): Seq[String] =
+      Option(staged.listFiles()).getOrElse(Array.empty)
+        .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+        .map(_.getAbsolutePath).sorted.toSeq
     if (!done.exists()) {
       def wipe(f: java.io.File): Unit = {
         if (f.isDirectory)
@@ -4094,13 +4136,22 @@ object ExtensionQueries {
       wipe(staged)
       rows.where(pmod(col(idCol), lit(2)) === 0)
         .write.mode("overwrite").parquet(staged.toString)
-      // generation 1: full build over the A-only corpus; its recorded
-      // manifest is what generation 2's delta detection runs against.
-      ensureGen1(staged.toString)
+      // the generation-A file list is recorded BEFORE the B append so warm
+      // re-runs can recover the A/B split without re-staging
+      val aFiles = dataFiles()
+      // generation 1: full build over the A-only corpus, keyed on the A
+      // FILE LIST (not the staged dir) so the base index stays warm across
+      // runs regardless of the B files appended below.
+      ensureGen1(aFiles)
       rows.where(pmod(col(idCol), lit(2)) === 1)
         .write.mode("append").parquet(staged.toString)
+      val w = new java.io.PrintWriter(aList, "UTF-8")
+      try aFiles.foreach(w.println) finally w.close()
       done.createNewFile()
     }
-    staged.toString
+    val src = scala.io.Source.fromFile(aList, "UTF-8")
+    val aFiles = try src.getLines().toList finally src.close()
+    val aSet = aFiles.toSet
+    StagedAppend(staged.toString, aFiles, dataFiles().filterNot(aSet.contains))
   }
 }

@@ -290,6 +290,40 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(new File(to, "_SUCCESS").exists())
   }
 
+  test("freshAppend rebuilds the delta EVERY call and retires the previous generation") {
+    val base = tmp()
+    // a ready prior generation with one data file
+    val prior = new File(base, "prior-gen"); prior.mkdirs()
+    Files.write(new File(prior, "part-00000").toPath, "prior".getBytes)
+    val newF = writeInput(tmp(), "part-00001", "appended")
+    var builds = 0
+    def run(): String = IndexStore.freshAppend("spec-fresh", prior.toString,
+      Seq(newF.toString), baseDir = base.toString) { (delta, dir) =>
+        builds += 1
+        assert(delta.priorDir == prior.toString)
+        assert(delta.newFiles == Seq(newF.toString))
+        new File(dir).mkdirs()
+        Files.write(new File(dir, "_SUCCESS").toPath, Array.empty[Byte])
+    }
+    val d1 = run()
+    val d2 = run()
+    assert(builds == 2, "freshAppend must execute the delta build per call")
+    assert(d1 != d2, "each call publishes its own generation")
+    assert(!new File(d1).exists(),
+      "the previous fresh generation is deleted on the next call")
+    assert(new File(d2, "_SUCCESS").exists())
+    // fresh generations are invisible to the amortized store
+    assert(IndexStore.findAppendDelta("spec-fresh", Seq(newF.toString),
+      baseDir = base.toString).isEmpty)
+    // a markerless delta build fails loudly and cleans its dir
+    val err = intercept[IllegalArgumentException] {
+      IndexStore.freshAppend("spec-fresh2", prior.toString,
+        Seq(newF.toString), baseDir = base.toString) { (_, dir) =>
+          new File(dir).mkdirs() }
+    }
+    assert(err.getMessage.contains("_SUCCESS"))
+  }
+
   test("missing input and malformed tag are rejected") {
     val base = tmp()
     intercept[IllegalArgumentException] {
