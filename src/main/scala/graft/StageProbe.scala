@@ -675,6 +675,30 @@ object StageProbe {
         SparkEntry.queries("xq39_contamination_spans")(spark, sf))
     }
 
+    // dedupGroups family decomposition (round 18): xq32/xq63/xq67/xq74/xq85
+    // all sit on minhashCandidatePairs + connectedComponents (1.2-1.4 s
+    // each at 32c). The rows separate signature/banding, the candidate
+    // self-join, the CC loop (with round count), and the final attach, so
+    // the loop's per-round job overhead is visible against the pair work.
+    probe("xq32") {
+      val docs = Tables.documents(spark, sf)
+      timed("band table (sig+explode)")(
+        Dedup.bandTable(docs, "text", "doc_id"))
+      val pairs = Dedup.minhashCandidatePairs(docs, "text", "doc_id")
+      timed("candidate pairs (join+distinct)")(pairs)
+      var rounds = 0
+      val t0 = System.nanoTime()
+      val labels = Dedup.connectedComponents(pairs, 64, None,
+        (i, _) => rounds = i)
+      noop(labels)
+      println(f"STAGE  cc loop ($rounds rounds)                 ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      timed("full xq32 (groups+attach)")(
+        SparkEntry.queries("xq32_dedup_groups")(spark, sf))
+      CacheRegistry.releaseAll(spark)
+      timed("full xq67 (soft weights)")(
+        SparkEntry.queries("xq67_soft_dedup_weights")(spark, sf))
+    }
+
     probe("pq16") {
       // the sf10 RESIDUAL adjudication (r15 verdict #2): where do the
       // 1.7 s go — the filtered scan, the user-keyed exchange + agg, or

@@ -214,7 +214,8 @@ object Dedup {
       n: Int = 3, maxIter: Int = 64,
       reliableCheckpoints: Option[Boolean] = None): DataFrame = {
     val pairs = minhashCandidatePairs(docs, textCol, idCol, n)
-    val labels = connectedComponents(pairs, maxIter, reliableCheckpoints)
+    val labels = connectedComponents(pairs, maxIter, reliableCheckpoints,
+      canonicalInput = true)
     docs.select(col(idCol).as("id"))
       .join(labels.withColumnRenamed("label", "_glabel"), Seq("id"), "left")
       .select(col("id"), coalesce(col("_glabel"), col("id")).as("label"))
@@ -259,7 +260,8 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 64,
       reliableCheckpoints: Option[Boolean] = None,
-      onRound: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
+      onRound: (Int, DataFrame) => Unit = (_, _) => (),
+      canonicalInput: Boolean = false): DataFrame = {
     val spark = pairs.sparkSession
     val Seq(aCol, bCol) = pairs.columns.toSeq.take(2).map(col)
     // Checkpointing (eager) CUTS LINEAGE, not just caches: an iterative
@@ -282,8 +284,18 @@ object Dedup {
     // exactly one live edge frame.
     val reliable = reliableCheckpoints.getOrElse(
       spark.sparkContext.getCheckpointDir.isDefined)
-    def cutRaw(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
+    // Lineage cut + row count in ONE pass (r18, guide §2.4 — fewer full
+    // passes): the local path marks the checkpoint LAZY and lets count()
+    // materialize it, so each round runs one job over the edge list where
+    // eager-checkpoint-then-count ran two (at corpus scale the count was a
+    // second full scan; at bench scale it was a whole extra job+stage per
+    // round of a loop that is job-floor bound). The reliable path stays
+    // eager: a non-eager reliable checkpoint recomputes its lineage when
+    // the files are written (Spark caveat), which would double, not halve,
+    // the work.
+    def cutCounted(df: DataFrame): (DataFrame, Long) =
+      if (reliable) { val c = df.checkpoint(); (c, c.count()) }
+      else { val c = df.localCheckpoint(eager = false); (c, c.count()) }
     // Checkpoints additionally get EXPLICIT bounded statistics
     // (CheckpointBridge.withStats): the default stats rewrite carries the
     // original plan's join-PRODUCT size estimate onto the leaf, so a loop
@@ -292,11 +304,19 @@ object Dedup {
     // spins in the stats visitor (the sf10 probe found it; see the
     // bridge's scaladoc). Sizes are honest measured row counts, so
     // broadcast decisions stay truthful on a cluster.
-    var edges = cutRaw(pairs
-      .select(least(aCol, bCol).as("lo"), greatest(aCol, bCol).as("hi"))
-      .where(col("lo") =!= col("hi"))
-      .distinct())
-    var nEdges = edges.count()
+    // `canonicalInput = true` is a caller ASSERTION that `pairs` is already
+    // (lo < hi, distinct) — e.g. minhashCandidatePairs' output, which ends
+    // in exactly that where+distinct. The general canonicalization below
+    // costs a full extra exchange (least/greatest defeats alias analysis,
+    // so the input's own distinct partitioning is never reused) for a
+    // provable no-op on such inputs (r18).
+    var (edges, nEdges) = cutCounted(
+      if (canonicalInput)
+        pairs.select(aCol.as("lo"), bCol.as("hi"))
+      else pairs
+        .select(least(aCol, bCol).as("lo"), greatest(aCol, bCol).as("hi"))
+        .where(col("lo") =!= col("hi"))
+        .distinct())
     edges = org.apache.spark.sql.graftbridge.CheckpointBridge
       .withStats(edges, BigInt(nEdges.max(1L)) * 48L)
     var iter = 0
@@ -350,8 +370,8 @@ object Dedup {
             .where(col("m") =!= col("lo"))
             .select(col("m").as("lo"), col("lo").as("hi"))
           val centers = minsS.select(col("m").as("lo"), col("hi"))
-          val small = cutRaw(rewired.unionByName(centers).distinct())
-          nEdges = small.count()
+          val (small, n) = cutCounted(rewired.unionByName(centers).distinct())
+          nEdges = n
           org.apache.spark.sql.graftbridge.CheckpointBridge.release(edges)
           edges = org.apache.spark.sql.graftbridge.CheckpointBridge
             .withStats(small, BigInt(nEdges.max(1L)) * 48L)

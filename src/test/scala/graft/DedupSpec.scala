@@ -512,6 +512,19 @@ class DedupSpec extends SparkSpec {
     assert(ex.getMessage.contains(s"within ${rounds - 1}"))
   }
 
+  test("canonicalInput fast path matches the general canonicalization") {
+    // r18: canonicalInput=true skips the least/greatest+distinct exchange
+    // on a caller assertion; on already-canonical pairs the labels must be
+    // identical to the general path's.
+    val pairs = Seq((1L, 2L), (2L, 5L), (7L, 9L), (3L, 4L))
+      .toDF("doc_a", "doc_b")
+    val general = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val fast = Dedup.connectedComponents(pairs, canonicalInput = true)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(fast == general)
+  }
+
   test("connectedComponents == union-find on random graphs") {
     val rng = new scala.util.Random(14)
     for (trial <- 1 to 3) {
