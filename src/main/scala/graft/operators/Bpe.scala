@@ -16,8 +16,10 @@ import graft.operators.CacheRegistry.Cacheable
   * non-overlapping occurrences, so greedy BPE merging ("a a a" + (a,a) →
   * "aa a") is identical across engines, with no regex-metacharacter
   * hazards. Pair selection is max count with smallest-(left,right)
-  * lexicographic tie-break, computed as max-then-filter-then-min (the
-  * k-means argmax discipline — no order-dependent reduction anywhere).
+  * lexicographic tie-break, computed as ONE declarative aggregate —
+  * min over struct(−cnt, left, right) (r17; struct comparison is
+  * field-lexicographic, so minimizing −cnt is exactly max-count with the
+  * lexicographic tie-break — no order-dependent reduction anywhere).
   */
 object Bpe {
 
@@ -64,6 +66,13 @@ object Bpe {
     val spark = docs.sparkSession
     import spark.implicits._
     var words = wordTable(docs, textCol).trackedCache
+    // The superseded generation's cache is released one iteration LATE
+    // (r18): iteration i+1's argmax collect materializes generation i+1's
+    // cache as a side effect of scanning it, so the explicit
+    // next.count() job that existed only to materialize-before-unpersist
+    // is gone — one job per merge instead of two. At most two
+    // vocabulary-scale word tables are live at once (registry-released).
+    var prev: DataFrame = null
     val mergeRows = Seq.newBuilder[(Long, String, String, Long)]
     for (step <- 1 to merges) {
       // r17 optimization (guide §2.4): the winning pair used to be found as
@@ -79,14 +88,16 @@ object Bpe {
           col("cnt"))).as("b"))
         .select(col("b.left"), col("b.right"), col("b.cnt"))
         .collect().head
+      // the collect above materialized the current generation's cache, so
+      // the one before it can no longer be recomputed through — release it
+      if (prev != null) { prev.unpersist(); prev = null }
       if (!best.isNullAt(0)) { // no pairs left: every word is one symbol
         val (l, r) = (best.getString(0), best.getString(1))
         mergeRows += ((step.toLong, l, r, best.getLong(2)))
         val next = words.select(col("word"), col("freq"),
           replace(col("syms"), lit(s" $l $r "), lit(s" $l$r ")).as("syms"))
           .trackedCache
-        next.count()
-        words.unpersist()
+        prev = words
         words = next
       }
     }
