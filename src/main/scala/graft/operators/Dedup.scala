@@ -708,8 +708,13 @@ object Dedup {
     // AQE cannot coalesce the quadratic pair fan-out — the fuzzyDedupPairs
     // trap, measured 2x on xq76 at sf1): zero exchanges from the cached
     // distinct set to the pair join's aggregate.
+    // Cached (r18): the hot-key set feeds BOTH the anti (cold) and semi
+    // (hot) splits below — uncached, each split re-ran the full df
+    // aggregate over the shingle set. It is tiny by construction (only
+    // shingles with df > maxDf).
     val hotKeys = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .where(col("df") > maxDf).select("shingle")
+      .trackedCache
     val cold = sh.join(hotKeys, Seq("shingle"), "left_anti")
       .select(col("doc_id"), col("shingle"))
     val hot = sh.join(hotKeys, Seq("shingle"), "left_semi")
