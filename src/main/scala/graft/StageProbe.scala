@@ -675,6 +675,16 @@ object StageProbe {
         SparkEntry.queries("xq39_contamination_spans")(spark, sf))
     }
 
+    // xq60 pagerank loop-shape A/B (round 18): repeated in-JVM steady-state
+    // runs — the only measurement this box's tenant noise respects.
+    probe("xq60") {
+      (1 to 6).foreach { i =>
+        timed(s"full xq60 run $i")(
+          SparkEntry.queries("xq60_pagerank")(spark, sf))
+        CacheRegistry.releaseAll(spark)
+      }
+    }
+
     // dedupGroups family decomposition (round 18): xq32/xq63/xq67/xq74/xq85
     // all sit on minhashCandidatePairs + connectedComponents (1.2-1.4 s
     // each at 32c). The rows separate signature/banding, the candidate

@@ -56,25 +56,20 @@ object Graphs {
     // sizes the per-round checkpoint stats below.
     val nNodes = nodes.count()
     val nNodesD = lit(nNodes.toDouble)
-    // Per-round lineage cut (r18, guide §2.4/§7.3 — the same discipline as
-    // [[Dedup.connectedComponents]], and for the same measured reason: the
-    // un-cut loop re-optimizes a plan that GROWS by a join+aggregate
-    // subtree per iteration — xq60's final frame carried 178 Exchange
-    // nodes over 1365 plan lines for 3 iterations). AUTO mode: reliable
-    // df.checkpoint() when the session has a checkpoint dir (cluster
-    // posture — survives executor loss), single-JVM localCheckpoint
-    // otherwise; superseded rounds are released as soon as the next round
-    // materializes, so a long-lived session holds exactly one live rank
-    // frame (~n_nodes rows). Stats are pinned to the honest row count —
-    // the default rewrite compounds join-product estimates across rounds
-    // (see CheckpointBridge.withStats).
-    def cut(df: DataFrame): DataFrame = {
-      val raw = if (spark.sparkContext.getCheckpointDir.isDefined)
-        df.checkpoint() else df.localCheckpoint()
+    // Per-round PLAN cut (r18, guide §2.4/§7.3): the un-cut loop
+    // re-optimizes a plan that GROWS by a join+aggregate subtree per
+    // iteration — xq60's final frame carried 178 Exchange nodes over 1365
+    // plan lines for 3 iterations. Each round's rank frame has exactly ONE
+    // consumer (the next round), so the cut is CheckpointBridge.planCut —
+    // the compiled RDD wrapped in a fresh leaf with honest row-count
+    // stats: planning is O(1) per round, the whole loop still executes as
+    // one job chain when the caller materializes, and NO per-round
+    // checkpoint jobs or blocks are paid (an eager localCheckpoint variant
+    // measured 1.6 -> 3.2 s on xq60 at sf0.1 — four extra job floors).
+    def cut(df: DataFrame): DataFrame =
       org.apache.spark.sql.graftbridge.CheckpointBridge
-        .withStats(raw, BigInt(nNodes.max(1L)) * 16L)
-    }
-    var pr = cut(nodes.select(col("id"), (lit(1.0) / nNodesD).as("pr")))
+        .planCut(df, BigInt(nNodes.max(1L)) * 16L)
+    var pr = nodes.select(col("id"), (lit(1.0) / nNodesD).as("pr"))
     for (_ <- 1 to iters) {
       val contrib = e
         .join(pr.select(col("id").as("src"), col("pr")), "src")
@@ -82,13 +77,11 @@ object Graphs {
         .select(col("dst").as("id"),
           floor((col("pr") / col("deg").cast("double")) * lit(1e12) + lit(0.5))
             .cast("long").as("cq"))
-      val next = cut(contrib.groupBy("id")
+      pr = cut(contrib.groupBy("id")
         .agg(sum(col("cq")).as("s"))
         .select(col("id"),
           (lit(teleport) / nNodesD +
             lit(damping) * (col("s").cast("double") / lit(1e12))).as("pr")))
-      org.apache.spark.sql.graftbridge.CheckpointBridge.release(pr)
-      pr = next
     }
     pr.select("id", "pr")
   }

@@ -69,4 +69,29 @@ object CheckpointBridge {
         org.apache.spark.sql.classic.Dataset.ofRows(session, fresh)
       case _ => df
     }
+
+  /** Cut the SQL plan WITHOUT materializing: compile `df` to its execution
+    * RDD and wrap that in a fresh `LogicalRDD` leaf with explicit
+    * statistics. Unlike `checkpoint`/`localCheckpoint` this runs NO job
+    * and persists NO blocks — the RDD chain (including any cached-table
+    * scans inside it) executes when the returned frame's consumer does.
+    * The right cut for iterative loops whose per-round state has exactly
+    * ONE consumer (e.g. pageRank's rank frame): re-optimization of a
+    * per-round-growing plan is gone, while eager per-round checkpoint jobs
+    * (measured: they DOUBLED xq60's wall at sf0.1, 1.6 -> 3.2 s in the
+    * full bench, pure job floor) are not paid. A frame consumed twice
+    * recomputes its round chain — use a real checkpoint when rounds have
+    * multiple consumers (connectedComponents' shape).
+    */
+  def planCut(df: DataFrame, sizeInBytes: BigInt): DataFrame = {
+    val session = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val qe = df.queryExecution
+    val fresh = new LogicalRDD(qe.analyzed.output, qe.toRdd,
+      org.apache.spark.sql.catalyst.plans.physical.UnknownPartitioning(0),
+      Nil, false, None)(session,
+      Some(org.apache.spark.sql.catalyst.plans.logical.Statistics(sizeInBytes)),
+      None)
+    org.apache.spark.sql.classic.Dataset.ofRows(session, fresh)
+  }
 }
