@@ -33,6 +33,8 @@ object StageProbe {
     // (scheduling, planning, JIT); when gcTime spikes, it is allocation.
     val stageAgg = new java.util.concurrent.ConcurrentLinkedQueue[
       (Int, Long, Long, Long)]() // (numTasks, executorRunTime, jvmGCTime, shuffleReadMs)
+    val stageDetail = new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, Int, Long)]() // (stage name, numTasks, executorRunTime)
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
@@ -40,8 +42,12 @@ object StageProbe {
           val m = sc.stageInfo.taskMetrics
           stageAgg.add((sc.stageInfo.numTasks, m.executorRunTime,
             m.jvmGCTime, m.shuffleReadMetrics.fetchWaitTime))
+          stageDetail.add((sc.stageInfo.name.takeWhile(_ != '\n').take(70),
+            sc.stageInfo.numTasks, m.executorRunTime))
         }
       })
+    // set GRAFT_STAGE_DETAIL=1 to print the slowest stages of each timed row
+    val wantDetail = sys.env.get("GRAFT_STAGE_DETAIL").contains("1")
     def timed(label: String)(df: => DataFrame): Double = {
       stageAgg.clear()
       val t0 = System.nanoTime()
@@ -56,6 +62,12 @@ object StageProbe {
         f"[stages=${st.size}%d tasks=${st.map(_._1).sum}%d " +
         f"run=${st.map(_._2).sum / 1e3}%.2fs gc=${st.map(_._3).sum / 1e3}%.2fs " +
         f"fetchWait=${st.map(_._4).sum / 1e3}%.2fs]")
+      if (wantDetail) {
+        stageDetail.asScala.toSeq.sortBy(-_._3).take(6).foreach {
+          case (n, t, r) => println(f"  SUBSTAGE ${r / 1e3}%6.2fs tasks=$t%-4d $n")
+        }
+      }
+      stageDetail.clear()
       s
     }
     def probe(name: String)(body: => Unit): Unit =

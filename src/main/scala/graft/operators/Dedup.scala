@@ -293,9 +293,23 @@ object Dedup {
     // eager: a non-eager reliable checkpoint recomputes its lineage when
     // the files are written (Spark caveat), which would double, not halve,
     // the work.
-    def cutCounted(df: DataFrame): (DataFrame, Long) =
-      if (reliable) { val c = df.checkpoint(); (c, c.count()) }
-      else { val c = df.localCheckpoint(eager = false); (c, c.count()) }
+    // The cut frame also gets SCALE-ADAPTIVE partitioning: a checkpoint
+    // inherits its parent's partition count, which for these tiny-round
+    // frames is the pinned shuffle width — every consumer stage of a round
+    // then runs that many near-empty tasks (measured: the un-coalesced
+    // canonical path added ~150 tasks / +12 s executorRunTime to xq32 at
+    // sf0.1 for identical data). Sizing from the measured row count (~AQE's
+    // advisory: ~1.3 M 48-byte rows per partition) folds small rounds into
+    // few tasks while leaving at-scale rounds untouched (coalesce never
+    // raises the partition count). Applied AFTER withStats so the honest
+    // leaf statistics sit under the narrow wrapper.
+    def cutCounted(df: DataFrame): (DataFrame, Long) = {
+      val c = if (reliable) df.checkpoint() else df.localCheckpoint(eager = false)
+      val n = c.count()
+      val sized = org.apache.spark.sql.graftbridge.CheckpointBridge
+        .withStats(c, BigInt(n.max(1L)) * 48L)
+      (sized.coalesce((n / 1300000L + 1L).toInt), n)
+    }
     // Checkpoints additionally get EXPLICIT bounded statistics
     // (CheckpointBridge.withStats): the default stats rewrite carries the
     // original plan's join-PRODUCT size estimate onto the leaf, so a loop
@@ -317,8 +331,6 @@ object Dedup {
         .select(least(aCol, bCol).as("lo"), greatest(aCol, bCol).as("hi"))
         .where(col("lo") =!= col("hi"))
         .distinct())
-    edges = org.apache.spark.sql.graftbridge.CheckpointBridge
-      .withStats(edges, BigInt(nEdges.max(1L)) * 48L)
     var iter = 0
     var nonStar = -1L
     var looping = true
@@ -373,8 +385,7 @@ object Dedup {
           val (small, n) = cutCounted(rewired.unionByName(centers).distinct())
           nEdges = n
           org.apache.spark.sql.graftbridge.CheckpointBridge.release(edges)
-          edges = org.apache.spark.sql.graftbridge.CheckpointBridge
-            .withStats(small, BigInt(nEdges.max(1L)) * 48L)
+          edges = small
           iter += 1
           onRound(iter, edges)
         }

@@ -29,18 +29,22 @@ object CheckpointBridge {
     * `spark.cleaner.referenceTracking.cleanCheckpoints` is off by default,
     * so without this every dedupGroups round leaks ~2 frames of files.
     */
-  def release(df: DataFrame): Unit = df.queryExecution.logical match {
-    case lr: LogicalRDD =>
-      val rdd = lr.rdd
-      rdd.unpersist(blocking = false)
-      rdd.getCheckpointFile.foreach { dir =>
-        try {
-          val p = new org.apache.hadoop.fs.Path(dir)
-          val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-          fs.delete(p, true)
-        } catch { case scala.util.control.NonFatal(_) => () }
-      }
-    case _ => ()
+  def release(df: DataFrame): Unit = df.queryExecution.logical.collect {
+    case lr: LogicalRDD => lr
+  }.foreach { lr =>
+    // collect, not a root match: a checkpointed frame may carry narrow
+    // wrappers (e.g. the scale-adaptive coalesce connectedComponents puts
+    // on top of each round) — every checkpoint leaf under the frame is
+    // this loop's to release.
+    val rdd = lr.rdd
+    rdd.unpersist(blocking = false)
+    rdd.getCheckpointFile.foreach { dir =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 
   /** Rebuild a checkpointed frame's `LogicalRDD` leaf with EXPLICIT
